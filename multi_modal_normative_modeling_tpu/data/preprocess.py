@@ -1,0 +1,73 @@
+"""Feature scaling and covariate encoding.
+
+Parity notes (SURVEY.md Q5):
+  * Scaling is sklearn's ``RobustScaler`` fit on the fold's *train* rows; the
+    test script re-fits it from train rows itself
+    (multimodal_kfold_test_cvae_supervised.py:82-90).
+  * Covariates are one-hot encodings of ``pd.qcut`` bins over the
+    rank(method='first') of AGE (27 bins) and PTGENDER (2 bins)
+    (multimodal_kfold_train_cvae_supervised.py:107-126); at test time the
+    binning is re-fit on the test set itself (test:93-97) — reproduced as-is.
+
+We keep sklearn/pandas for these host-side transforms (exact semantics by
+construction); the arrays they produce are what the TPU compute path consumes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass
+class RobustScalerParams:
+    """Center/scale of a fitted RobustScaler as plain numpy (device-friendly)."""
+    center: np.ndarray
+    scale: np.ndarray
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x) - self.center) / self.scale
+
+    def inverse_transform(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(x) * self.scale + self.center
+
+
+def fit_robust_scaler(train_data: np.ndarray) -> Tuple[np.ndarray, RobustScalerParams]:
+    """Fit sklearn RobustScaler on ``train_data`` and return (scaled, params)."""
+    from sklearn.preprocessing import RobustScaler
+
+    scaler = RobustScaler()
+    scaled = scaler.fit_transform(train_data)
+    params = RobustScalerParams(
+        center=np.asarray(scaler.center_, dtype=np.float64),
+        scale=np.asarray(scaler.scale_, dtype=np.float64),
+    )
+    return scaled, params
+
+
+def qcut_rank_one_hot(values: pd.Series, q: int) -> np.ndarray:
+    """One-hot of ``pd.qcut(values.rank(method='first'), q)`` bin codes.
+
+    This is the exact covariate binning of the reference train/test scripts.
+    """
+    bins = pd.qcut(values.rank(method="first"), q=q, labels=list(range(q)))
+    return np.eye(q)[np.asarray(bins, dtype=int)]
+
+
+def one_hot_covariates(covariates: pd.DataFrame, n_bins_age: int = 27,
+                       n_bins_gender: int = 2) -> np.ndarray:
+    """``concat(one_hot(AGE qcut), one_hot(PTGENDER qcut))`` as float32.
+
+    c_dim = n_bins_age + n_bins_gender (29 by default), matching
+    multimodal_kfold_train_cvae_supervised.py:107-128.
+    """
+    one_hot_age = qcut_rank_one_hot(covariates["AGE"], n_bins_age)
+    one_hot_gender = qcut_rank_one_hot(covariates["PTGENDER"], n_bins_gender)
+    return np.concatenate((one_hot_age, one_hot_gender), axis=1).astype("float32")
+
+
+def binary_labels(dia: pd.Series, hc_label: int) -> np.ndarray:
+    """0 for healthy controls, 1 otherwise (nmpmcont process_dataset:121)."""
+    return (np.asarray(dia) != hc_label).astype(np.int64)

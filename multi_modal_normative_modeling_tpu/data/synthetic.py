@@ -1,0 +1,104 @@
+"""Synthetic cohort generator.
+
+The reference's data CSVs are git-ignored (downloaded from Google Drive), so
+tests and benchmarks here synthesize cohorts with the exact on-disk layout the
+pipeline expects:
+
+  data/<resource>/y.csv                 columns: IID, participant_id, DIA,
+                                        AGE, PTGENDER
+  data/<resource>/<modality>.csv        columns: IID, <roi columns...>
+  data/<resource>/early_fusion_modalities_<resource>.csv  (when requested)
+
+Disease subjects get a deterministic per-ROI offset so that deviation-based
+classification has real signal (AUC well above chance), which lets end-to-end
+tests assert pipeline correctness, not just plumbing.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .. import registry
+
+
+def make_synthetic_resource(
+    root: Path,
+    resource: str = "ADNI",
+    n_hc: int = 120,
+    n_disease: Dict[int, int] | None = None,
+    seed: int = 0,
+    effect: float = 1.5,
+    modalities: Optional[Sequence[str]] = None,
+    n_features: Optional[int] = None,
+    with_early_fusion: bool = False,
+    with_fi: bool = False,
+) -> Path:
+    """Write a synthetic cohort for ``resource`` under ``root/data/<resource>``.
+
+    n_disease maps DIA label -> count (defaults chosen per resource's label
+    scheme). Returns the resource data directory.
+    """
+    rng = np.random.default_rng(seed)
+    hc_label = registry.get_hc_label(resource)
+    if n_disease is None:
+        if resource in ("ADNI", "ADHD"):
+            n_disease = {0: n_hc // 2, 1: n_hc // 2}
+        else:
+            n_disease = {0: n_hc // 2}
+
+    data_dir = Path(root) / "data" / resource
+    data_dir.mkdir(parents=True, exist_ok=True)
+
+    labels: List[int] = [hc_label] * n_hc
+    for lab, count in sorted(n_disease.items()):
+        labels += [lab] * count
+    n = len(labels)
+    iids = [f"{resource}_S_{i:05d}" for i in range(n)]
+    y = pd.DataFrame(
+        {
+            "IID": iids,
+            "participant_id": iids,
+            "DIA": labels,
+            "AGE": rng.integers(55, 95, size=n),
+            "PTGENDER": rng.integers(1, 3, size=n),
+        }
+    )
+    y.to_csv(data_dir / "y.csv", index=False)
+
+    modality_names = list(
+        modalities
+        if modalities is not None
+        else registry.BASE_MODALITIES[resource]
+    )
+    dia = np.asarray(labels)
+    fusion_blocks = []
+    for m_idx, name in enumerate(modality_names):
+        cols = registry.get_column_name(resource, name)
+        if n_features is not None:
+            cols = cols[:n_features]
+        d = len(cols)
+        base = rng.normal(0.0, 1.0, size=(n, d))
+        # deterministic disease signature: a sparse per-modality ROI offset
+        sig_rng = np.random.default_rng(1000 + m_idx)
+        signature = sig_rng.normal(0.0, 1.0, size=d)
+        signature *= (sig_rng.random(d) < 0.3)
+        base += np.where(dia[:, None] != hc_label, effect, 0.0) * signature[None, :]
+        frame = pd.DataFrame(base, columns=cols)
+        frame.insert(0, "IID", iids)
+        frame.to_csv(data_dir / f"{name}.csv", index=False)
+        fusion_blocks.append(
+            frame.set_index("IID").rename(columns=lambda c: f"{c}_{name}")
+        )
+
+    if with_early_fusion:
+        fused = pd.concat(fusion_blocks, axis=1)
+        fused.to_csv(data_dir / f"early_fusion_modalities_{resource}.csv")
+
+    if with_fi:
+        y["FI"] = (rng.normal(25, 5, size=n) - 3.0 * (dia != hc_label)).round(2)
+        y.to_csv(data_dir / "y.csv", index=False)
+
+    return data_dir
