@@ -1,0 +1,127 @@
+"""Shared CLI plumbing: the reference flag surface and per-fold data prep."""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from .. import registry
+from ..data.loading import load_dataset
+from ..data.preprocess import one_hot_covariates
+
+
+def add_common_flags(parser: argparse.ArgumentParser,
+                     default_n_splits: int = 10) -> argparse.ArgumentParser:
+    """The -R/-H/-C/-P/-E/-K/-O/-Model/... flags of the reference scripts
+    (multimodal_kfold_train_cvae_supervised.py:216-286)."""
+    parser.add_argument('-R', '--dataset_resourse', dest='dataset_resourse',
+                        type=str,
+                        help='Dataset to use for training test and evaluation.')
+    parser.add_argument('-H', '--hz_para_list', dest='hz_para_list', nargs='+',
+                        type=int, help='List of paras to perform the analysis.')
+    parser.add_argument('-C', '--combine', dest='combine', type=str,
+                        help='how do we combine all modalities.')
+    parser.add_argument('-P', '--procedure', dest='procedure', type=str,
+                        help='Procedure to perform the analysis.')
+    parser.add_argument('-E', '--epochs', dest='epochs', type=int,
+                        help='Number of epochs to train the model.')
+    parser.add_argument('-K', '--n_splits', dest='n_splits', type=int,
+                        default=default_n_splits,
+                        help='Number of splits for k-fold cross-validation.')
+    parser.add_argument('-O', '--oversample_percentage',
+                        dest='oversample_percentage', type=float, default=1,
+                        help='Percentage of oversampling of the training data.')
+    parser.add_argument('-Model', '--model', dest='model',
+                        default='cVAE_multimodal', type=str,
+                        help='Model to use for training the data.')
+    parser.add_argument('-SingleModality', '--single_modality',
+                        dest='single_modality', default=None, type=str,
+                        help='Single modality to use for training the data.')
+    parser.add_argument('-Baselearningrate', '--base_learning_rate',
+                        dest='base_learning_rate', type=float, default=0.0001,
+                        help='Base learning rate for the model.')
+    parser.add_argument('-Maxlearningrate', '--max_learning_rate',
+                        dest='max_learning_rate', type=float, default=0.005,
+                        help='Max learning rate for the model.')
+    parser.add_argument('-TrainingClass', '--training_class',
+                        dest='training_class', default='nm', type=str,
+                        help='Class to train the model.')
+    return parser
+
+
+def apply_post_parse_defaults(args, default_procedure: str = 'UCA-gPoE',
+                              default_epochs: int = 200):
+    """Reference post-parse defaulting (train:288-297)."""
+    if getattr(args, 'hz_para_list', None) is None:
+        args.hz_para_list = [110, 110, 10]
+    if getattr(args, 'procedure', None) is None:
+        args.procedure = default_procedure
+    if getattr(args, 'combine', None) is None:
+        args.combine = args.procedure.split('-')[1]
+    if getattr(args, 'dataset_resourse', None) is None:
+        args.dataset_resourse = 'ADNI'
+    if getattr(args, 'epochs', None) is None:
+        args.epochs = default_epochs
+    return args
+
+
+def prepare_modality(project_root: Path, resource: str, dataset_name: str,
+                     participants_path, train_ids_path,
+                     test_ids_path=None) -> dict:
+    """Load + scale one modality for a fold, reference test/train semantics:
+    RobustScaler fit on the fold's train rows, applied to both splits;
+    qcut one-hot covariates fit independently per split (SURVEY.md Q5)."""
+    from sklearn.preprocessing import RobustScaler
+
+    columns_name = registry.get_column_name(resource, dataset_name)
+    modality_path = Path(project_root) / 'data' / resource / f'{dataset_name}.csv'
+    train_df = load_dataset(participants_path, train_ids_path, modality_path)
+
+    scaler = RobustScaler()
+    train_data = scaler.fit_transform(train_df[columns_name].values)
+    out = {
+        'columns': columns_name,
+        'train_df': train_df,
+        'train_data': train_data.astype(np.float32),
+        'train_cov': one_hot_covariates(train_df[['DIA', 'PTGENDER', 'AGE']]),
+    }
+    if test_ids_path is not None:
+        test_df = load_dataset(participants_path, test_ids_path, modality_path)
+        out['test_df'] = test_df
+        out['test_data'] = scaler.transform(
+            test_df[columns_name].values
+        ).astype(np.float32)
+        out['test_cov'] = one_hot_covariates(test_df[['DIA', 'AGE', 'PTGENDER']])
+    return out
+
+
+def fold_paths(kfold_dir: Path, fold: int) -> Tuple[Path, Path]:
+    return (kfold_dir / f'train_ids_{fold:03d}.csv',
+            kfold_dir / f'test_ids_{fold:03d}.csv')
+
+
+def model_config_dict(args, input_dim_list: List[int], c_dim: int,
+                      modalities: int) -> dict:
+    return {
+        'model': args.model,
+        'input_dim_list': list(map(int, input_dim_list)),
+        'hidden_dim': list(args.hz_para_list[:-1]),
+        'latent_dim': int(args.hz_para_list[-1]),
+        'c_dim': int(c_dim),
+        'modalities': int(modalities),
+        'non_linear': True,
+        'combine': args.combine,
+    }
+
+
+def build_model_from_config(config: dict):
+    from ..models import build_model
+
+    return build_model(
+        config['model'], config['input_dim_list'], config['hidden_dim'],
+        config['latent_dim'], config['c_dim'], config['modalities'],
+        config.get('non_linear', True),
+    )

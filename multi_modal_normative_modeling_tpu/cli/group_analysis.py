@@ -1,0 +1,142 @@
+"""Deviation -> classification group analysis.
+
+Drop-in CLI for multimodal_kfold_cvae_group_analysis_1x1.py: averages the
+per-modality reconstruction_error CSVs per fold, computes ROC/Youden metrics
+per hc/disease label pair, and appends the result_baseline reports +
+cvae_auc_and_std.csv / auc_rocs.csv artifacts.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from sklearn.model_selection import KFold
+
+from .. import registry
+from ..data.loading import load_dataset
+from ..evaluation.metrics import classification_performance
+from ..evaluation.reports import (
+    append_result_4,
+    append_result_multimodal,
+    write_auc_csvs,
+)
+from . import common
+
+
+def analyze_pair(args, project_root: Path):
+    """One hc/disease label pair (group_analysis main(), :162-267)."""
+    model_name = 'supervised_cvae'
+    participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
+    outputs_dir = project_root / 'outputs'
+    kfold_dir = outputs_dir / 'kfold_analysis'
+    model_dir = kfold_dir / model_name
+
+    auc_roc_list, accuracy_list = [], []
+    sensitivity_list, specificity_list, significance_ratio_list = [], [], []
+
+    dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                               args.procedure)
+    if args.combine is None:
+        raise ValueError(f'Unknown procedure: {args.procedure}')
+
+    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
+    ids_df = pd.read_csv(participants_path)
+    HC_group = ids_df[ids_df['DIA'] == args.hc_label]
+
+    dataset_name = dataset_names[-1]
+    for fold, _ in enumerate(kf.split(HC_group)):
+        _, test_ids_path = common.fold_paths(kfold_dir, fold)
+        fold_model_dir = model_dir / f'{fold:03d}'
+
+        error_frames = []
+        for dataset_name in dataset_names:
+            modality_path = (project_root / 'data' / args.dataset_resourse /
+                             f'{dataset_name}.csv')
+            test_dataset_df = load_dataset(participants_path, test_ids_path,
+                                           modality_path)
+            test_dataset_df = test_dataset_df.set_index('participant_id')
+            error_frames.append(pd.read_csv(
+                fold_model_dir / dataset_name /
+                f'reconstruction_error_{dataset_name}.csv',
+                index_col='participant_id',
+            ))
+
+        averaged = error_frames[0]
+        for frame in error_frames[1:]:
+            averaged = averaged + frame
+        averaged = averaged / len(error_frames)
+
+        error_hc = averaged.loc[
+            test_dataset_df['DIA'] == args.hc_label]['Reconstruction error']
+        error_patient = averaged.loc[
+            test_dataset_df['DIA'] == args.disease_label]['Reconstruction error']
+
+        roc_auc, accuracy, recall, specificity, significance = (
+            classification_performance(error_hc, error_patient,
+                                       args.training_class, method='roc')
+        )
+        auc_roc_list.append(roc_auc)
+        accuracy_list.append(accuracy)
+        sensitivity_list.append(recall)
+        specificity_list.append(specificity)
+        significance_ratio_list.append(significance)
+
+    comparison_dir = (kfold_dir / dataset_name /
+                      f'{args.hc_label:02d}_vs_{args.disease_label:02d}')
+    comparison_dir.mkdir(parents=True, exist_ok=True)
+
+    auc_roc_arr = np.array(auc_roc_list)
+    significance_ratio_arr = auc_roc_arr / (1 - auc_roc_arr)
+    compare_name = (f"{args.dataset_resourse}: "
+                    f"{args.hc_label} vs {args.disease_label}")
+
+    append_result_multimodal(project_root / 'result_baseline', compare_name,
+                             args, auc_roc_arr, accuracy_list,
+                             sensitivity_list, specificity_list,
+                             significance_ratio_arr)
+    write_auc_csvs(project_root, comparison_dir, auc_roc_arr)
+
+    return (np.mean(auc_roc_arr), np.std(auc_roc_arr),
+            np.mean(accuracy_list), np.std(accuracy_list),
+            np.mean(sensitivity_list), np.std(sensitivity_list),
+            np.mean(specificity_list), np.std(specificity_list),
+            np.mean(significance_ratio_arr), np.std(significance_ratio_arr))
+
+
+def main(args, project_root=None):
+    project_root = Path(project_root) if project_root else Path.cwd()
+    pairs = registry.HC_PATIENT_COMBINATIONS[args.dataset_resourse]
+
+    stats = {k: [] for k in ('auc', 'auc_std', 'acc', 'acc_std', 'rec',
+                             'rec_std', 'spec', 'spec_std', 'sig', 'sig_std')}
+    for hc_label, disease_label in pairs:
+        args.hc_label = hc_label
+        args.disease_label = disease_label
+        results = analyze_pair(args, project_root)
+        for key, value in zip(stats.keys(), results):
+            stats[key].append(value)
+
+    append_result_4(project_root / 'result_baseline', args,
+                    stats['auc'], stats['auc_std'], stats['acc'],
+                    stats['acc_std'], stats['rec'], stats['rec_std'],
+                    stats['spec'], stats['spec_std'], stats['sig'],
+                    stats['sig_std'])
+    return stats
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    common.add_common_flags(parser)
+    return parser
+
+
+def run(argv=None, project_root=None):
+    args = build_parser().parse_args(argv)
+    common.apply_post_parse_defaults(args)
+    return main(args, project_root=project_root)
+
+
+if __name__ == '__main__':
+    run()

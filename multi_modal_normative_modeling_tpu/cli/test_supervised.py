@@ -1,0 +1,133 @@
+"""Per-fold inference + deviation CSV emission.
+
+Drop-in CLI for multimodal_kfold_test_cvae_supervised.py: re-fits the scaler
+from the fold's train rows, re-bins covariates on the test split (reference
+quirk, SURVEY.md Q5), loads the fold checkpoint, runs the stochastic
+``pred_recon`` (SURVEY.md Q2) and writes the five deviation CSVs per (fold,
+modality) plus the concatenated all-fold copies.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+from sklearn.model_selection import KFold
+
+from .. import registry
+from ..infer.emitters import DeviationEmitter
+from ..train import checkpoint_exists, load_checkpoint
+from . import common
+
+
+def main(args, project_root=None):
+    project_root = Path(project_root) if project_root else Path.cwd()
+    model_name = 'supervised_cvae'
+    participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
+
+    outputs_dir = project_root / 'outputs'
+    kfold_dir = outputs_dir / 'kfold_analysis'
+    model_dir = kfold_dir / model_name
+    deviation_dir = (project_root / 'deviation' / model_name /
+                     args.dataset_resourse / args.procedure / 'path_model')
+    deviation_dir.mkdir(exist_ok=True, parents=True)
+
+    np.random.seed(42)
+    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
+
+    dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                               args.procedure)
+    if args.combine is None:
+        raise ValueError(f'Unknown procedure: {args.procedure}')
+
+    ids_df = pd.read_csv(participants_path)
+    hc_label = registry.get_hc_label(args.dataset_resourse)
+    HC_group = ids_df[ids_df['DIA'] == hc_label]
+
+    emitter = DeviationEmitter(dataset_names)
+
+    for fold, _ in enumerate(kf.split(HC_group)):
+        train_ids_path, test_ids_path = common.fold_paths(kfold_dir, fold)
+        fold_model_dir = model_dir / f'{fold:03d}'
+        fold_model_dir.mkdir(exist_ok=True)
+
+        test_data_list, clinical_df_list, columns_list = [], [], []
+        test_cov = None
+        for dataset_name in dataset_names:
+            prep = common.prepare_modality(
+                project_root, args.dataset_resourse, dataset_name,
+                participants_path, train_ids_path, test_ids_path,
+            )
+            test_data_list.append(prep['test_data'])
+            clinical_df_list.append(prep['test_df'])
+            columns_list.append(prep['columns'])
+            test_cov = prep['test_cov']  # last modality wins (test:102)
+
+        if not checkpoint_exists(fold_model_dir):
+            print('firstly train model')
+            continue
+        print('load trained model')
+        config = None
+        raw_params, config = load_checkpoint(fold_model_dir)
+        model = common.build_model_from_config(config)
+        template = model.init_params(jax.random.PRNGKey(0))
+        params, _ = load_checkpoint(fold_model_dir, template_params=template)
+
+        cs = [test_cov] * len(dataset_names)
+        key = jax.random.PRNGKey(1000 + fold)
+        predictions = model.pred_recon(
+            params, [np.asarray(x) for x in test_data_list], cs, key,
+            args.combine,
+        )
+        predictions = [np.asarray(p) for p in predictions]
+        deviations = [
+            np.asarray(model.reconstruction_deviation(test_data_list[m],
+                                                      predictions[m]))
+            for m in range(len(dataset_names))
+        ]
+
+        for m, dataset_name in enumerate(dataset_names):
+            emitter.emit_fold(
+                fold_model_dir, dataset_name, columns_list[m],
+                clinical_df_list[0][['participant_id', 'DIA', 'AGE',
+                                     'PTGENDER']],
+                test_data_list[m], predictions[m], deviations[m],
+            )
+
+    emitter.emit_combined(deviation_dir)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-R', '--dataset_resourse', dest='dataset_resourse',
+                        type=str,
+                        help='Dataset to use for training test and evaluation.')
+    parser.add_argument('-H', '--hz_para_list', dest='hz_para_list', nargs='+',
+                        type=int, help='List of paras to perform the analysis.')
+    parser.add_argument('-C', '--combine', dest='combine', type=str,
+                        help='how do we combine all modalities.')
+    parser.add_argument('-P', '--procedure', dest='procedure', type=str,
+                        help='Procedure to perform the analysis.')
+    parser.add_argument('-K', '--n_splits', dest='n_splits', type=int,
+                        default=10,
+                        help='Number of splits for k-fold cross-validation.')
+    return parser
+
+
+def run(argv=None, project_root=None):
+    args = build_parser().parse_args(argv)
+    if args.hz_para_list is None:
+        args.hz_para_list = [110, 110, 10]
+    if args.procedure is None:
+        args.procedure = 'UCA-gPoE'
+    if args.combine is None:
+        args.combine = args.procedure.split('-')[1]
+    if args.dataset_resourse is None:
+        args.dataset_resourse = 'ADNI'
+    main(args, project_root=project_root)
+
+
+if __name__ == '__main__':
+    run()

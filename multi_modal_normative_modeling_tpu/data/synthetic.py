@@ -57,10 +57,11 @@ def make_synthetic_resource(
         labels += [lab] * count
     n = len(labels)
     iids = [f"{resource}_S_{i:05d}" for i in range(n)]
+    # No participant_id column: the loader synthesizes it from IID for the
+    # plain-IID format (utils.py:153-165), as the reference's ADNI y.csv does.
     y = pd.DataFrame(
         {
             "IID": iids,
-            "participant_id": iids,
             "DIA": labels,
             "AGE": rng.integers(55, 95, size=n),
             "PTGENDER": rng.integers(1, 3, size=n),
@@ -81,11 +82,14 @@ def make_synthetic_resource(
             cols = cols[:n_features]
         d = len(cols)
         base = rng.normal(0.0, 1.0, size=(n, d))
-        # deterministic disease signature: a sparse per-modality ROI offset
+        # Disease signal = extra per-subject noise on a sparse ROI mask. A
+        # normative model cannot reconstruct subject-specific perturbations,
+        # so disease rows get genuinely higher reconstruction deviation —
+        # giving the end-to-end tests a real signal to detect.
         sig_rng = np.random.default_rng(1000 + m_idx)
-        signature = sig_rng.normal(0.0, 1.0, size=d)
-        signature *= (sig_rng.random(d) < 0.3)
-        base += np.where(dia[:, None] != hc_label, effect, 0.0) * signature[None, :]
+        roi_mask = (sig_rng.random(d) < 0.4).astype(float)
+        perturb = sig_rng.normal(0.0, 1.0, size=(n, d)) * roi_mask[None, :]
+        base += np.where(dia[:, None] != hc_label, effect, 0.0) * perturb
         frame = pd.DataFrame(base, columns=cols)
         frame.insert(0, "IID", iids)
         frame.to_csv(data_dir / f"{name}.csv", index=False)

@@ -1,0 +1,88 @@
+"""Deviation CSV emitters.
+
+Writes the five per-(fold, modality) CSVs of the reference test script
+(multimodal_kfold_test_cvae_supervised.py:116-154) and the concatenated
+all-fold copies under deviation/<model>/<resource>/<procedure>/path_model/
+(test:156-178), with the exact column layouts of the checked-in goldens:
+
+  normalized_<mod>.csv                 participant_id,DIA,AGE,PTGENDER,<roi...>
+  reconstruction_<mod>.csv             same prefix, reconstructed values
+  reconstruction_error_<mod>.csv       prefix + 'Reconstruction error' scalar
+  reconstruction_error_roi_<mod>.csv   prefix + per-ROI squared error
+  deviation_as_feature_importance_<mod>.csv  ROI columns renamed '1'..'N'
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Sequence
+
+import numpy as np
+import pandas as pd
+
+
+class DeviationEmitter:
+    """Accumulates per-fold frames and writes per-fold + combined CSVs."""
+
+    def __init__(self, dataset_names: Sequence[str]):
+        self.dataset_names = list(dataset_names)
+        self._all: Dict[str, Dict[str, List[pd.DataFrame]]] = {
+            kind: {name: [] for name in self.dataset_names}
+            for kind in (
+                "normalized",
+                "reconstruction",
+                "reconstruction_error",
+                "reconstruction_error_roi",
+                "deviation_as_feature_importance",
+            )
+        }
+
+    def emit_fold(self, fold_model_dir, dataset_name: str,
+                  columns_name: Sequence[str], covariates_df: pd.DataFrame,
+                  test_data: np.ndarray, prediction: np.ndarray,
+                  deviation: np.ndarray) -> None:
+        """Write the five CSVs for one (fold, modality) and remember them for
+        the combined emit. ``covariates_df`` must carry participant_id, DIA,
+        AGE, PTGENDER in test-row order."""
+        out_dir = Path(fold_model_dir) / dataset_name
+        out_dir.mkdir(parents=True, exist_ok=True)
+        columns_name = list(columns_name)
+        prefix = covariates_df[
+            ["participant_id", "DIA", "AGE", "PTGENDER"]
+        ].reset_index(drop=True)
+
+        def with_features(values: np.ndarray, columns=columns_name):
+            frame = prefix.copy()
+            frame[columns] = pd.DataFrame(np.asarray(values), columns=columns)
+            return frame
+
+        normalized = with_features(test_data)
+        reconstruction = with_features(prediction)
+        error = prefix.copy()
+        error["Reconstruction error"] = np.asarray(deviation)
+        roi = with_features((np.asarray(test_data) - np.asarray(prediction)) ** 2)
+        numbered = list(map(str, range(1, len(columns_name) + 1)))
+        importance = roi.rename(columns=dict(zip(columns_name, numbered)))
+
+        frames = {
+            "normalized": normalized,
+            "reconstruction": reconstruction,
+            "reconstruction_error": error,
+            "reconstruction_error_roi": roi,
+            "deviation_as_feature_importance": importance,
+        }
+        for kind, frame in frames.items():
+            frame.to_csv(out_dir / f"{kind}_{dataset_name}.csv", index=False)
+            self._all[kind][dataset_name].append(frame)
+
+    def emit_combined(self, deviation_dir) -> None:
+        """Concatenate all folds per modality (test:156-178)."""
+        for dataset_name in self.dataset_names:
+            out_dir = Path(deviation_dir) / dataset_name
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for kind, per_dataset in self._all.items():
+                frames = per_dataset[dataset_name]
+                if not frames:
+                    continue
+                combined = pd.concat(frames, ignore_index=True)
+                combined.to_csv(out_dir / f"{kind}_{dataset_name}.csv",
+                                index=False)

@@ -1,0 +1,215 @@
+"""Jitted multimodal cVAE training.
+
+TPU-first redesign of the reference hot loop
+(multimodal_kfold_train_cvae_supervised.py:177-209): instead of a Python
+epoch x batch loop shipping every batch host->device, the whole fold's
+(padded) batch tensor lives on device and a single jitted
+``lax.scan(epochs) . lax.scan(batches)`` runs every optimizer step on-chip.
+Per-epoch first-batch loss dictionaries stream back for logging, matching the
+reference's print cadence (train:201-209).
+
+Numerics parity:
+  * optax.adam(b1=.9, b2=.999, eps=1e-8) == torch.optim.Adam defaults.
+  * ragged final batch -> per-row mask; masked means divide by the true row
+    count like torch's ``.mean(0)`` on a short batch (SURVEY.md Q7).
+  * constant LR 1e-4 by default (the reference's cyclic schedule is a no-op
+    in this trainer — SURVEY.md Q1); cyclic available via TrainConfig.
+  * optional per-epoch reshuffle (regression trainer uses shuffle=True,
+    multimodal_kfold_train_cvae_supervised_regression.py:94).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .schedules import cyclic_triangular
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 200
+    batch_size: int = 256
+    learning_rate: float = 1e-4
+    combine: str = "gpoe"
+    lr_schedule: str = "constant"  # "constant" (parity) or "cyclic"
+    base_lr: float = 1e-4
+    max_lr: float = 5e-3
+    gamma: float = 0.98
+    shuffle: bool = False
+    seed: int = 42
+
+
+def make_batches(data_list: Sequence[np.ndarray],
+                 cov_list: Sequence[np.ndarray],
+                 batch_size: int,
+                 extras: Optional[dict] = None) -> dict:
+    """Pack per-modality sample arrays into padded device batch tensors.
+
+    Returns a pytree with leading axis n_batches:
+      x:    tuple of [NB, B, D_m] per modality
+      c:    tuple of [NB, B, c_dim] per modality
+      mask: [NB, B] 1.0 for real rows
+      valid:[NB] True where the batch holds at least one real row
+      extras: any additional per-sample arrays, batched the same way
+    """
+    n = data_list[0].shape[0]
+    nb = max(1, -(-n // batch_size))
+    padded = nb * batch_size
+
+    def pack(a: np.ndarray) -> np.ndarray:
+        a = np.asarray(a, dtype=np.float32)
+        out = np.zeros((padded,) + a.shape[1:], dtype=a.dtype)
+        out[:n] = a
+        return out.reshape((nb, batch_size) + a.shape[1:])
+
+    mask = np.zeros((padded,), dtype=np.float32)
+    mask[:n] = 1.0
+    batch = {
+        "x": tuple(pack(d) for d in data_list),
+        "c": tuple(pack(c) for c in cov_list),
+        "mask": mask.reshape(nb, batch_size),
+        "valid": (mask.reshape(nb, batch_size).sum(axis=1) > 0),
+    }
+    if extras:
+        batch["extras"] = {k: pack(v) for k, v in extras.items()}
+    return batch
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b
+    )
+
+
+def build_optimizer(config: TrainConfig, n_samples: int) -> optax.GradientTransformation:
+    if config.lr_schedule == "cyclic":
+        step_size = 2.0 * float(np.ceil(n_samples / config.batch_size))
+        schedule = cyclic_triangular(config.base_lr, config.max_lr, step_size,
+                                     config.gamma)
+        return optax.adam(learning_rate=schedule, eps=1e-8)
+    return optax.adam(learning_rate=config.learning_rate, eps=1e-8)
+
+
+def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                   epochs: int, shuffle: bool = False):
+    """Compile-ready whole-fold trainer.
+
+    ``loss_fn(params, batch, key) -> (total, aux_dict)`` where ``batch`` is
+    one slice of the make_batches pytree.
+
+    Returns ``train(params, batches, key) -> (params, logs)`` with ``logs``
+    the per-epoch first-batch aux dict — scan this under jit or vmap it over
+    a stacked fold axis.
+    """
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(carry, batch):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        (_, aux), grads = grad_fn(params, batch, sub)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # Skip all-padding batches entirely (fold-length padding must not
+        # advance Adam moments: parity with shorter reference folds).
+        valid = batch["valid"]
+        params = _tree_where(valid, new_params, params)
+        opt_state = _tree_where(valid, new_opt_state, opt_state)
+        return (params, opt_state, key), aux
+
+    def maybe_shuffled(batches, key):
+        if not shuffle:
+            return batches
+        nb, bs = batches["mask"].shape
+
+        def reshuffle(a):
+            flat = a.reshape((nb * bs,) + a.shape[2:])
+            perm = jax.random.permutation(key, nb * bs)
+            return flat[perm].reshape(a.shape)
+
+        # permute every per-sample leaf with the same permutation
+        out = dict(batches)
+        leaves = {"x": batches["x"], "c": batches["c"], "mask": batches["mask"]}
+        if "extras" in batches:
+            leaves["extras"] = batches["extras"]
+        shuffled = jax.tree_util.tree_map(reshuffle, leaves)
+        out.update(shuffled)
+        out["valid"] = shuffled["mask"].sum(axis=1) > 0
+        return out
+
+    def train(params, batches, key):
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, shuffle_key = jax.random.split(key)
+            shuffled = maybe_shuffled(batches, shuffle_key)
+            (params, opt_state, key), aux = jax.lax.scan(
+                step, (params, opt_state, key), shuffled
+            )
+            first = jax.tree_util.tree_map(lambda a: a[0], aux)
+            return (params, opt_state, key), first
+
+        opt_state = optimizer.init(params)
+        (params, _, _), logs = jax.lax.scan(
+            epoch, (params, opt_state, key), None, length=epochs
+        )
+        return params, logs
+
+    return train
+
+
+class FoldTrainer:
+    """Reusable jitted whole-fold trainer.
+
+    Construct once per experiment and call per fold: jax.jit's own trace
+    cache then amortizes compilation across folds with identical padded
+    shapes (the common case — KFold sizes differ by at most one sample,
+    which padding absorbs).
+    """
+
+    def __init__(self, model, config: TrainConfig, n_samples: int,
+                 loss_fn: Optional[Callable] = None):
+        self.model = model
+        self.config = config
+        self.optimizer = build_optimizer(config, n_samples)
+        if loss_fn is None:
+            def loss_fn(p, batch, k):
+                fwd = model.forward(p, list(batch["x"]), list(batch["c"]), k,
+                                    config.combine)
+                losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
+                return losses["total"], losses
+        self._train = jax.jit(build_train_fn(
+            loss_fn, self.optimizer, config.epochs, config.shuffle
+        ))
+
+    def run(self, params, data_list, cov_list, key=None,
+            extras: Optional[dict] = None) -> Tuple[dict, dict]:
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        batches = make_batches(data_list, cov_list, self.config.batch_size,
+                               extras)
+        params, logs = self._train(params, jax.device_put(batches), key)
+        return params, jax.tree_util.tree_map(np.asarray, logs)
+
+    def run_batches(self, params, batches, key):
+        return self._train(params, batches, key)
+
+
+def train_single_fold(model, params, data_list: Sequence[np.ndarray],
+                      cov_list: Sequence[np.ndarray], config: TrainConfig,
+                      key=None, extras: Optional[dict] = None,
+                      loss_fn: Optional[Callable] = None,
+                      trainer: Optional[FoldTrainer] = None
+                      ) -> Tuple[dict, dict]:
+    """Train one fold to completion with a single jitted call.
+
+    Returns (trained_params, logs) where logs maps loss names to [epochs]
+    arrays (first-batch values, the reference's logging cadence). Pass a
+    shared ``trainer`` to reuse the compiled step across folds.
+    """
+    if trainer is None:
+        trainer = FoldTrainer(model, config, data_list[0].shape[0], loss_fn)
+    return trainer.run(params, data_list, cov_list, key, extras)
