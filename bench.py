@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""Benchmark: 5-fold concurrent multimodal cVAE training on one TPU chip vs
+the reference's sequential single-device training loop (torch, CPU — the
+reference has no published wall-clock numbers, so the baseline is measured
+in-process with a faithful re-creation of its hot loop:
+multimodal_kfold_train_cvae_supervised.py:177-199 — per-batch Python loop,
+eager PyTorch MLP cVAE, Adam(1e-4)).
+
+Workload (BASELINE.json north star): UCA-gPoE-like ADNI shape — 4 modalities
+(90+90+90 ROI vectors plus their 270-dim early fusion), ~512 train subjects
+per fold, batch 256, 50 epochs, hz=[110,110,10], gPoE fusion. Ours trains ALL
+5 folds concurrently via vmap + one jitted scan; the reference equivalent
+trains ONE fold. vs_baseline = (5 x torch single-fold) / our 5-fold wall-clock
+= end-to-end speedup for the full CV job.
+
+Prints exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+DIMS = [90, 90, 90, 270]
+C_DIM = 29
+HIDDEN = [110, 110]
+LATENT = 10
+N_SUBJECTS = 512
+BATCH = 256
+EPOCHS = 50
+FOLDS = 5
+SEED = 0
+
+
+def _make_data(rng):
+    data = [rng.normal(size=(N_SUBJECTS, d)).astype(np.float32) for d in DIMS]
+    cov = [rng.normal(size=(N_SUBJECTS, C_DIM)).astype(np.float32)
+           for _ in DIMS]
+    return data, cov
+
+
+def bench_jax() -> float:
+    """Wall-clock seconds for the 5-fold concurrent jitted run (post-compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_normative_modeling_tpu.models import build_model
+    from multi_modal_normative_modeling_tpu.parallel import (
+        MultiFoldTrainer,
+        stack_fold_batches,
+        stack_params,
+    )
+    from multi_modal_normative_modeling_tpu.train import TrainConfig
+
+    rng = np.random.default_rng(SEED)
+    model = build_model("cVAE_multimodal", DIMS, HIDDEN, LATENT, C_DIM,
+                        len(DIMS))
+    config = TrainConfig(epochs=EPOCHS, batch_size=BATCH, combine="gpoe")
+
+    per_fold_data, per_fold_cov, params_list = [], [], []
+    for f in range(FOLDS):
+        d, c = _make_data(rng)
+        per_fold_data.append(d)
+        per_fold_cov.append(c)
+        params_list.append(model.init_params(jax.random.PRNGKey(f)))
+
+    stacked = stack_params(params_list)
+    batches = jax.device_put(
+        stack_fold_batches(per_fold_data, per_fold_cov, BATCH)
+    )
+    keys = jnp.stack([jax.random.PRNGKey(100 + f) for f in range(FOLDS)])
+
+    trainer = MultiFoldTrainer(model, config, N_SUBJECTS)
+    # compile + warm-up (np.asarray forces a host transfer: on the remote
+    # TPU tunnel block_until_ready alone under-synchronizes)
+    out, logs = trainer.run(stacked, batches, keys)
+    np.asarray(logs["total"])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, logs = trainer.run(stacked, batches, keys)
+        total = np.asarray(logs["total"])
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(total).all()
+    return float(np.median(times))
+
+
+def bench_torch_single_fold(epochs: int) -> float:
+    """Reference-style eager torch CPU loop, one fold, ``epochs`` epochs.
+    Returns seconds."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(SEED)
+
+    class Enc(nn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.l1 = nn.Linear(d + C_DIM, HIDDEN[0])
+            self.l2 = nn.Linear(HIDDEN[0], HIDDEN[1])
+            self.mu = nn.Linear(HIDDEN[1], LATENT)
+            self.lv = nn.Linear(HIDDEN[1], LATENT)
+
+        def forward(self, x, c):
+            h = torch.cat([x, c], dim=1)
+            h = torch.nn.functional.leaky_relu(self.l1(h))
+            h = torch.nn.functional.leaky_relu(self.l2(h))
+            return self.mu(h), self.lv(h)
+
+    class Dec(nn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.l1 = nn.Linear(LATENT + C_DIM, HIDDEN[1])
+            self.l2 = nn.Linear(HIDDEN[1], HIDDEN[0])
+            self.mean = nn.Linear(HIDDEN[0], d)
+            self.logvar_out = nn.Parameter(torch.full((1, d), -3.0))
+
+        def forward(self, z, c):
+            h = torch.cat([z, c], dim=1)
+            h = torch.nn.functional.leaky_relu(self.l1(h))
+            h = torch.nn.functional.leaky_relu(self.l2(h))
+            return self.mean(h)
+
+    encs = nn.ModuleList([Enc(d) for d in DIMS])
+    decs = nn.ModuleList([Dec(d) for d in DIMS])
+    alpha = nn.Parameter(torch.randn(len(DIMS)))
+    params = list(encs.parameters()) + list(decs.parameters()) + [alpha]
+    opt = torch.optim.Adam(params, lr=1e-4)
+
+    rng = np.random.default_rng(SEED)
+    data, cov = _make_data(rng)
+    xs = [torch.from_numpy(d) for d in data]
+    cs = [torch.from_numpy(c) for c in cov]
+
+    def run_epochs(n):
+        for _ in range(n):
+            for start in range(0, N_SUBJECTS, BATCH):
+                xb = [x[start:start + BATCH] for x in xs]
+                cb = [c[start:start + BATCH] for c in cs]
+                stats = [enc(x, c) for enc, x, c in zip(encs, xb, cb)]
+                mus = torch.stack([s[0] for s in stats])
+                variances = torch.exp(torch.stack([s[1] for s in stats]))
+                w = torch.softmax(alpha, 0).reshape(-1, 1, 1)
+                precision = w / variances
+                var_mm = 1.0 / precision.sum(0)
+                mu_mm = (mus * precision).sum(0) * var_mm
+                logvar_mm = torch.log(var_mm)
+                z = mu_mm + torch.randn_like(mu_mm) * torch.exp(0.5 * logvar_mm)
+                total = 0.0
+                for m in range(len(DIMS)):
+                    mean = decs[m](z, cb[m])
+                    lv = decs[m].logvar_out
+                    ll = (-0.5 * (xb[m] - mean) ** 2 * torch.exp(-lv)
+                          - 0.5 * lv - 0.9189385332046727).sum(1).mean(0)
+                    kl = -0.5 * (1 + logvar_mm - mu_mm ** 2
+                                 - torch.exp(logvar_mm)).sum(1).mean(0)
+                    total = total + kl - ll
+                opt.zero_grad()
+                total.backward()
+                opt.step()
+
+    run_epochs(1)  # warm-up
+    t0 = time.perf_counter()
+    run_epochs(epochs)
+    return time.perf_counter() - t0
+
+
+def main():
+    jax_seconds = bench_jax()
+    # measure the torch baseline over fewer epochs and scale (its per-epoch
+    # cost is constant; keeps the bench under a couple of minutes)
+    probe_epochs = 10
+    torch_seconds = bench_torch_single_fold(probe_epochs) * (EPOCHS / probe_epochs)
+
+    subjects_per_sec = FOLDS * EPOCHS * N_SUBJECTS / jax_seconds
+    reference_full_job = torch_seconds * FOLDS  # sequential 5-fold reference
+    print(json.dumps({
+        "metric": "5fold_cvae_train_subject_epochs_per_sec",
+        "value": round(subjects_per_sec, 1),
+        "unit": "subject-epochs/sec/chip",
+        "vs_baseline": round(reference_full_job / jax_seconds, 2),
+        "detail": {
+            "jax_5fold_seconds": round(jax_seconds, 3),
+            "torch_cpu_single_fold_seconds": round(torch_seconds, 3),
+            "workload": f"{FOLDS} folds x {EPOCHS} epochs x {N_SUBJECTS} "
+                        f"subjects x {len(DIMS)} modalities {DIMS}",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

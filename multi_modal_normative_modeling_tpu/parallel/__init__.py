@@ -1,0 +1,4 @@
+"""Fold-parallel training and device-mesh sharding."""
+
+from .mesh import make_mesh, fold_data_shardings  # noqa: F401
+from .folds import MultiFoldTrainer, stack_fold_batches, stack_params  # noqa: F401

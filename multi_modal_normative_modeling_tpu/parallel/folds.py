@@ -1,0 +1,106 @@
+"""Fold-vectorized training: every CV fold trains concurrently.
+
+The reference trains the k folds sequentially
+(multimodal_kfold_train_cvae_supervised.py:68-212). Here per-fold parameters
+are stacked along a leading axis and the whole-fold jitted trainer
+(train/trainer.py) is vmapped over it, so one device executes all folds'
+matmuls batched together (k times the MXU work per kernel launch — these MLPs
+are far too small to saturate a chip on their own), and a ('fold', 'data')
+mesh spreads folds/batches across chips (SURVEY.md Q7: ragged fold sizes are
+padded with masked rows, so per-fold numerics match the sequential run).
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..train.trainer import (
+    TrainConfig,
+    build_optimizer,
+    build_train_fn,
+    make_batches,
+)
+from .mesh import fold_data_shardings
+
+
+def stack_params(params_list: Sequence) -> dict:
+    """Stack per-fold parameter pytrees along a new leading fold axis."""
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *params_list
+    )
+
+
+def unstack_params(stacked, n_folds: int) -> List:
+    return [
+        jax.tree_util.tree_map(lambda leaf: leaf[i], stacked)
+        for i in range(n_folds)
+    ]
+
+
+def stack_fold_batches(per_fold_data: Sequence[Sequence[np.ndarray]],
+                       per_fold_cov: Sequence[Sequence[np.ndarray]],
+                       batch_size: int,
+                       extras: Optional[Sequence[dict]] = None) -> dict:
+    """Build the [F, NB, B, ...] batch pytree from per-fold sample arrays.
+
+    Folds may differ in sample count; every fold is padded to the largest
+    fold's batch grid with masked rows.
+    """
+    n_folds = len(per_fold_data)
+    max_n = max(d[0].shape[0] for d in per_fold_data)
+    nb = max(1, -(-max_n // batch_size))
+
+    fold_batches = []
+    for f in range(n_folds):
+        b = make_batches(per_fold_data[f], per_fold_cov[f], batch_size,
+                         extras[f] if extras else None)
+        cur_nb = b["mask"].shape[0]
+        if cur_nb < nb:
+            def pad(a):
+                widths = [(0, nb - cur_nb)] + [(0, 0)] * (a.ndim - 1)
+                return np.pad(a, widths)
+            b = jax.tree_util.tree_map(pad, b)
+        fold_batches.append(b)
+    return jax.tree_util.tree_map(
+        lambda *leaves: np.stack(leaves), *fold_batches
+    )
+
+
+class MultiFoldTrainer:
+    """vmap(whole-fold trainer) over the stacked fold axis, optionally pjit
+    over a ('fold', 'data') mesh."""
+
+    def __init__(self, model, config: TrainConfig, n_samples: int,
+                 loss_fn: Optional[Callable] = None, mesh=None):
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        optimizer = build_optimizer(config, n_samples)
+        if loss_fn is None:
+            def loss_fn(p, batch, k):
+                fwd = model.forward(p, list(batch["x"]), list(batch["c"]), k,
+                                    config.combine)
+                losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
+                return losses["total"], losses
+        train = build_train_fn(loss_fn, optimizer, config.epochs,
+                               config.shuffle)
+        self._vtrain = jax.vmap(train)
+        self._jitted = None
+
+    def run(self, stacked_params, stacked_batches, keys) -> Tuple[dict, dict]:
+        """keys: [F, 2] PRNG keys (one stream per fold)."""
+        if self.mesh is not None:
+            if self._jitted is None:
+                p_sh, b_sh, k_sh = fold_data_shardings(
+                    self.mesh, stacked_params, stacked_batches, keys
+                )
+                self._jitted = jax.jit(
+                    self._vtrain, in_shardings=(p_sh, b_sh, k_sh)
+                )
+        elif self._jitted is None:
+            self._jitted = jax.jit(self._vtrain)
+        params, logs = self._jitted(stacked_params, stacked_batches, keys)
+        return params, logs
