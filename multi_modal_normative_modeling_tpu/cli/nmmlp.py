@@ -1,0 +1,298 @@
+"""nm-MLP variant: train / test / analyze subcommands.
+
+Drop-in CLI for multimodal_kfold_cvae_nmmlp.py — the only truly *normative*
+trainer in the reference (train rows filtered to HC, nmmlp:314) and the only
+one whose cyclic LR schedule actually works (param_groups assignment,
+nmmlp:380-381; base 1e-6 -> max 5e-5). Test emits per-fold CSVs (feature
+columns first, participant_id appended last — nmmlp:498-511) plus
+diagnosis_results.csv where the diagnosis score is the mean reconstruction
+deviation across modalities (nmmlp:513-521); analyze computes ROC/Youden
+metrics from those CSVs and appends outputs/analysis_results/
+performance_metrics.txt.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+from sklearn.model_selection import KFold
+
+from .. import registry
+from ..data.loading import generate_kfold_ids, load_dataset
+from ..data.preprocess import one_hot_covariates
+from ..evaluation.reports import append_performance_metrics
+from ..models.multimodal import MultimodalCVAE
+from ..train import (
+    FoldTrainer,
+    TrainConfig,
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ..utils.logging import Logger, plot_losses
+
+
+def _dirs(project_root: Path):
+    outputs = project_root / 'outputs'
+    kfold = outputs / 'kfold_analysis'
+    model = kfold / 'supervised_cvae'
+    for d in (outputs, kfold, model):
+        d.mkdir(exist_ok=True, parents=True)
+    return outputs, kfold, model
+
+
+def _build_model(args, input_dim_list, c_dim, modalities):
+    return MultimodalCVAE(input_dim_list, args.hz_para_list[:-1],
+                          args.hz_para_list[-1], c_dim, modalities,
+                          non_linear=True, variant='nmmlp')
+
+
+def train(args, project_root: Path):
+    outputs, kfold_dir, model_dir = _dirs(project_root)
+    np.random.seed(42)
+
+    dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                               args.procedure)
+    modalities = len(dataset_names)
+    participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
+    ids_df = pd.read_csv(participants_path)
+    hc_label = registry.get_hc_label(args.dataset_resourse)
+
+    HC_group = ids_df[ids_df['DIA'] == hc_label]
+    other_group = ids_df[ids_df['DIA'] == 0]  # nmmlp:295 — AD only
+    generate_kfold_ids(HC_group, other_group,
+                       oversample_percentage=args.oversample_percentage,
+                       n_splits=args.n_splits, project_root=project_root)
+
+    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
+    trainer = None
+    for fold, _ in enumerate(kf.split(HC_group)):
+        train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
+        fold_model_dir = model_dir / f'{fold:03d}'
+        fold_model_dir.mkdir(exist_ok=True)
+
+        data_list, cov_list, input_dim_list = [], [], []
+        c_dim = None
+        for dataset_name in dataset_names:
+            from sklearn.preprocessing import RobustScaler
+
+            columns_name = registry.get_column_name(args.dataset_resourse,
+                                                    dataset_name)
+            modality_path = (project_root / 'data' / args.dataset_resourse /
+                             f'{dataset_name}.csv')
+            train_df = load_dataset(participants_path, train_ids_path,
+                                    modality_path)
+            # normative training: HC rows only (nmmlp:314)
+            train_df = train_df.loc[train_df['DIA'] == hc_label]
+            data = RobustScaler().fit_transform(
+                train_df[columns_name].values
+            ).astype(np.float32)
+            cov = one_hot_covariates(train_df[['DIA', 'PTGENDER', 'AGE']])
+            data_list.append(data)
+            cov_list.append(cov)
+            input_dim_list.append(data.shape[1])
+            c_dim = cov.shape[1]
+
+        model = _build_model(args, input_dim_list, c_dim, modalities)
+        params = model.init_params(jax.random.PRNGKey(42 + fold))
+
+        if trainer is None:
+            # working cyclic schedule here (nmmlp:363-364, :380-381)
+            config = TrainConfig(epochs=args.epochs, batch_size=256,
+                                 combine=args.combine, lr_schedule='cyclic',
+                                 base_lr=1e-6, max_lr=5e-5, shuffle=False,
+                                 seed=42)
+            trainer = FoldTrainer(model, config, data_list[0].shape[0])
+
+        print('Training model...')
+        params, logs = trainer.run(params, data_list, cov_list,
+                                   key=jax.random.PRNGKey(42 + fold))
+        logger = Logger()
+        logger.extend(logs)
+        plot_losses(logger, fold_model_dir, 'training')
+        save_checkpoint(fold_model_dir, params, {
+            'model': 'nmmlp', 'input_dim_list': list(map(int, input_dim_list)),
+            'hidden_dim': list(args.hz_para_list[:-1]),
+            'latent_dim': int(args.hz_para_list[-1]), 'c_dim': int(c_dim),
+            'modalities': modalities, 'non_linear': True,
+            'combine': args.combine,
+        })
+
+
+def test(args, project_root: Path):
+    outputs, kfold_dir, model_dir = _dirs(project_root)
+    participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
+    ids_df = pd.read_csv(participants_path)
+    hc_label = registry.get_hc_label(args.dataset_resourse)
+    HC_group = ids_df[ids_df['DIA'] == hc_label]
+    dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                               args.procedure)
+    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
+
+    for fold, _ in enumerate(kf.split(HC_group)):
+        train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
+        test_ids_path = kfold_dir / f'test_ids_{fold:03d}.csv'
+        fold_model_dir = model_dir / f'{fold:03d}'
+        fold_model_dir.mkdir(exist_ok=True)
+
+        test_data_list, clinical_df_list, columns_list = [], [], []
+        test_cov = None
+        for dataset_name in dataset_names:
+            from sklearn.preprocessing import RobustScaler
+
+            columns_name = registry.get_column_name(args.dataset_resourse,
+                                                    dataset_name)
+            modality_path = (project_root / 'data' / args.dataset_resourse /
+                             f'{dataset_name}.csv')
+            train_df = load_dataset(participants_path, train_ids_path,
+                                    modality_path)
+            train_df = train_df.loc[train_df['DIA'] == hc_label]
+            test_df = load_dataset(participants_path, test_ids_path,
+                                   modality_path)
+            scaler = RobustScaler()
+            scaler.fit(train_df[columns_name].values)
+            test_data_list.append(
+                scaler.transform(test_df[columns_name].values)
+                .astype(np.float32)
+            )
+            clinical_df_list.append(test_df)
+            columns_list.append(columns_name)
+            test_cov = one_hot_covariates(test_df[['DIA', 'AGE', 'PTGENDER']])
+
+        if not checkpoint_exists(fold_model_dir):
+            print('Model not found, please train the model first.')
+            return
+        print('Loading trained model...')
+        _, config = load_checkpoint(fold_model_dir)
+        model = _build_model(args, config['input_dim_list'], config['c_dim'],
+                             config['modalities'])
+        template = model.init_params(jax.random.PRNGKey(0))
+        params, _ = load_checkpoint(fold_model_dir, template_params=template)
+
+        cs = [test_cov] * len(dataset_names)
+        predictions = model.pred_recon(
+            params, [np.asarray(x) for x in test_data_list], cs,
+            jax.random.PRNGKey(1000 + fold), args.combine,
+        )
+        predictions = [np.asarray(p) for p in predictions]
+        deviations = [
+            np.asarray(model.reconstruction_deviation(test_data_list[m],
+                                                      predictions[m]))
+            for m in range(len(dataset_names))
+        ]
+
+        participant_ids = clinical_df_list[0]['participant_id'].values
+        for idx, dataset_name in enumerate(dataset_names):
+            out_dir = fold_model_dir / dataset_name
+            out_dir.mkdir(exist_ok=True)
+            normalized = pd.DataFrame(test_data_list[idx],
+                                      columns=columns_list[idx])
+            normalized['participant_id'] = participant_ids
+            normalized.to_csv(out_dir / f'normalized_{dataset_name}.csv',
+                              index=False)
+            recon = pd.DataFrame(predictions[idx], columns=columns_list[idx])
+            recon['participant_id'] = participant_ids
+            recon.to_csv(out_dir / f'reconstruction_{dataset_name}.csv',
+                         index=False)
+            pd.DataFrame({
+                'participant_id': participant_ids,
+                'Reconstruction error': deviations[idx],
+            }).to_csv(out_dir / f'reconstruction_error_{dataset_name}.csv',
+                      index=False)
+
+        diagnosis = np.mean(np.stack(deviations), axis=0)
+        pd.DataFrame({
+            'participant_id': participant_ids,
+            'Diagnosis': diagnosis.ravel(),
+            'True_Label': (clinical_df_list[0]['DIA'] != hc_label
+                           ).astype(int).values,
+        }).to_csv(fold_model_dir / 'diagnosis_results.csv', index=False)
+        print(f'Fold {fold}:')
+
+
+def analyze(args, project_root: Path):
+    from sklearn.metrics import auc, roc_curve
+
+    outputs, kfold_dir, model_dir = _dirs(project_root)
+    participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
+    ids_df = pd.read_csv(participants_path)
+    hc_label = 2 if args.dataset_resourse == 'ADNI' else 1
+    HC_group = ids_df[ids_df['DIA'] == hc_label]
+    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
+
+    aucs, accs, sens, specs, sigs = [], [], [], [], []
+    for fold, _ in enumerate(kf.split(HC_group)):
+        path = model_dir / f'{fold:03d}' / 'diagnosis_results.csv'
+        if not path.exists():
+            print(f'Diagnosis results not found for fold {fold}. '
+                  'Please run the test function first.')
+            continue
+        frame = pd.read_csv(path)
+        labels = frame['True_Label'].values
+        scores = frame['Diagnosis'].values
+        fpr, tpr, thresholds = roc_curve(labels, scores)
+        roc_auc = auc(fpr, tpr)
+        aucs.append(roc_auc)
+        threshold = thresholds[np.argmax(tpr - fpr)]
+        predicted = (scores >= threshold).astype(int)
+        accs.append(np.mean(predicted == labels))
+        tp = np.sum((predicted == 1) & (labels == 1))
+        tn = np.sum((predicted == 0) & (labels == 0))
+        fp = np.sum((predicted == 1) & (labels == 0))
+        fn = np.sum((predicted == 0) & (labels == 1))
+        sens.append(tp / (tp + fn) if (tp + fn) > 0 else 0)
+        specs.append(tn / (tn + fp) if (tn + fp) > 0 else 0)
+        sigs.append(roc_auc / (1 - roc_auc) if roc_auc < 1 else float('inf'))
+        print(f'Fold {fold}: ROC AUC: {roc_auc:.4f}')
+
+    print('Overall Performance:')
+    print(f'Mean ROC AUC: {np.mean(aucs):.4f} ± {np.std(aucs):.4f}')
+    append_performance_metrics(
+        outputs / 'analysis_results', np.mean(aucs), np.std(aucs),
+        np.mean(accs), np.std(accs), np.mean(sens), np.std(sens),
+        np.mean(specs), np.std(specs), np.mean(sigs), np.std(sigs),
+    )
+    return {'auc': np.mean(aucs), 'auc_std': np.std(aucs)}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description='Train, Test, and Analyze the model.')
+    parser.add_argument('action', choices=['train', 'test', 'analyze', 'all'],
+                        help='Action to perform, train, test, analyze, or all.')
+    parser.add_argument('-R', '--dataset_resourse', type=str, default='ADNI',
+                        help='Dataset to use for training test and evaluation.')
+    parser.add_argument('-H', '--hz_para_list', nargs='+', type=int,
+                        default=[110, 110, 10],
+                        help='List of paras to perform the analysis.')
+    parser.add_argument('-C', '--combine', type=str,
+                        help='How to combine all modalities.')
+    parser.add_argument('-P', '--procedure', type=str, default='SE-MoE',
+                        help='Procedure to perform the analysis.')
+    parser.add_argument('-E', '--epochs', type=int, default=200,
+                        help='Number of epochs to train the model.')
+    parser.add_argument('-K', '--n_splits', type=int, default=5,
+                        help='Number of splits for k-fold cross-validation.')
+    parser.add_argument('-O', '--oversample_percentage', type=float, default=1,
+                        help='Percentage of oversampling of the training data.')
+    return parser
+
+
+def run(argv=None, project_root=None):
+    args = build_parser().parse_args(argv)
+    if args.combine is None:
+        args.combine = args.procedure.split('-')[1]
+    project_root = Path(project_root) if project_root else Path.cwd()
+    if args.action in ('train', 'all'):
+        train(args, project_root)
+    if args.action in ('test', 'all'):
+        test(args, project_root)
+    if args.action in ('analyze', 'all'):
+        analyze(args, project_root)
+
+
+if __name__ == '__main__':
+    run()

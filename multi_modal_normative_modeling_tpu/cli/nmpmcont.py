@@ -1,0 +1,229 @@
+"""End-to-end supervised variant (nm-PM-cont).
+
+Drop-in CLI for multimodal_kfold_cvae_nmpmcont.py: trains the dual-decoder
+contrastive+classifier model per fold and appends per-metric mean±std lines to
+results_endtoend.csv.
+
+Reference quirks reproduced:
+  * fold ids are *generated* into outputs/kfold_analysis_endtoend
+    (nmpmcont:167) but *read* from outputs/kfold_analysis (nmpmcont:170-171);
+    we do the same, falling back to the endtoend dir (with a note) when the
+    main dir has no ids so a standalone run still works.
+  * loss_function is called with only margin and weightcontrastive
+    (nmpmcont:298): the -Weightkl / -Weightrec flags are accepted but unused;
+    the effective weights are the method defaults 0.1/0.1 (cVAE.py:2140).
+  * the cyclic LR assignment is a no-op (SURVEY.md Q1): constant 1e-4.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+from sklearn.model_selection import KFold
+
+from .. import registry
+from ..data.loading import generate_kfold_ids_endtoend, load_dataset
+from ..data.preprocess import binary_labels, one_hot_covariates
+from ..evaluation.metrics import binary_prediction_metrics
+from ..evaluation.reports import append_endtoend_results
+from ..models.endtoend import EndToEndCVAE
+from ..train import FoldTrainer, TrainConfig, save_checkpoint
+from ..utils.logging import Logger, plot_losses
+from . import common
+
+
+def process_dataset(dataset_df, columns_name, hc_label):
+    """Scale + one-hot covariates + binary labels (nmpmcont:75-123)."""
+    from sklearn.preprocessing import RobustScaler
+
+    scaler = RobustScaler()
+    data = scaler.fit_transform(dataset_df[columns_name].values)
+    covariates = one_hot_covariates(dataset_df[["DIA", "PTGENDER", "AGE"]])
+    labels = binary_labels(dataset_df["DIA"], hc_label)
+    return data.astype(np.float32), covariates, labels, scaler
+
+
+def process_test(dataset_df, columns_name, scaler, hc_label):
+    data = scaler.transform(dataset_df[columns_name].values)
+    covariates = one_hot_covariates(dataset_df[["DIA", "PTGENDER", "AGE"]])
+    labels = binary_labels(dataset_df["DIA"], hc_label)
+    return data.astype(np.float32), covariates, labels
+
+
+def main(args, project_root=None):
+    project_root = Path(project_root) if project_root else Path.cwd()
+    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
+    model_name = 'supervised_cvae'
+
+    output_dir = project_root / 'outputs'
+    output_dir.mkdir(exist_ok=True)
+    kfold_dir = output_dir / 'kfold_analysis'
+    kfold_dir.mkdir(exist_ok=True)
+    model_dir = kfold_dir / model_name
+    model_dir.mkdir(exist_ok=True)
+
+    np.random.seed(42)
+    dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                               args.procedure)
+    modalities = len(dataset_names)
+    participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
+    ids_df = pd.read_csv(participants_path)
+    hc_label = registry.get_hc_label(args.dataset_resourse)
+
+    HC_group = ids_df[ids_df['DIA'] == hc_label]
+    other_group = ids_df[ids_df['DIA'] != hc_label]
+
+    generate_kfold_ids_endtoend(HC_group, other_group,
+                                oversample_percentage=args.oversample_percentage,
+                                n_splits=args.n_splits,
+                                project_root=project_root)
+
+    ids_source = kfold_dir
+    if not (kfold_dir / 'train_ids_000.csv').exists():
+        ids_source = output_dir / 'kfold_analysis_endtoend'
+        print('note: no ids in kfold_analysis, using kfold_analysis_endtoend')
+
+    all_metrics = []
+    trainer = None
+    model = None
+
+    for fold, _ in enumerate(kf.split(HC_group)):
+        train_ids_path = ids_source / f'train_ids_{fold:03d}.csv'
+        test_ids_path = ids_source / f'test_ids_{fold:03d}.csv'
+        fold_model_dir = model_dir / f'{fold:03d}'
+        fold_model_dir.mkdir(exist_ok=True)
+
+        train_data_list, train_cov_list = [], []
+        test_data_list, test_cov_list = [], []
+        train_labels = test_labels = None
+        input_dim_list, c_dim = [], None
+
+        for dataset_name in dataset_names:
+            columns_name = registry.get_column_name(args.dataset_resourse,
+                                                    dataset_name)
+            modality_path = (project_root / 'data' / args.dataset_resourse /
+                             f'{dataset_name}.csv')
+            train_df = load_dataset(participants_path, train_ids_path,
+                                    modality_path)
+            test_df = load_dataset(participants_path, test_ids_path,
+                                   modality_path)
+            data, cov, labels, scaler = process_dataset(train_df, columns_name,
+                                                        hc_label)
+            tdata, tcov, tlabels = process_test(test_df, columns_name, scaler,
+                                                hc_label)
+            train_data_list.append(data)
+            train_cov_list.append(cov)
+            test_data_list.append(tdata)
+            test_cov_list.append(tcov)
+            train_labels, test_labels = labels, tlabels
+            input_dim_list.append(data.shape[1])
+            c_dim = cov.shape[1]
+
+        h_dim = args.hz_para_list[:-1]
+        z_dim = args.hz_para_list[-1]
+
+        if model is None:
+            model = EndToEndCVAE(input_dim_list, h_dim, z_dim, c_dim,
+                                 modalities, non_linear=True,
+                                 classifier_layers=args.layers,
+                                 dropout_rate=0.5, num_classes=2)
+
+        params = model.init_params(jax.random.PRNGKey(42 + fold))
+
+        if trainer is None:
+            config = TrainConfig(epochs=args.epochs, batch_size=256,
+                                 learning_rate=0.0001, combine='poe',
+                                 shuffle=False, seed=42)
+
+            def loss_fn(p, batch, k):
+                labels = batch['extras']['labels'][:, 0].astype(np.int32)
+                fwd = model.forward(p, list(batch['x']), list(batch['c']), k,
+                                    train=True, mask=batch['mask'])
+                losses = model.loss(
+                    p, list(batch['x']), fwd, labels,
+                    margin=args.margin,
+                    weight_contrastive=args.weightcontrastive,
+                    mask=batch['mask'],
+                )
+                losses['__bn_state__'] = fwd['bn_state']
+                return losses['total_loss'], losses
+
+            def state_update(p, aux):
+                return {**p, 'bn_state': aux['__bn_state__']}
+
+            trainer = FoldTrainer(model, config,
+                                  train_data_list[0].shape[0],
+                                  loss_fn=loss_fn,
+                                  state_update=state_update)
+
+        print('train model')
+        params, logs = trainer.run(
+            params, train_data_list, train_cov_list,
+            key=jax.random.PRNGKey(42 + fold),
+            extras={'labels': train_labels.astype(np.float32)[:, None]},
+        )
+
+        logger = Logger()
+        logger.extend(logs)
+        plot_losses(logger, fold_model_dir, 'training')
+        save_checkpoint(fold_model_dir, params, {
+            'model': 'cVAE_multimodal_endtoend',
+            'input_dim_list': list(map(int, input_dim_list)),
+            'hidden_dim': list(h_dim), 'latent_dim': int(z_dim),
+            'c_dim': int(c_dim), 'modalities': modalities,
+            'classifier_layers': list(args.layers),
+        })
+
+        logits = model.predict(params,
+                               [np.asarray(x) for x in test_data_list],
+                               [np.asarray(c) for c in test_cov_list])
+        preds = np.argmax(np.asarray(logits), axis=1)
+        metrics = binary_prediction_metrics(test_labels, preds)
+        print(f'Fold {fold} metrics:')
+        print(metrics)
+        all_metrics.append(metrics)
+
+    all_metrics_df = pd.DataFrame(all_metrics)
+    print(all_metrics_df.mean())
+    print(all_metrics_df.std())
+    append_endtoend_results(project_root / 'results_endtoend.csv', args,
+                            all_metrics_df)
+    return all_metrics_df
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    common.add_common_flags(parser, default_n_splits=5)
+    parser.add_argument('-Learningrateclassifier', '--learning_rate_classifier',
+                        dest='learning_rate_classifier', type=float,
+                        default=0.001, help='Learning rate for the classifier.')
+    parser.add_argument('-Margin', '--margin', dest='margin', type=float,
+                        default=1, help='Margin for the contrastive loss.')
+    parser.add_argument('-Weightcontrastive', '--weightcontrastive',
+                        dest='weightcontrastive', type=float, default=1,
+                        help='weight for the contrastive loss.')
+    parser.add_argument('-Weightkl', '--weight_kl', dest='weight_kl',
+                        type=float, default=1,
+                        help='Weight for the kl divergence loss.')
+    parser.add_argument('-Weightrec', '--weight_rec', dest='weight_rec',
+                        type=float, default=1,
+                        help='Weight for the reconstruction loss.')
+    parser.add_argument('-Dropout', '--dropout', dest='dropout', type=float,
+                        default=0.5, help='Dropout rate for the classifier.')
+    parser.add_argument('-Layers', '--layers', dest='layers', nargs='+',
+                        default=[128, 64, 32], type=int,
+                        help='Layers for the classifier.')
+    return parser
+
+
+def run(argv=None, project_root=None):
+    args = build_parser().parse_args(argv)
+    common.apply_post_parse_defaults(args, default_procedure='SE-MoE')
+    main(args, project_root=project_root)
+
+
+if __name__ == '__main__':
+    run()

@@ -1,0 +1,205 @@
+"""Regression-head k-fold training (continuous score FI).
+
+Drop-in CLI for multimodal_kfold_train_cvae_supervised_regression.py: KFold
+over the whole cohort (all subjects, :51-53), raw [AGE, PTGENDER] covariates
+(c_dim=2), batch 128 with per-epoch shuffling (:94), RMSE/MAE/R2/MAPE eval,
+fold_<k>_{pred,true}.npy + scatter PNG, and full-cohort ROI-wise deviation
+CSVs regression_outputs/deviation_fold_<k>_<modality>_roiwise.csv with the
+``IID,ROI_0..`` header (:163-192, golden files confirm).
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+from sklearn.model_selection import KFold
+
+from .. import registry
+from ..models.regression import RegressionCVAE
+from ..train import FoldTrainer, TrainConfig
+
+
+def evaluate_regression(y_true, y_pred) -> dict:
+    from sklearn.metrics import mean_absolute_error, mean_squared_error, r2_score
+
+    rmse = np.sqrt(mean_squared_error(y_true, y_pred))
+    mae = mean_absolute_error(y_true, y_pred)
+    r2 = r2_score(y_true, y_pred)
+    mape = np.mean(np.abs((y_true - y_pred) / (y_true + 1e-6))) * 100
+    return {'RMSE': rmse, 'MAE': mae, 'R2': r2, 'MAPE': mape}
+
+
+def train_and_test(args, project_root=None):
+    from sklearn.preprocessing import RobustScaler
+
+    project_root = Path(project_root) if project_root else Path.cwd()
+    np.random.seed(42)
+    output_dir = project_root / 'regression_outputs'
+    output_dir.mkdir(exist_ok=True)
+
+    dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                               args.procedure)
+    participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
+    ids_df = pd.read_csv(participants_path)
+
+    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
+    trainer = None
+    model = None
+    all_scores = []
+
+    for fold, (train_idx, test_idx) in enumerate(kf.split(ids_df)):
+        print(f'=== Fold {fold} ===')
+        train_ids = ids_df.iloc[train_idx]['IID'].tolist()
+        test_ids = ids_df.iloc[test_idx]['IID'].tolist()
+
+        train_data_list, test_data_list = [], []
+        train_cov = test_cov = None
+        train_fi = test_fi = None
+        input_dim_list = []
+
+        for dataset_name in dataset_names:
+            columns_name = registry.get_column_name(args.dataset_resourse,
+                                                    dataset_name)
+            modality_path = (project_root / 'data' / args.dataset_resourse /
+                             f'{dataset_name}.csv')
+            modality_df = pd.read_csv(modality_path)
+            demo_df = pd.read_csv(participants_path)
+            train_df = pd.merge(
+                modality_df[modality_df['IID'].isin(train_ids)], demo_df,
+                on='IID')
+            test_df = pd.merge(
+                modality_df[modality_df['IID'].isin(test_ids)], demo_df,
+                on='IID')
+
+            scaler = RobustScaler()
+            train_data_list.append(
+                scaler.fit_transform(train_df[columns_name].values)
+                .astype(np.float32))
+            test_data_list.append(
+                scaler.transform(test_df[columns_name].values)
+                .astype(np.float32))
+            train_cov = train_df[['AGE', 'PTGENDER']].values.astype(np.float32)
+            test_cov = test_df[['AGE', 'PTGENDER']].values.astype(np.float32)
+            train_fi = train_df['FI'].values.astype(np.float32)
+            test_fi = test_df['FI'].values.astype(np.float32)
+            input_dim_list.append(train_data_list[-1].shape[1])
+
+        h_dim = args.hz_para_list[:-1]
+        z_dim = args.hz_para_list[-1]
+        if model is None:
+            model = RegressionCVAE(input_dim_list, h_dim, z_dim, c_dim=2,
+                                   modalities=len(dataset_names),
+                                   non_linear=True)
+        params = model.init_params(jax.random.PRNGKey(42 + fold))
+
+        if trainer is None:
+            config = TrainConfig(epochs=args.epochs,
+                                 batch_size=args.batch_size,
+                                 learning_rate=args.base_learning_rate,
+                                 combine=args.combine, shuffle=True, seed=42)
+
+            def loss_fn(p, batch, k):
+                fwd = model.forward(p, list(batch['x']), list(batch['c']), k,
+                                    config.combine)
+                losses = model.loss(p, list(batch['x']), fwd,
+                                    batch['extras']['fi'][:, 0],
+                                    lambda_reg=1.0, mask=batch['mask'])
+                return losses['total'], losses
+
+            trainer = FoldTrainer(model, config, train_data_list[0].shape[0],
+                                  loss_fn=loss_fn)
+
+        params, logs = trainer.run(
+            params, train_data_list, [train_cov] * len(dataset_names),
+            key=jax.random.PRNGKey(42 + fold),
+            extras={'fi': train_fi[:, None]},
+        )
+        print(f"[Fold {fold}] final loss: {float(logs['total'][-1]):.4f}, "
+              f"FI MSE: {float(logs['regression'][-1]):.4f}")
+
+        preds = np.asarray(model.pred_fi(
+            params, [np.asarray(x) for x in test_data_list],
+            [np.asarray(test_cov)] * len(dataset_names),
+            jax.random.PRNGKey(900 + fold), args.combine,
+        )).reshape(-1, 1)
+        trues = test_fi.reshape(-1, 1)
+
+        np.save(output_dir / f'fold_{fold}_pred.npy', preds)
+        np.save(output_dir / f'fold_{fold}_true.npy', trues)
+        scores = evaluate_regression(trues, preds)
+        all_scores.append(scores)
+        print(f"[Fold {fold}] RMSE: {scores['RMSE']:.4f}, "
+              f"MAE: {scores['MAE']:.4f}, R²: {scores['R2']:.4f}, "
+              f"MAPE: {scores['MAPE']:.2f}%")
+
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        plt.figure(figsize=(6, 6))
+        plt.scatter(trues, preds, alpha=0.5)
+        plt.plot([trues.min(), trues.max()], [trues.min(), trues.max()], 'r--')
+        plt.xlabel('True FI')
+        plt.ylabel('Predicted FI')
+        plt.title(f'Fold {fold} - FI Prediction')
+        plt.grid(True)
+        plt.savefig(output_dir / f'fold_{fold}_scatter.png')
+        plt.close()
+
+        # full-cohort ROI-wise deviation per modality, scaler refit on the
+        # whole cohort (reference quirk, :177-179)
+        all_ids = ids_df['IID'].tolist()
+        demo_df = pd.read_csv(participants_path)
+        for modal_idx, dataset_name in enumerate(dataset_names):
+            print(f'[Fold {fold}] Extracting ROI-wise deviation for '
+                  f'{dataset_name}...')
+            columns_name = registry.get_column_name(args.dataset_resourse,
+                                                    dataset_name)
+            modality_df = pd.read_csv(
+                project_root / 'data' / args.dataset_resourse /
+                f'{dataset_name}.csv')
+            full_df = pd.merge(
+                modality_df[modality_df['IID'].isin(all_ids)], demo_df,
+                on='IID')
+            x = RobustScaler().fit_transform(
+                full_df[columns_name].values).astype(np.float32)
+            c = full_df[['AGE', 'PTGENDER']].values.astype(np.float32)
+            deviation = np.asarray(model.roiwise_deviation(
+                params, x, c, jax.random.PRNGKey(800 + fold), modal_idx,
+            ))
+            out = pd.DataFrame(
+                deviation,
+                columns=[f'ROI_{i}' for i in range(deviation.shape[1])])
+            out.insert(0, 'IID', full_df['IID'].tolist())
+            out.to_csv(output_dir /
+                       f'deviation_fold_{fold}_{dataset_name}_roiwise.csv',
+                       index=False)
+
+    print('Training & evaluation complete.')
+    return all_scores
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-R', '--dataset_resourse', type=str, default='ADNI')
+    parser.add_argument('-H', '--hz_para_list', nargs='+', type=int,
+                        default=[110, 110, 10])
+    parser.add_argument('-C', '--combine', type=str, default='gpoe')
+    parser.add_argument('-P', '--procedure', type=str, default='UCA-gPoE')
+    parser.add_argument('-E', '--epochs', type=int, default=500)
+    parser.add_argument('-K', '--n_splits', type=int, default=5)
+    parser.add_argument('--batch_size', type=int, default=128)
+    parser.add_argument('-BaseLR', '--base_learning_rate', type=float,
+                        default=0.0001)
+    return parser
+
+
+def run(argv=None, project_root=None):
+    args = build_parser().parse_args(argv)
+    train_and_test(args, project_root=project_root)
+
+
+if __name__ == '__main__':
+    run()

@@ -31,6 +31,7 @@ def make_synthetic_resource(
     n_disease: Dict[int, int] | None = None,
     seed: int = 0,
     effect: float = 1.5,
+    offset_effect: float = 0.8,
     modalities: Optional[Sequence[str]] = None,
     n_features: Optional[int] = None,
     with_early_fusion: bool = False,
@@ -82,14 +83,19 @@ def make_synthetic_resource(
             cols = cols[:n_features]
         d = len(cols)
         base = rng.normal(0.0, 1.0, size=(n, d))
-        # Disease signal = extra per-subject noise on a sparse ROI mask. A
-        # normative model cannot reconstruct subject-specific perturbations,
-        # so disease rows get genuinely higher reconstruction deviation —
-        # giving the end-to-end tests a real signal to detect.
+        # Disease signal has two components:
+        #  * per-subject noise on a sparse ROI mask — unreconstructable by a
+        #    normative model, so disease rows get genuinely higher
+        #    reconstruction deviation (drives the deviation-AUC tests);
+        #  * a shared mean offset — encodable in the latent, so supervised
+        #    latent classifiers (end-to-end variants) have signal too.
         sig_rng = np.random.default_rng(1000 + m_idx)
         roi_mask = (sig_rng.random(d) < 0.4).astype(float)
         perturb = sig_rng.normal(0.0, 1.0, size=(n, d)) * roi_mask[None, :]
-        base += np.where(dia[:, None] != hc_label, effect, 0.0) * perturb
+        offset = sig_rng.normal(0.0, 1.0, size=d) * roi_mask
+        is_disease = (dia[:, None] != hc_label)
+        base += np.where(is_disease, effect, 0.0) * perturb
+        base += np.where(is_disease, offset_effect, 0.0) * offset[None, :]
         frame = pd.DataFrame(base, columns=cols)
         frame.insert(0, "IID", iids)
         frame.to_csv(data_dir / f"{name}.csv", index=False)

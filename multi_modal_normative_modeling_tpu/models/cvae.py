@@ -120,12 +120,12 @@ def apply_classifier(params: dict, state: List[dict], z: jnp.ndarray,
                 n = jnp.maximum(jnp.sum(mask.astype(h.dtype)), 1.0)
                 mean = jnp.sum(h * m, axis=0) / n
                 var = jnp.sum(((h - mean) ** 2) * m, axis=0) / n
-            # torch tracks the *unbiased* variance in running stats
+            # torch tracks the *unbiased* variance in running stats, detached
             unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
-            new_state.append({
+            new_state.append(jax.lax.stop_gradient({
                 "mean": 0.9 * state[i]["mean"] + 0.1 * mean,
                 "var": 0.9 * state[i]["var"] + 0.1 * unbiased,
-            })
+            }))
         else:
             mean, var = state[i]["mean"], state[i]["var"]
             new_state.append(state[i])

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import fusion
-from ..ops.losses import gaussian_ll, kl_standard_normal, pairwise_jsd
+from ..ops.losses import gaussian_ll, kl_standard_normal, neg_mse, pairwise_jsd
 from .cvae import (
     apply_decoder,
     apply_encoder,
@@ -63,7 +63,12 @@ class MultimodalCVAE:
                  latent_dim: int, c_dim: int, modalities: int,
                  non_linear: bool = True, variant: str = "cvae",
                  jsd_on_fused: bool = True, dtype=jnp.float32):
-        assert variant in ("cvae", "mmjsd", "mvtcae")
+        # "nmmlp" is the nm-MLP local model (multimodal_kfold_cvae_nmmlp.py:39-
+        # 240): same skeleton, MSE-based log-likelihood (nmmlp:124-127), no
+        # single-modality fusion shortcut (nmmlp:129-143). Its MLP diagnosis
+        # head is excluded from the optimizer and from the loss in the
+        # reference (nmmlp:92-98, :169-188), so it is not materialized here.
+        assert variant in ("cvae", "mmjsd", "mvtcae", "nmmlp")
         self.input_dim_list = list(input_dim_list)
         self.hidden_dim = list(hidden_dim)
         self.latent_dim = latent_dim
@@ -124,7 +129,7 @@ class MultimodalCVAE:
             return fused_mu, jnp.log(fused_var)
         fused_mu, fused_var = fusion.combine_latent(
             mus, variances, combine, params["alpha"],
-            single_modality_shortcut=True,
+            single_modality_shortcut=(self.variant != "nmmlp"),
         )
         return fused_mu, jnp.log(fused_var)
 
@@ -172,11 +177,14 @@ class MultimodalCVAE:
         for i in range(self.modalities):
             kl = kl_standard_normal(fwd["mu_multimodal"],
                                     fwd["logvar_multimodal"], mask)
-            ll = gaussian_ll(xes[i], fwd["recon_means"][i],
-                             fwd["recon_logvars"][i], mask)
+            if self.variant == "nmmlp":
+                ll = neg_mse(xes[i], fwd["recon_means"][i], mask)
+            else:
+                ll = gaussian_ll(xes[i], fwd["recon_means"][i],
+                                 fwd["recon_logvars"][i], mask)
             kl_total += kl
             ll_total += ll
-            if self.variant == "cvae":
+            if self.variant in ("cvae", "nmmlp"):
                 total += kl - ll
             elif self.variant == "mmjsd":
                 total += kl + jsd - ll

@@ -96,11 +96,16 @@ def build_optimizer(config: TrainConfig, n_samples: int) -> optax.GradientTransf
 
 
 def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
-                   epochs: int, shuffle: bool = False):
+                   epochs: int, shuffle: bool = False,
+                   state_update: Optional[Callable] = None):
     """Compile-ready whole-fold trainer.
 
     ``loss_fn(params, batch, key) -> (total, aux_dict)`` where ``batch`` is
     one slice of the make_batches pytree.
+
+    ``state_update(params, aux) -> params`` optionally applies
+    non-gradient state carried in the aux dict (e.g. BatchNorm running
+    statistics) after the optimizer step.
 
     Returns ``train(params, batches, key) -> (params, logs)`` with ``logs``
     the per-epoch first-batch aux dict — scan this under jit or vmap it over
@@ -114,6 +119,8 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
         (_, aux), grads = grad_fn(params, batch, sub)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        if state_update is not None:
+            new_params = state_update(new_params, aux)
         # Skip all-padding batches entirely (fold-length padding must not
         # advance Adam moments: parity with shorter reference folds).
         valid = batch["valid"]
@@ -149,7 +156,10 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
             (params, opt_state, key), aux = jax.lax.scan(
                 step, (params, opt_state, key), shuffled
             )
-            first = jax.tree_util.tree_map(lambda a: a[0], aux)
+            # per-epoch first-batch scalars; keys prefixed "__" carry
+            # non-gradient state for state_update, not log values
+            logs = {k: v for k, v in aux.items() if not k.startswith("__")}
+            first = jax.tree_util.tree_map(lambda a: a[0], logs)
             return (params, opt_state, key), first
 
         opt_state = optimizer.init(params)
@@ -171,7 +181,8 @@ class FoldTrainer:
     """
 
     def __init__(self, model, config: TrainConfig, n_samples: int,
-                 loss_fn: Optional[Callable] = None):
+                 loss_fn: Optional[Callable] = None,
+                 state_update: Optional[Callable] = None):
         self.model = model
         self.config = config
         self.optimizer = build_optimizer(config, n_samples)
@@ -182,7 +193,8 @@ class FoldTrainer:
                 losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
                 return losses["total"], losses
         self._train = jax.jit(build_train_fn(
-            loss_fn, self.optimizer, config.epochs, config.shuffle
+            loss_fn, self.optimizer, config.epochs, config.shuffle,
+            state_update=state_update,
         ))
 
     def run(self, params, data_list, cov_list, key=None,

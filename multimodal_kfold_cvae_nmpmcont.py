@@ -1,0 +1,7 @@
+#!/usr/bin/env python3
+"""Drop-in entry point matching the reference script of the same name; see
+multi_modal_normative_modeling_tpu/cli/nmpmcont.py."""
+from multi_modal_normative_modeling_tpu.cli.nmpmcont import run
+
+if __name__ == "__main__":
+    run()
