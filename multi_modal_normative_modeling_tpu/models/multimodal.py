@@ -207,3 +207,31 @@ class MultimodalCVAE:
     def reconstruction_deviation(x, x_pred) -> jnp.ndarray:
         """Per-subject mean squared error over features (cVAE.py:1210-1211)."""
         return jnp.sum((x - x_pred) ** 2, axis=1) / x.shape[1]
+
+    def pred_recon_fused(self, params, xes, cs, key, combine: str,
+                         interpret: bool | None = None):
+        """Fused-kernel inference path: Pallas encoder kernels per modality,
+        fusion in-registers, then one decode+deviation kernel per modality.
+
+        Returns (recon_means list, deviations list) — numerically equivalent
+        to pred_recon + reconstruction_deviation (same PRNG stream).
+        """
+        from ..kernels import fused_encoder, fused_pred_deviation
+
+        mus, logvars = [], []
+        for i in range(self.modalities):
+            mu, lv = fused_encoder(params["enc"][i], xes[i], cs[i],
+                                   self.non_linear, interpret=interpret)
+            mus.append(mu)
+            logvars.append(lv)
+        fused_mu, fused_logvar = self.fuse(params, jnp.stack(mus),
+                                           jnp.stack(logvars), combine)
+        z = reparameterize(key, fused_mu, fused_logvar)
+        recons, deviations = [], []
+        for i in range(self.modalities):
+            recon, dev = fused_pred_deviation(params["dec"][i], z, cs[i],
+                                              xes[i], self.non_linear,
+                                              interpret=interpret)
+            recons.append(recon)
+            deviations.append(dev)
+        return recons, deviations
