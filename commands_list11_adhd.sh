@@ -1,0 +1,26 @@
+#!/bin/bash
+# ADHD sweep: single-modality and separate-encoder fusion variants over
+# epochs, learning-rate grid and architecture shapes, plus baseline models.
+set -e
+
+K=10
+R=ADHD
+
+for P in "SM-sMRI" "SM-fMRI" "SE-MoE" "SE-PoE" "SE-gPoE"; do
+  for E in 50 500 1000; do
+    for BLR in 0.0001 0.00001; do
+      for H in "110 110 10" "230 230 20" "110 110 110 10" "460 460 40"; do
+        ./multimodal_kfold_train_cvae_supervised.py -R $R -P "$P" -E "$E" -K $K \
+          -Baselearningrate "$BLR" -H $H
+        ./multimodal_kfold_test_cvae_supervised.py -R $R -P "$P" -K $K -H $H
+        ./multimodal_kfold_cvae_group_analysis_1x1.py -R $R -P "$P" -E "$E" -K $K -H $H
+      done
+    done
+  done
+done
+
+for M in mmJSD DMVAE WeightedDMVAE mvtCAE mmVAEPlus; do
+  ./multimodal_kfold_train_cvae_supervised.py -R $R -P SE-PoE -E 500 -K $K -Model "$M"
+  ./multimodal_kfold_test_cvae_supervised.py -R $R -P SE-PoE -K $K
+  ./multimodal_kfold_cvae_group_analysis_1x1.py -R $R -P SE-PoE -E 500 -K $K -Model "$M"
+done

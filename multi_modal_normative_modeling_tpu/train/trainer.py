@@ -115,17 +115,19 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
 
     def step(carry, batch):
         params, opt_state, key = carry
-        key, sub = jax.random.split(key)
+        new_key, sub = jax.random.split(key)
         (_, aux), grads = grad_fn(params, batch, sub)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         if state_update is not None:
             new_params = state_update(new_params, aux)
-        # Skip all-padding batches entirely (fold-length padding must not
-        # advance Adam moments: parity with shorter reference folds).
+        # Skip all-padding batches entirely — neither Adam moments nor the
+        # PRNG stream may advance, so a padded fold's trajectory is
+        # bit-identical to the unpadded fold's.
         valid = batch["valid"]
         params = _tree_where(valid, new_params, params)
         opt_state = _tree_where(valid, new_opt_state, opt_state)
+        key = _tree_where(valid, new_key, key)
         return (params, opt_state, key), aux
 
     def maybe_shuffled(batches, key):

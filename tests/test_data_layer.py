@@ -1,0 +1,159 @@
+"""Data layer: registries, k-fold id generation, preprocessing, compat shims."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from multi_modal_normative_modeling_tpu import registry
+from multi_modal_normative_modeling_tpu.data.loading import (
+    cliff_delta,
+    generate_kfold_ids,
+    load_dataset,
+)
+from multi_modal_normative_modeling_tpu.data.preprocess import (
+    fit_robust_scaler,
+    one_hot_covariates,
+    qcut_rank_one_hot,
+)
+from multi_modal_normative_modeling_tpu.data.synthetic import (
+    make_synthetic_resource,
+)
+
+
+def test_registry_column_counts():
+    assert len(registry.COLUMNS_NAME) == 90
+    assert len(registry.COLUMNS_NAME_VBM) == 90
+    assert len(registry.COLUMNS_NAME_SNP) == 54
+    assert len(registry.COLUMNS_NAME_AAL116) == 116
+    assert len(registry.COLUMNS_HCP) == 132
+    assert len(registry.COLUMNS_NAME_PPMI) == 3485
+    assert len(registry.COLUMNS_3MODALITIES) == 270
+    # early-fusion order: av45 block, fdg block, vbm block (verified equal to
+    # the reference literal)
+    assert registry.COLUMNS_3MODALITIES[0] == "Precentral_L_av45"
+    assert registry.COLUMNS_3MODALITIES[90] == "Precentral_L_fdg"
+    assert registry.COLUMNS_3MODALITIES[180] == "MNI_Amygdala_L_vbm"
+
+
+def test_procedure_grammar():
+    assert registry.get_datasets_name("ADNI", "SM-av45") == ["av45"]
+    assert registry.get_datasets_name("ADNI", "SE-PoE") == ["av45", "vbm", "fdg"]
+    assert registry.get_datasets_name("ADNI", "UCA-gPoE") == [
+        "av45", "vbm", "fdg", "early_fusion_modalities_ADNI"
+    ]
+    assert len(registry.get_datasets_name("HCP", "SE-MoE")) == 12
+    with pytest.raises(ValueError):
+        registry.get_datasets_name("NOPE", "SE-PoE")
+
+
+def test_early_fusion_columns_are_suffixed():
+    cols = registry.get_column_name("ADNI", "early_fusion_modalities_ADNI")
+    assert len(cols) == 270
+    assert cols[0].endswith("_av45")
+    assert cols[-1].endswith("_fdg")
+
+
+def test_hc_labels():
+    assert registry.get_hc_label("ADNI") == 2
+    assert registry.get_hc_label("ADHD") == 1
+    with pytest.raises(ValueError):
+        registry.get_hc_label("NOPE")
+
+
+def test_cliff_delta_matches_loop_reference():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=37)
+    y = rng.normal(size=23) + 0.5
+    # O(n^2) loop reference (utils.py:97-109)
+    mat = np.zeros((37, 23))
+    for i in range(37):
+        for j in range(23):
+            if x[i] > y[j]:
+                mat[i, j] = 1
+            elif y[j] > x[i]:
+                mat[i, j] = -1
+    expected = mat.sum() / (37 * 23)
+    np.testing.assert_allclose(cliff_delta(x, y), expected)
+    np.testing.assert_allclose(cliff_delta(x, y, chunk=8), expected)
+
+
+def test_generate_kfold_ids_layout(tmp_path):
+    np.random.seed(42)
+    hc = pd.DataFrame({"IID": [f"h{i}" for i in range(20)]})
+    other = pd.DataFrame({"IID": [f"d{i}" for i in range(10)]})
+    generate_kfold_ids(hc, other, oversample_percentage=1, n_splits=3,
+                       project_root=tmp_path)
+    kdir = tmp_path / "outputs" / "kfold_analysis"
+    train = pd.read_csv(kdir / "train_ids_000.csv")
+    test = pd.read_csv(kdir / "test_ids_000.csv")
+    assert list(train.columns) == ["IID"]
+    assert list(test.columns) == ["IID"]
+    assert len(train) == 20  # oversampled to int(len * 1.0)
+    # folds partition the concatenated cohort
+    all_test = pd.concat([
+        pd.read_csv(kdir / f"test_ids_{f:03d}.csv") for f in range(3)
+    ])
+    assert sorted(all_test["IID"]) == sorted(list(hc["IID"]) + list(other["IID"]))
+
+
+def test_qcut_one_hot_matches_pandas_semantics():
+    ages = pd.Series([70, 60, 65, 80, 75, 62, 68, 71, 73, 77])
+    one_hot = qcut_rank_one_hot(ages, 5)
+    assert one_hot.shape == (10, 5)
+    assert (one_hot.sum(axis=0) == 2).all()  # rank-based: perfectly balanced
+    # the two oldest land in the last bin
+    assert one_hot[3, 4] == 1 and one_hot[9, 4] == 1
+
+
+def test_one_hot_covariates_dims():
+    frame = pd.DataFrame({
+        "DIA": [1] * 30,
+        "AGE": np.arange(30) + 50,
+        "PTGENDER": [1, 2] * 15,
+    })
+    cov = one_hot_covariates(frame)
+    assert cov.shape == (30, 29)
+    assert cov.dtype == np.float32
+    assert (cov.sum(axis=1) == 2).all()
+
+
+def test_robust_scaler_params_match_sklearn():
+    from sklearn.preprocessing import RobustScaler
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(50, 7)) * 3 + 1
+    scaled, params = fit_robust_scaler(x)
+    ref = RobustScaler().fit_transform(x)
+    np.testing.assert_allclose(scaled, ref)
+    np.testing.assert_allclose(params.transform(x), ref)
+    np.testing.assert_allclose(params.inverse_transform(ref), x, rtol=1e-10)
+
+
+def test_load_dataset_row_order_follows_modality_csv(tmp_path):
+    data_dir = make_synthetic_resource(tmp_path, "ADNI", n_hc=10,
+                                       n_disease={0: 5})
+    ids = pd.DataFrame({"IID": pd.read_csv(data_dir / "y.csv")["IID"][:8]})
+    ids_path = tmp_path / "ids.csv"
+    ids.to_csv(ids_path, index=False)
+    df = load_dataset(data_dir / "y.csv", ids_path, data_dir / "av45.csv")
+    # modality CSV is the left side of the merge: row order follows it
+    assert list(df["IID"]) == list(ids["IID"])
+    assert "participant_id" in df.columns
+
+
+def test_compat_shims():
+    import utils
+    import utils_vae
+
+    assert utils.get_hc_label("ADNI") == 2
+    assert len(utils.COLUMNS_3MODALITIES) == 270
+    assert len(utils.COLUMNS_NAME_HCP_fMRI_100) == 100
+
+    data = np.random.randn(5, 3).astype(np.float64)
+    labels = np.array([0, 1, 0, 1, 1])
+    ds = utils_vae.MyDataset_labels(data, labels)
+    x, t = ds[2]
+    assert x.dtype == np.float32 and t == 0
+    assert len(ds) == 5
+
+    dev = utils_vae.reconstruction_deviation(data, data * 0.5)
+    np.testing.assert_allclose(dev, np.sum((data * 0.5) ** 2, axis=1) / 3)
