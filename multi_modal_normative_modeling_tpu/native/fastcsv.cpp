@@ -1,0 +1,223 @@
+// fastcsv — multithreaded numeric CSV loader for the data plane.
+//
+// The reference's data layer funnels every modality table through
+// pandas.read_csv on one core (utils.py:112-122); PPMI frames are
+// 3485-column. This loader memory-maps the file, indexes row boundaries,
+// and parses the requested feature columns with std::from_chars across a
+// thread pool, filling a caller-provided row-major double buffer.
+//
+// C ABI (consumed from Python via ctypes — no pybind11 in this image):
+//   fc_open(path)                  -> handle (parses header, indexes rows)
+//   fc_num_rows / fc_num_cols      -> dimensions (rows exclude the header)
+//   fc_col_index(handle, name)     -> column position or -1
+//   fc_fill(handle, cols, n, out, n_threads) -> 0 ok / <0 error; out is
+//       [rows x n] row-major doubles; unparsable cells become NaN
+//   fc_read_strings(handle, col, buf, cap) -> '\n'-joined cell values;
+//       returns required byte count (call twice to size the buffer)
+//   fc_close(handle)
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -pthread fastcsv.cpp -o libfastcsv.so
+
+#include <cctype>
+#include <charconv>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fcntl.h>
+#include <string>
+#include <string_view>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+struct File {
+    char* data = nullptr;
+    size_t size = 0;
+    int fd = -1;
+    std::vector<std::string> header;
+    // byte offset of the start of each data row (header excluded)
+    std::vector<size_t> row_starts;
+
+    ~File() {
+        if (data && data != MAP_FAILED) munmap(data, size);
+        if (fd >= 0) close(fd);
+    }
+};
+
+// Split one CSV line (no embedded-quote handling: these are plain numeric
+// research tables) into string_views.
+void split_line(std::string_view line, std::vector<std::string_view>& out) {
+    out.clear();
+    size_t start = 0;
+    while (true) {
+        size_t comma = line.find(',', start);
+        if (comma == std::string_view::npos) {
+            out.push_back(line.substr(start));
+            return;
+        }
+        out.push_back(line.substr(start, comma - start));
+        start = comma + 1;
+    }
+}
+
+std::string_view row_view(const File& f, size_t row) {
+    size_t begin = f.row_starts[row];
+    size_t end = (row + 1 < f.row_starts.size()) ? f.row_starts[row + 1]
+                                                 : f.size;
+    // trim trailing newline / carriage return
+    while (end > begin && (f.data[end - 1] == '\n' || f.data[end - 1] == '\r'))
+        --end;
+    return std::string_view(f.data + begin, end - begin);
+}
+
+double parse_cell(std::string_view cell) {
+    while (!cell.empty() && std::isspace(static_cast<unsigned char>(cell.front())))
+        cell.remove_prefix(1);
+    while (!cell.empty() && std::isspace(static_cast<unsigned char>(cell.back())))
+        cell.remove_suffix(1);
+    double value;
+    auto result = std::from_chars(cell.data(), cell.data() + cell.size(), value);
+    if (result.ec != std::errc() || result.ptr != cell.data() + cell.size())
+        return std::nan("");
+    return value;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* fc_open(const char* path) {
+    auto f = new File();
+    f->fd = open(path, O_RDONLY);
+    if (f->fd < 0) { delete f; return nullptr; }
+    struct stat st;
+    if (fstat(f->fd, &st) != 0 || st.st_size == 0) { delete f; return nullptr; }
+    f->size = static_cast<size_t>(st.st_size);
+    f->data = static_cast<char*>(
+        mmap(nullptr, f->size, PROT_READ, MAP_PRIVATE, f->fd, 0));
+    if (f->data == MAP_FAILED) { delete f; return nullptr; }
+
+    // header
+    const char* nl = static_cast<const char*>(
+        memchr(f->data, '\n', f->size));
+    if (!nl) { delete f; return nullptr; }
+    size_t header_len = static_cast<size_t>(nl - f->data);
+    std::string_view header_line(f->data,
+                                 header_len > 0 && f->data[header_len - 1] == '\r'
+                                     ? header_len - 1 : header_len);
+    std::vector<std::string_view> cells;
+    split_line(header_line, cells);
+    for (auto c : cells) f->header.emplace_back(c);
+
+    // index data-row starts
+    size_t pos = header_len + 1;
+    while (pos < f->size) {
+        f->row_starts.push_back(pos);
+        const char* next = static_cast<const char*>(
+            memchr(f->data + pos, '\n', f->size - pos));
+        if (!next) break;
+        pos = static_cast<size_t>(next - f->data) + 1;
+    }
+    // drop a trailing empty line
+    if (!f->row_starts.empty()) {
+        auto last = row_view(*f, f->row_starts.size() - 1);
+        if (last.empty()) f->row_starts.pop_back();
+    }
+    return f;
+}
+
+int64_t fc_num_rows(void* handle) {
+    return static_cast<File*>(handle)->row_starts.size();
+}
+
+int64_t fc_num_cols(void* handle) {
+    return static_cast<File*>(handle)->header.size();
+}
+
+int32_t fc_col_index(void* handle, const char* name) {
+    auto* f = static_cast<File*>(handle);
+    for (size_t i = 0; i < f->header.size(); ++i)
+        if (f->header[i] == name) return static_cast<int32_t>(i);
+    return -1;
+}
+
+int32_t fc_fill(void* handle, const int32_t* col_indices, int32_t n_cols,
+                double* out, int32_t n_threads) {
+    auto* f = static_cast<File*>(handle);
+    const size_t rows = f->row_starts.size();
+    const size_t total_cols = f->header.size();
+    for (int32_t j = 0; j < n_cols; ++j)
+        if (col_indices[j] < 0 ||
+            static_cast<size_t>(col_indices[j]) >= total_cols)
+            return -1;
+    if (n_threads <= 0)
+        n_threads = static_cast<int32_t>(
+            std::min<size_t>(std::thread::hardware_concurrency(), 16));
+    n_threads = std::max(1, n_threads);
+
+    auto worker = [&](size_t begin, size_t end) {
+        std::vector<std::string_view> cells;
+        cells.reserve(total_cols);
+        for (size_t r = begin; r < end; ++r) {
+            split_line(row_view(*f, r), cells);
+            double* dst = out + r * static_cast<size_t>(n_cols);
+            for (int32_t j = 0; j < n_cols; ++j) {
+                size_t ci = static_cast<size_t>(col_indices[j]);
+                dst[j] = ci < cells.size() ? parse_cell(cells[ci])
+                                           : std::nan("");
+            }
+        }
+    };
+
+    if (n_threads == 1 || rows < 1024) {
+        worker(0, rows);
+        return 0;
+    }
+    std::vector<std::thread> pool;
+    size_t chunk = (rows + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        size_t begin = t * chunk;
+        if (begin >= rows) break;
+        pool.emplace_back(worker, begin, std::min(rows, begin + chunk));
+    }
+    for (auto& th : pool) th.join();
+    return 0;
+}
+
+// Extract only the n-th comma-separated field of a line (no full split).
+static std::string_view nth_field(std::string_view line, int32_t n) {
+    size_t start = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        size_t comma = line.find(',', start);
+        if (comma == std::string_view::npos) return {};
+        start = comma + 1;
+    }
+    size_t comma = line.find(',', start);
+    return line.substr(start, comma == std::string_view::npos
+                                  ? std::string_view::npos : comma - start);
+}
+
+int64_t fc_read_strings(void* handle, int32_t col, char* buf, int64_t cap) {
+    auto* f = static_cast<File*>(handle);
+    if (col < 0 || static_cast<size_t>(col) >= f->header.size()) return -1;
+    int64_t needed = 0;
+    for (size_t r = 0; r < f->row_starts.size(); ++r) {
+        std::string_view cell = nth_field(row_view(*f, r), col);
+        if (buf && needed + static_cast<int64_t>(cell.size()) + 1 <= cap) {
+            memcpy(buf + needed, cell.data(), cell.size());
+            buf[needed + cell.size()] = '\n';
+        }
+        needed += cell.size() + 1;
+    }
+    return needed;
+}
+
+void fc_close(void* handle) {
+    delete static_cast<File*>(handle);
+}
+
+}  // extern "C"

@@ -1,0 +1,74 @@
+"""Native C++ fastcsv loader: parity with pandas and speed sanity."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from multi_modal_normative_modeling_tpu.native import (
+    FastCSV,
+    fastcsv_available,
+    read_feature_matrix,
+)
+
+pytestmark = pytest.mark.skipif(not fastcsv_available(),
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture
+def csv_file(tmp_path):
+    rng = np.random.default_rng(0)
+    n, d = 500, 40
+    frame = pd.DataFrame(rng.normal(size=(n, d)),
+                         columns=[f"ROI_{i}" for i in range(d)])
+    frame.insert(0, "IID", [f"sub_{i:04d}" for i in range(n)])
+    frame["note"] = ["text"] * n  # non-numeric column
+    path = tmp_path / "mod.csv"
+    frame.to_csv(path, index=False)
+    return path, frame
+
+
+def test_matches_pandas(csv_file):
+    path, frame = csv_file
+    cols = [f"ROI_{i}" for i in range(40)]
+    ids, data = read_feature_matrix(path, cols)
+    assert ids == list(frame["IID"])
+    np.testing.assert_allclose(data, frame[cols].values, rtol=1e-15)
+
+
+def test_subset_and_order(csv_file):
+    path, frame = csv_file
+    cols = ["ROI_7", "ROI_0", "ROI_33"]
+    f = FastCSV(path)
+    data = f.read_columns(cols)
+    np.testing.assert_allclose(data, frame[cols].values, rtol=1e-15)
+    assert f.n_rows == len(frame)
+    assert f.col_index("missing") == -1
+    f.close()
+
+
+def test_non_numeric_becomes_nan(csv_file):
+    path, _ = csv_file
+    f = FastCSV(path)
+    data = f.read_columns(["note"])
+    assert np.isnan(data).all()
+    f.close()
+
+
+def test_multithreaded_matches_single(csv_file):
+    path, frame = csv_file
+    cols = [f"ROI_{i}" for i in range(40)]
+    f = FastCSV(path)
+    single = f.read_columns(cols, n_threads=1)
+    multi = f.read_columns(cols, n_threads=8)
+    np.testing.assert_array_equal(single, multi)
+    f.close()
+
+
+def test_crlf_and_trailing_newline(tmp_path):
+    path = tmp_path / "crlf.csv"
+    path.write_bytes(b"IID,a,b\r\ns1,1.5,2\r\ns2,-3,4e-2\r\n")
+    f = FastCSV(path)
+    assert f.n_rows == 2
+    np.testing.assert_allclose(f.read_columns(["a", "b"]),
+                               [[1.5, 2.0], [-3.0, 0.04]])
+    assert f.read_string_column("IID") == ["s1", "s2"]
+    f.close()
