@@ -68,6 +68,29 @@ def apply_decoder(params: dict, z: jnp.ndarray, c: jnp.ndarray,
     return apply_linear(params["mean"], h), params["logvar_out"]
 
 
+def init_discriminator(key, hidden_dim: Sequence[int],
+                       dtype=jnp.float32) -> dict:
+    """Latent discriminator z -> scalar logit (cVAE.py:210-237; legacy
+    adversarial-AAE head — constructed but unused by the live multimodal
+    training paths; provided for API completeness)."""
+    rev = list(hidden_dim)[::-1]
+    k_hidden, k_out = jax.random.split(key)
+    return {
+        "hidden": init_mlp(k_hidden, rev, dtype),
+        "out": init_linear(k_out, rev[-1], 1, dtype),
+    }
+
+
+def apply_discriminator(params: dict, z: jnp.ndarray,
+                        non_linear: bool) -> jnp.ndarray:
+    h = z
+    for layer in params["hidden"]:
+        h = apply_linear(layer, h)
+        if non_linear:
+            h = leaky_relu(h)
+    return apply_linear(params["out"], h)
+
+
 def reparameterize(key, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
     """z = mu + eps * exp(0.5 * logvar) (cVAE.py:1130-1133)."""
     eps = jax.random.normal(key, mu.shape, mu.dtype)

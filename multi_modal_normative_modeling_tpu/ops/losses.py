@@ -107,3 +107,31 @@ def cross_entropy_logits(logits, labels, mask: Optional[jnp.ndarray] = None):
         logits, labels[:, None].astype(jnp.int32), axis=1
     )[:, 0]
     return _masked_mean(log_z - picked, mask)
+
+
+def focal_loss(inputs, targets, alpha_focal: float, gamma_focal: float,
+               logits: bool = True, reduction: str = "mean"):
+    """Focal BCE (FocalLoss, cVAE.py:113-138; legacy adversarial-
+    discriminator objective). Reproduces the reference's branch on the first
+    target: a batch whose first target is 0 uses
+    alpha*(1-pt)^gamma*BCE, otherwise (1-alpha)*pt^gamma*BCE.
+    """
+    inputs = inputs.reshape(-1)
+    targets = targets.reshape(-1).astype(inputs.dtype)
+    if logits:
+        # binary_cross_entropy_with_logits, elementwise
+        bce = jnp.maximum(inputs, 0) - inputs * targets + jnp.log1p(
+            jnp.exp(-jnp.abs(inputs)))
+    else:
+        clipped = jnp.clip(inputs, 1e-12, 1.0 - 1e-7)
+        bce = -(targets * jnp.log(clipped)
+                + (1.0 - targets) * jnp.log(1.0 - clipped))
+    pt = jnp.exp(-bce)
+    loss_neg = alpha_focal * (1.0 - pt) ** gamma_focal * bce
+    loss_pos = (1.0 - alpha_focal) * pt ** gamma_focal * bce
+    out = jnp.where(targets[0] == 0, loss_neg, loss_pos)
+    if reduction == "mean":
+        return jnp.mean(out)
+    if reduction == "sum":
+        return jnp.sum(out)
+    return out

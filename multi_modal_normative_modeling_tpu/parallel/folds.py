@@ -74,19 +74,18 @@ class MultiFoldTrainer:
     over a ('fold', 'data') mesh."""
 
     def __init__(self, model, config: TrainConfig, n_samples: int,
-                 loss_fn: Optional[Callable] = None, mesh=None):
+                 loss_fn: Optional[Callable] = None, mesh=None,
+                 state_update: Optional[Callable] = None):
         self.model = model
         self.config = config
         self.mesh = mesh
         optimizer = build_optimizer(config, n_samples)
         if loss_fn is None:
-            def loss_fn(p, batch, k):
-                fwd = model.forward(p, list(batch["x"]), list(batch["c"]), k,
-                                    config.combine)
-                losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
-                return losses["total"], losses
+            from ..train.trainer import default_loss_fn
+
+            loss_fn = default_loss_fn(model, config)
         train = build_train_fn(loss_fn, optimizer, config.epochs,
-                               config.shuffle)
+                               config.shuffle, state_update=state_update)
         self._vtrain = jax.vmap(train)
         self._jitted = None
 

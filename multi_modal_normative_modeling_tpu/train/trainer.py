@@ -42,6 +42,9 @@ class TrainConfig:
     gamma: float = 0.98
     shuffle: bool = False
     seed: int = 42
+    # "fp32" (parity) or "bf16": matmuls in bfloat16 on the MXU, fp32 master
+    # params/Adam state, fp32 ELBO reductions
+    precision: str = "fp32"
 
 
 def make_batches(data_list: Sequence[np.ndarray],
@@ -84,6 +87,46 @@ def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(
         lambda x, y: jnp.where(pred, x, y), a, b
     )
+
+
+def _half_cast(tree):
+    """fp32 leaves -> bf16 (everything else untouched)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+        tree,
+    )
+
+
+def _full_cast(tree):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a,
+        tree,
+    )
+
+
+def default_loss_fn(model, config: TrainConfig) -> Callable:
+    """ELBO loss over a batch slice; with precision='bf16' the forward
+    (encoder/decoder matmuls) runs in bfloat16 on the MXU while master
+    params stay fp32 (grads accumulate through the cast) and the loss
+    reductions see fp32 upcasts."""
+    if config.precision == "bf16":
+        def loss_fn(p, batch, k):
+            p16 = _half_cast(p)
+            x16 = [x.astype(jnp.bfloat16) for x in batch["x"]]
+            c16 = [c.astype(jnp.bfloat16) for c in batch["c"]]
+            fwd = _full_cast(model.forward(p16, x16, c16, k, config.combine))
+            losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
+            return losses["total"], losses
+        return loss_fn
+
+    def loss_fn(p, batch, k):
+        fwd = model.forward(p, list(batch["x"]), list(batch["c"]), k,
+                            config.combine)
+        losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
+        return losses["total"], losses
+    return loss_fn
 
 
 def build_optimizer(config: TrainConfig, n_samples: int) -> optax.GradientTransformation:
@@ -189,11 +232,7 @@ class FoldTrainer:
         self.config = config
         self.optimizer = build_optimizer(config, n_samples)
         if loss_fn is None:
-            def loss_fn(p, batch, k):
-                fwd = model.forward(p, list(batch["x"]), list(batch["c"]), k,
-                                    config.combine)
-                losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
-                return losses["total"], losses
+            loss_fn = default_loss_fn(model, config)
         self._train = jax.jit(build_train_fn(
             loss_fn, self.optimizer, config.epochs, config.shuffle,
             state_update=state_update,
