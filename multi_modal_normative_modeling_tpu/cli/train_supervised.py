@@ -12,6 +12,7 @@ import argparse
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 from sklearn.model_selection import KFold
@@ -19,7 +20,7 @@ from sklearn.model_selection import KFold
 from .. import registry
 from ..data.loading import generate_kfold_ids
 from ..train import FoldTrainer, TrainConfig, save_checkpoint
-from ..utils.logging import Logger, plot_losses
+from ..utils.logging import Logger, RunLog, plot_losses
 from . import common
 
 
@@ -59,12 +60,16 @@ def main(args, project_root=None):
     # --lr_schedule cyclic to enable the intended schedule.
     lr_schedule = getattr(args, 'lr_schedule', 'constant')
 
-    trainer = None
+    run_log = RunLog(model_dir / 'run_log.jsonl')
+    run_log.event('train_start', args=vars(args))
+
+    # ---- per-fold data prep (host side) -----------------------------------
+    folds = []
+    config_dict = None
+    n_folds = 0
     for fold, _ in enumerate(kf.split(training_class_group)):
         train_ids_path, _ = common.fold_paths(kfold_dir, fold)
-        fold_model_dir = model_dir / f'{fold:03d}'
-        fold_model_dir.mkdir(exist_ok=True)
-
+        (model_dir / f'{fold:03d}').mkdir(exist_ok=True)
         data_list, cov_list, input_dim_list = [], [], []
         c_dim = None
         for dataset_name in dataset_names:
@@ -76,38 +81,77 @@ def main(args, project_root=None):
             cov_list.append(prep['train_cov'])
             input_dim_list.append(prep['train_data'].shape[1])
             c_dim = prep['train_cov'].shape[1]
+        folds.append((data_list, cov_list))
+        if config_dict is None:
+            config_dict = common.model_config_dict(args, input_dim_list,
+                                                   c_dim, modalities)
+        n_folds += 1
 
-        config_dict = common.model_config_dict(args, input_dim_list, c_dim,
-                                               modalities)
-        model = common.build_model_from_config(config_dict)
-        params = model.init_params(jax.random.PRNGKey(42 + fold))
+    model = common.build_model_from_config(config_dict)
+    train_config = TrainConfig(
+        epochs=args.epochs,
+        batch_size=256,
+        learning_rate=0.0001,
+        combine=args.combine,
+        lr_schedule=lr_schedule,
+        base_lr=args.base_learning_rate,
+        max_lr=args.max_learning_rate,
+        shuffle=False,
+        seed=42,
+        precision=getattr(args, 'precision', 'fp32'),
+    )
+    params_list = [model.init_params(jax.random.PRNGKey(42 + f))
+                   for f in range(n_folds)]
+    keys = [jax.random.PRNGKey(42 + f) for f in range(n_folds)]
 
-        if trainer is None:
-            train_config = TrainConfig(
-                epochs=args.epochs,
-                batch_size=256,
-                learning_rate=0.0001,
-                combine=args.combine,
-                lr_schedule=lr_schedule,
-                base_lr=args.base_learning_rate,
-                max_lr=args.max_learning_rate,
-                shuffle=False,
-                seed=42,
-            )
-            trainer = FoldTrainer(model, train_config,
-                                  data_list[0].shape[0])
-        print('train model')
-        params, logs = trainer.run(params, data_list, cov_list,
-                                   key=jax.random.PRNGKey(42 + fold))
+    fold_parallel = getattr(args, 'fold_parallel', False)
+    if fold_parallel:
+        # all folds train concurrently: stacked params, one vmapped program
+        from ..parallel import (
+            MultiFoldTrainer,
+            stack_fold_batches,
+            stack_params,
+        )
+        from ..parallel.folds import unstack_params
 
+        print('train model (all folds fold-parallel)')
+        max_n = max(f[0][0].shape[0] for f in folds)
+        mft = MultiFoldTrainer(model, train_config, max_n)
+        stacked = stack_params(params_list)
+        batches = stack_fold_batches([f[0] for f in folds],
+                                     [f[1] for f in folds],
+                                     train_config.batch_size)
+        out_params, logs = mft.run(stacked, jax.device_put(batches),
+                                   jnp.stack(keys))
+        per_fold_params = unstack_params(out_params, n_folds)
+        per_fold_logs = [
+            {k: np.asarray(v)[f] for k, v in logs.items()}
+            for f in range(n_folds)
+        ]
+    else:
+        trainer = FoldTrainer(model, train_config, folds[0][0][0].shape[0])
+        per_fold_params, per_fold_logs = [], []
+        for fold, (data_list, cov_list) in enumerate(folds):
+            print('train model')
+            params, logs = trainer.run(params_list[fold], data_list, cov_list,
+                                       key=keys[fold])
+            per_fold_params.append(params)
+            per_fold_logs.append(logs)
+
+    # ---- artifacts ---------------------------------------------------------
+    for fold in range(n_folds):
+        fold_model_dir = model_dir / f'{fold:03d}'
+        logs = per_fold_logs[fold]
         logger = Logger()
         logger.extend(logs)
-        last = {k: float(v[-1]) for k, v in logs.items()}
+        last = {k: float(np.asarray(v)[-1]) for k, v in logs.items()}
         print('Train fold:', fold, ' final-epoch ',
               ', '.join(f'{k}: {round(v, 3)}' for k, v in last.items()))
         plot_losses(logger, fold_model_dir, 'training')
-        save_checkpoint(fold_model_dir, params, config_dict)
+        save_checkpoint(fold_model_dir, per_fold_params[fold], config_dict)
+        run_log.event('fold_done', fold=fold, **last)
         print('fold_model_dir:', fold_model_dir)
+    run_log.event('train_end', folds=n_folds)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -118,6 +162,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help='constant reproduces the reference (its cyclic '
                              'assignment is a no-op); cyclic enables the '
                              'intended triangular schedule.')
+    parser.add_argument('--fold_parallel', dest='fold_parallel',
+                        action='store_true',
+                        help='train every CV fold concurrently as one '
+                             'vmapped device program (numerics identical to '
+                             'the sequential run).')
+    parser.add_argument('--precision', dest='precision', default='fp32',
+                        choices=['fp32', 'bf16'],
+                        help='bf16 runs the MXU matmuls in bfloat16 with '
+                             'fp32 master params and loss reductions.')
     return parser
 
 
