@@ -36,11 +36,19 @@ class DMVAEFamily:
                  latent_dim: int, c_dim: int, modalities: int,
                  variant: str = "dmvae", dtype=jnp.float32):
         assert variant in ("dmvae", "weighted", "mmvaeplus")
+        # Reference quirk: with latent_dim <= c_dim (e.g. the default
+        # hz=[110,110,10] with c_dim=29), torch's mu[:, :c_dim] clamps to the
+        # full latent and mu[:, c_dim:] is EMPTY — the "shared" code is
+        # zero-width, PoE/KL over it are no-ops, and the model trains as a
+        # per-modality autoencoder on the private code (cVAE.py:1525-1526,
+        # :1547-1551). jnp slicing reproduces this silently-degenerate
+        # behavior exactly; we only surface a warning.
         if latent_dim <= c_dim:
-            raise ValueError(
-                "DMVAE-family models need latent_dim > c_dim "
-                f"(got latent={latent_dim}, c={c_dim}); the private code "
-                "takes the first c_dim latent dims (cVAE.py:1505,1525)."
+            import warnings
+
+            warnings.warn(
+                f"DMVAE-family with latent_dim={latent_dim} <= c_dim={c_dim}:"
+                " shared code is empty (reference-compatible degenerate mode)"
             )
         self.input_dim_list = list(input_dim_list)
         self.hidden_dim = list(hidden_dim)
