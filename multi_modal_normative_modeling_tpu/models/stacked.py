@@ -1,0 +1,223 @@
+"""Stacked-modality cVAE: all modalities in one batched matmul per layer.
+
+The per-modality model (models/multimodal.py) launches ~6 matmuls per
+modality per step; at these tensor sizes the TPU step is *launch-bound*, not
+FLOP-bound (measured ~77us/step with <20% MXU utilization). This variant
+packs the M modalities into a leading axis — inputs zero-padded to the widest
+modality, parameters stacked [M, ...] — so each layer is ONE
+``einsum('mbk,mkh->mbh')`` batched matmul regardless of M. Padded input
+columns carry zero weights and zero data, so the math is exactly the
+per-modality model's (verified in tests/test_stacked.py down to gradients);
+padding rows receive zero gradients and stay zero under Adam.
+
+This is the SURVEY §2.6 "modalities stay in-kernel" design: fold-parallelism
+via vmap on top gives [F, M, B, D] operands — large, uniform batched matmuls
+that XLA maps straight onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fusion
+from ..ops.linear import leaky_relu
+from .cvae import reparameterize
+from .multimodal import MultimodalCVAE
+
+_HALF_LOG_2PI = 0.9189385332046727
+
+
+def _pad_axis0(a: jnp.ndarray, size: int) -> jnp.ndarray:
+    return jnp.pad(a, [(0, size - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+
+
+class StackedMultimodalCVAE:
+    """Numerically-equivalent packed form of MultimodalCVAE('cvae')."""
+
+    def __init__(self, input_dim_list: Sequence[int], hidden_dim: Sequence[int],
+                 latent_dim: int, c_dim: int, modalities: int,
+                 non_linear: bool = True, dtype=jnp.float32):
+        assert len(hidden_dim) == 2, "stacked variant supports 2 hidden layers"
+        self.base = MultimodalCVAE(input_dim_list, hidden_dim, latent_dim,
+                                   c_dim, modalities, non_linear,
+                                   variant="cvae", dtype=dtype)
+        self.input_dim_list = list(input_dim_list)
+        self.d_max = max(input_dim_list)
+        self.hidden_dim = list(hidden_dim)
+        self.latent_dim = latent_dim
+        self.c_dim = c_dim
+        self.modalities = modalities
+        self.non_linear = non_linear
+        self.dtype = dtype
+
+    # -- parameter packing ----------------------------------------------------
+    def init_params(self, key) -> dict:
+        """Init identically to MultimodalCVAE then pack (same distributions)."""
+        return self.pack_params(self.base.init_params(key))
+
+    def pack_params(self, per_modality: dict) -> dict:
+        """Per-modality pytree -> stacked [M, ...] arrays with zero padding
+        on the (modality-specific) input/output feature dims."""
+        dm, c, h, z = self.d_max, self.c_dim, self.hidden_dim, self.latent_dim
+        enc_w1, enc_b1, enc_w2, enc_b2 = [], [], [], []
+        enc_wmu, enc_bmu, enc_wlv, enc_blv = [], [], [], []
+        dec_w1, dec_b1, dec_w2, dec_b2 = [], [], [], []
+        dec_wm, dec_bm, dec_lvo = [], [], []
+        for m in range(self.modalities):
+            e = per_modality["enc"][m]
+            # W1 rows are [x-features (D_m), covariates (c)]; pad the
+            # x-block to d_max so the covariate rows stay aligned with the
+            # packed input's trailing c columns
+            w1 = e["hidden"][0]["w"]
+            d_m = self.input_dim_list[m]
+            enc_w1.append(jnp.concatenate(
+                [_pad_axis0(w1[:d_m], dm), w1[d_m:]], axis=0))
+            enc_b1.append(e["hidden"][0]["b"])
+            enc_w2.append(e["hidden"][1]["w"])
+            enc_b2.append(e["hidden"][1]["b"])
+            enc_wmu.append(e["mu"]["w"])
+            enc_bmu.append(e["mu"]["b"])
+            enc_wlv.append(e["logvar"]["w"])
+            enc_blv.append(e["logvar"]["b"])
+            d = per_modality["dec"][m]
+            dec_w1.append(d["hidden"][0]["w"])
+            dec_b1.append(d["hidden"][0]["b"])
+            dec_w2.append(d["hidden"][1]["w"])
+            dec_b2.append(d["hidden"][1]["b"])
+            dec_wm.append(jnp.pad(d["mean"]["w"],
+                                  ((0, 0), (0, dm - d["mean"]["w"].shape[1]))))
+            dec_bm.append(jnp.pad(d["mean"]["b"],
+                                  (0, dm - d["mean"]["b"].shape[0])))
+            dec_lvo.append(jnp.pad(d["logvar_out"][0],
+                                   (0, dm - d["logvar_out"].shape[1])))
+        stack = lambda xs: jnp.stack(xs)
+        return {
+            "enc": {"w1": stack(enc_w1), "b1": stack(enc_b1),
+                    "w2": stack(enc_w2), "b2": stack(enc_b2),
+                    "wmu": stack(enc_wmu), "bmu": stack(enc_bmu),
+                    "wlv": stack(enc_wlv), "blv": stack(enc_blv)},
+            "dec": {"w1": stack(dec_w1), "b1": stack(dec_b1),
+                    "w2": stack(dec_w2), "b2": stack(dec_b2),
+                    "wm": stack(dec_wm), "bm": stack(dec_bm),
+                    "lvo": stack(dec_lvo)},
+            "alpha": per_modality["alpha"],
+        }
+
+    def unpack_params(self, packed: dict) -> dict:
+        """Stacked arrays -> the per-modality pytree (for checkpoints /
+        interchange with MultimodalCVAE)."""
+        out = {"enc": [], "dec": [], "alpha": packed["alpha"]}
+        c = self.c_dim
+        for m in range(self.modalities):
+            d = self.input_dim_list[m]
+            e = packed["enc"]
+            w1 = jnp.concatenate(
+                [e["w1"][m][:d], e["w1"][m][self.d_max:]], axis=0)
+            out["enc"].append({
+                "hidden": [
+                    {"w": w1, "b": e["b1"][m]},
+                    {"w": e["w2"][m], "b": e["b2"][m]},
+                ],
+                "mu": {"w": e["wmu"][m], "b": e["bmu"][m]},
+                "logvar": {"w": e["wlv"][m], "b": e["blv"][m]},
+            })
+            dd = packed["dec"]
+            out["dec"].append({
+                "hidden": [
+                    {"w": dd["w1"][m], "b": dd["b1"][m]},
+                    {"w": dd["w2"][m], "b": dd["b2"][m]},
+                ],
+                "mean": {"w": dd["wm"][m][:, :d], "b": dd["bm"][m][:d]},
+                "logvar_out": dd["lvo"][m][None, :d],
+            })
+        return out
+
+    # -- data packing -----------------------------------------------------------
+    def pack_inputs(self, xes: Sequence[np.ndarray]) -> np.ndarray:
+        """list of [B, D_m] -> [M, B, d_max] zero-padded."""
+        b = xes[0].shape[0]
+        out = np.zeros((self.modalities, b, self.d_max), dtype=np.float32)
+        for m, x in enumerate(xes):
+            out[m, :, : x.shape[1]] = x
+        return out
+
+    def col_mask(self) -> jnp.ndarray:
+        mask = np.zeros((self.modalities, self.d_max), dtype=np.float32)
+        for m, d in enumerate(self.input_dim_list):
+            mask[m, :d] = 1.0
+        return jnp.asarray(mask)
+
+    # -- compute ------------------------------------------------------------------
+    def forward(self, params, x_packed: jnp.ndarray, c: jnp.ndarray, key,
+                combine: str) -> dict:
+        """x_packed: [M, B, d_max]; c: [B, c_dim] (shared covariates)."""
+        act = leaky_relu if self.non_linear else (lambda a: a)
+        m, b, _ = x_packed.shape
+        e = params["enc"]
+        xc = jnp.concatenate(
+            [x_packed, jnp.broadcast_to(c, (m,) + c.shape)], axis=2
+        )
+        h = act(jnp.einsum("mbk,mkh->mbh", xc, e["w1"]) + e["b1"][:, None, :])
+        h = act(jnp.einsum("mbk,mkh->mbh", h, e["w2"]) + e["b2"][:, None, :])
+        mus = jnp.einsum("mbk,mkz->mbz", h, e["wmu"]) + e["bmu"][:, None, :]
+        logvars = jnp.einsum("mbk,mkz->mbz", h, e["wlv"]) + e["blv"][:, None, :]
+
+        fused_mu, fused_var = fusion.combine_latent(
+            mus, jnp.exp(logvars), combine, params["alpha"],
+            single_modality_shortcut=True,
+        )
+        fused_logvar = jnp.log(fused_var)
+        z = reparameterize(key, fused_mu, fused_logvar)
+
+        d = params["dec"]
+        zc = jnp.concatenate([z, c], axis=1)  # [B, Z+C]
+        g = act(jnp.einsum("bk,mkh->mbh", zc, d["w1"]) + d["b1"][:, None, :])
+        g = act(jnp.einsum("mbk,mkh->mbh", g, d["w2"]) + d["b2"][:, None, :])
+        means = jnp.einsum("mbk,mkd->mbd", g, d["wm"]) + d["bm"][:, None, :]
+        return {
+            "recon_means": means,                 # [M, B, d_max]
+            "mu_multimodal": fused_mu,
+            "logvar_multimodal": fused_logvar,
+            "mus": mus,
+            "logvars": logvars,
+            "z": z,
+        }
+
+    def loss(self, params, x_packed, fwd,
+             mask: Optional[jnp.ndarray] = None) -> dict:
+        """Identical math to MultimodalCVAE('cvae').loss: per-modality
+        Gaussian NLL with the learnable output logvar + M copies of the
+        fused KL, feature-masked so padded columns contribute nothing."""
+        col = self.col_mask()[:, None, :]                      # [M, 1, d_max]
+        lvo = params["dec"]["lvo"][:, None, :]                 # [M, 1, d_max]
+        mu, logvar = fwd["mu_multimodal"], fwd["logvar_multimodal"]
+
+        ll_elem = (-0.5 * (x_packed - fwd["recon_means"]) ** 2 * jnp.exp(-lvo)
+                   - 0.5 * lvo - _HALF_LOG_2PI) * col
+        ll_rows = jnp.sum(ll_elem, axis=2)                     # [M, B]
+        kl_rows = -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar),
+                                 axis=1)                       # [B]
+        if mask is None:
+            ll = jnp.mean(ll_rows, axis=1)                     # [M]
+            kl = jnp.mean(kl_rows)
+        else:
+            w = mask.astype(ll_rows.dtype)
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            ll = jnp.sum(ll_rows * w[None, :], axis=1) / denom
+            kl = jnp.sum(kl_rows * w) / denom
+        total = self.modalities * kl - jnp.sum(ll)
+        return {"total": total, "kl": self.modalities * kl,
+                "ll": jnp.sum(ll)}
+
+    def pred_recon(self, params, x_packed, c, key, combine: str):
+        return self.forward(params, x_packed, c, key, combine)["recon_means"]
+
+    def reconstruction_deviation(self, x_packed, recon) -> List[jnp.ndarray]:
+        """Per-modality per-subject MSE over the modality's true features."""
+        col = self.col_mask()[:, None, :]
+        sq = ((x_packed - recon) ** 2) * col
+        dims = jnp.asarray(self.input_dim_list, sq.dtype)
+        return jnp.sum(sq, axis=2) / dims[:, None]
