@@ -51,9 +51,8 @@ class DeviationEmitter:
         ].reset_index(drop=True)
 
         def with_features(values: np.ndarray, columns=columns_name):
-            frame = prefix.copy()
-            frame[columns] = pd.DataFrame(np.asarray(values), columns=columns)
-            return frame
+            features = pd.DataFrame(np.asarray(values), columns=columns)
+            return pd.concat([prefix, features], axis=1)
 
         normalized = with_features(test_data)
         reconstruction = with_features(prediction)
