@@ -171,13 +171,22 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['fp32', 'bf16'],
                         help='bf16 runs the MXU matmuls in bfloat16 with '
                              'fp32 master params and loss reductions.')
+    parser.add_argument('--profile_dir', dest='profile_dir', default=None,
+                        help='emit a jax.profiler device trace of the '
+                             'training run into this directory.')
     return parser
 
 
 def run(argv=None, project_root=None):
     args = build_parser().parse_args(argv)
     common.apply_post_parse_defaults(args)
-    main(args, project_root=project_root)
+    if getattr(args, 'profile_dir', None):
+        from ..utils.profiling import trace
+
+        with trace(args.profile_dir):
+            main(args, project_root=project_root)
+    else:
+        main(args, project_root=project_root)
 
 
 if __name__ == '__main__':

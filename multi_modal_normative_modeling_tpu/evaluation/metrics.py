@@ -76,6 +76,25 @@ def classification_performance(error_hc, error_patient, training_class: str,
     return roc_auc, accuracy, float(recall), float(specificity), significance_ratio
 
 
+def classification_thresholds(error_hc, error_patient):
+    """(roc_auc, accuracy, optimal_threshold) with the HC-positive label
+    direction (compute_classification_thresholds, group_analysis:39-59)."""
+    from sklearn.metrics import auc
+
+    error_hc = np.asarray(error_hc, dtype=float)
+    error_patient = np.asarray(error_patient, dtype=float)
+    labels = np.concatenate(
+        [np.ones_like(error_hc), np.zeros_like(error_patient)]
+    )
+    predictions = np.concatenate([error_hc, error_patient])
+    fpr, tpr, thresholds = _roc_curve(labels, predictions)
+    roc_auc = auc(fpr, tpr)
+    optimal_threshold = thresholds[np.argmax(tpr - fpr)]
+    predicted = (predictions > optimal_threshold).astype(int)
+    accuracy = float(np.mean(predicted == labels))
+    return roc_auc, accuracy, optimal_threshold
+
+
 def find_best_threshold_by_f1(labels, predictions):
     from sklearn.metrics import f1_score
 
