@@ -45,6 +45,12 @@ def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
 
+    from multi_modal_normative_modeling_tpu.utils.jaxconfig import (
+        configure_jax_cache,
+    )
+
+    configure_jax_cache()
+
     from multi_modal_normative_modeling_tpu.models import build_model
     from multi_modal_normative_modeling_tpu.parallel import (
         MultiFoldTrainer,

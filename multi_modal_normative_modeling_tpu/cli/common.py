@@ -2,6 +2,10 @@
 from __future__ import annotations
 
 import argparse
+
+from ..utils.jaxconfig import configure_jax_cache
+
+configure_jax_cache()
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -68,6 +72,41 @@ def apply_post_parse_defaults(args, default_procedure: str = 'UCA-gPoE',
     return args
 
 
+_CSV_CACHE: dict = {}
+
+
+def read_csv_cached(path) -> pd.DataFrame:
+    """Modality/demographic CSVs are re-read for every fold in the reference
+    (train:88-89); cache them per (path, mtime) — k-fold runs read each file
+    once instead of k times."""
+    path = Path(path)
+    key = (str(path), path.stat().st_mtime_ns)
+    if key not in _CSV_CACHE:
+        # drop stale entries for the same path
+        for old in [k for k in _CSV_CACHE if k[0] == key[0]]:
+            del _CSV_CACHE[old]
+        _CSV_CACHE[key] = pd.read_csv(path)
+    return _CSV_CACHE[key]
+
+
+def load_dataset_cached(demographic_path, ids_path, modality_path):
+    """load_dataset with the two big reads served from the CSV cache."""
+    from ..data.loading import load_demographic_data
+
+    demographic_df = read_csv_cached(demographic_path).dropna()
+    ids_df = pd.read_csv(ids_path, usecols=['IID'])
+    if ('Run_ID' in demographic_df.columns
+            or 'Session_ID' in demographic_df.columns):
+        # composite id formats: fall back to the reference-exact loader
+        demographic = load_demographic_data(demographic_path, ids_path)
+    else:
+        ids_df = ids_df.copy()
+        ids_df['participant_id'] = ids_df['IID']
+        demographic = pd.merge(ids_df, demographic_df, on='IID')
+    modality_df = read_csv_cached(modality_path)
+    return pd.merge(modality_df, demographic, on='IID')
+
+
 def prepare_modality(project_root: Path, resource: str, dataset_name: str,
                      participants_path, train_ids_path,
                      test_ids_path=None) -> dict:
@@ -78,7 +117,8 @@ def prepare_modality(project_root: Path, resource: str, dataset_name: str,
 
     columns_name = registry.get_column_name(resource, dataset_name)
     modality_path = Path(project_root) / 'data' / resource / f'{dataset_name}.csv'
-    train_df = load_dataset(participants_path, train_ids_path, modality_path)
+    train_df = load_dataset_cached(participants_path, train_ids_path,
+                                   modality_path)
 
     scaler = RobustScaler()
     train_data = scaler.fit_transform(train_df[columns_name].values)
@@ -89,7 +129,8 @@ def prepare_modality(project_root: Path, resource: str, dataset_name: str,
         'train_cov': one_hot_covariates(train_df[['DIA', 'PTGENDER', 'AGE']]),
     }
     if test_ids_path is not None:
-        test_df = load_dataset(participants_path, test_ids_path, modality_path)
+        test_df = load_dataset_cached(participants_path, test_ids_path,
+                                      modality_path)
         out['test_df'] = test_df
         out['test_data'] = scaler.transform(
             test_df[columns_name].values

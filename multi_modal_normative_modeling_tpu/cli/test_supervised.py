@@ -47,6 +47,8 @@ def main(args, project_root=None):
     HC_group = ids_df[ids_df['DIA'] == hc_label]
 
     emitter = DeviationEmitter(dataset_names)
+    model = None
+    infer_fn = None
 
     for fold, _ in enumerate(kf.split(HC_group)):
         train_ids_path, test_ids_path = common.fold_paths(kfold_dir, fold)
@@ -69,24 +71,38 @@ def main(args, project_root=None):
             print('firstly train model')
             continue
         print('load trained model')
-        config = None
-        raw_params, config = load_checkpoint(fold_model_dir)
-        model = common.build_model_from_config(config)
+        _, config = load_checkpoint(fold_model_dir)
+        if model is None:
+            model = common.build_model_from_config(config)
+            # one jitted inference program reused across folds (eager
+            # dispatch over the remote-TPU link costs a round trip per op)
+            combine = args.combine
+
+            @jax.jit
+            def infer_fn(params, xes, cs, key):
+                recons = model.pred_recon(params, list(xes), list(cs), key,
+                                          combine)
+                devs = [
+                    model.reconstruction_deviation(xes[m], recons[m])
+                    for m in range(len(xes))
+                ]
+                return recons, devs
+
         template = model.init_params(jax.random.PRNGKey(0))
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
 
-        cs = [test_cov] * len(dataset_names)
+        # bucket-pad rows so every fold hits the same compiled shape (fold
+        # sizes differ by +-1; retracing costs ~30s per fold on the tunnel)
+        n_rows = test_data_list[0].shape[0]
+        padded_rows = -(-n_rows // 64) * 64
+        pad = lambda a: np.pad(np.asarray(a, dtype=np.float32),
+                               ((0, padded_rows - n_rows), (0, 0)))
+        cs = (pad(test_cov),) * len(dataset_names)
         key = jax.random.PRNGKey(1000 + fold)
-        predictions = model.pred_recon(
-            params, [np.asarray(x) for x in test_data_list], cs, key,
-            args.combine,
-        )
-        predictions = [np.asarray(p) for p in predictions]
-        deviations = [
-            np.asarray(model.reconstruction_deviation(test_data_list[m],
-                                                      predictions[m]))
-            for m in range(len(dataset_names))
-        ]
+        predictions, deviations = infer_fn(
+            params, tuple(pad(x) for x in test_data_list), cs, key)
+        predictions = [np.asarray(p)[:n_rows] for p in predictions]
+        deviations = [np.asarray(d)[:n_rows] for d in deviations]
 
         for m, dataset_name in enumerate(dataset_names):
             emitter.emit_fold(

@@ -1,0 +1,44 @@
+"""Process-wide JAX configuration for the CLIs.
+
+Enables the persistent compilation cache: grid-search drivers
+(commands_list*.sh) re-run identical program shapes dozens of times, and on
+the remote-TPU path a single whole-fold train program can take minutes to
+compile — caching it makes every subsequent sweep point start in seconds.
+
+Override the location with MMNM_JAX_CACHE; disable with MMNM_JAX_CACHE=0.
+"""
+from __future__ import annotations
+
+import os
+
+_configured = False
+
+
+def configure_jax_cache() -> None:
+    global _configured
+    if _configured:
+        return
+    _configured = True
+    import jax
+
+    # Honor an explicit JAX_PLATFORMS env var: this image's TPU plugin
+    # sitecustomize overrides jax_platforms via jax.config at interpreter
+    # start, which silently beats the env var (e.g. subprocess tests that
+    # request CPU would otherwise run on the remote TPU).
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+    cache_dir = os.environ.get("MMNM_JAX_CACHE",
+                               os.path.expanduser("~/.cache/mmnm_jax"))
+    if cache_dir in ("0", "", "off"):
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
