@@ -15,7 +15,7 @@ import pandas as pd
 from sklearn.model_selection import KFold
 
 from .. import registry
-from ..data.loading import load_dataset
+from .common import load_dataset_cached as load_dataset
 from ..evaluation.metrics import classification_performance
 from ..evaluation.reports import (
     append_result_4,

@@ -21,7 +21,8 @@ import pandas as pd
 from sklearn.model_selection import KFold
 
 from .. import registry
-from ..data.loading import generate_kfold_ids, load_dataset
+from ..data.loading import generate_kfold_ids
+from .common import load_dataset_cached as load_dataset
 from ..data.preprocess import one_hot_covariates
 from ..evaluation.reports import append_performance_metrics
 from ..models.multimodal import MultimodalCVAE

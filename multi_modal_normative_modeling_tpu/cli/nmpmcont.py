@@ -25,7 +25,8 @@ import pandas as pd
 from sklearn.model_selection import KFold
 
 from .. import registry
-from ..data.loading import generate_kfold_ids_endtoend, load_dataset
+from ..data.loading import generate_kfold_ids_endtoend
+from .common import load_dataset_cached as load_dataset
 from ..data.preprocess import binary_labels, one_hot_covariates
 from ..evaluation.metrics import binary_prediction_metrics
 from ..evaluation.reports import append_endtoend_results

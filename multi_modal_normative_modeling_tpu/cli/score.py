@@ -1,0 +1,139 @@
+"""Batch deviation scoring of new subjects ("serving" path).
+
+Beyond-reference capability: the reference can only score the k-fold test
+splits inside its test script. This CLI loads trained fold checkpoints and
+scores an arbitrary subject list (an ids CSV) against the normative model,
+emitting per-subject deviation scores and per-ROI deviations — optionally
+ensembled over all folds (mean deviation across fold models, one jitted
+program reused throughout).
+
+Scalers are re-fit from each fold's train ids (the reference's convention,
+multimodal_kfold_test_cvae_supervised.py:82-90), so the experiment directory
+must contain outputs/kfold_analysis/{train_ids_*.csv} and the fold
+checkpoints.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+
+from .. import registry
+from ..train import checkpoint_exists, load_checkpoint
+from . import common
+
+
+def score(args, project_root=None) -> pd.DataFrame:
+    project_root = Path(project_root) if project_root else Path.cwd()
+    kfold_dir = project_root / 'outputs' / 'kfold_analysis'
+    model_dir = kfold_dir / 'supervised_cvae'
+    participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
+    dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                               args.procedure)
+
+    folds = (range(args.n_splits) if args.fold is None else [args.fold])
+    model = None
+    infer_fn = None
+    per_fold_dev = []
+    per_fold_roi = []
+    subject_ids = None
+
+    for fold in folds:
+        fold_model_dir = model_dir / f'{fold:03d}'
+        if not checkpoint_exists(fold_model_dir):
+            raise FileNotFoundError(
+                f'no checkpoint in {fold_model_dir}; train first')
+        train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
+
+        data_list, columns_list, cov = [], [], None
+        for dataset_name in dataset_names:
+            prep = common.prepare_modality(
+                project_root, args.dataset_resourse, dataset_name,
+                participants_path, train_ids_path, args.ids,
+            )
+            data_list.append(prep['test_data'])
+            columns_list.append(prep['columns'])
+            cov = prep['test_cov']
+            subject_df = prep['test_df']
+        subject_ids = subject_df['participant_id'].values
+
+        _, config = load_checkpoint(fold_model_dir)
+        if model is None:
+            model = common.build_model_from_config(config)
+            combine = args.combine
+
+            @jax.jit
+            def infer_fn(params, xes, cs, key):
+                recons = model.pred_recon(params, list(xes), list(cs), key,
+                                          combine)
+                devs = [model.reconstruction_deviation(xes[m], recons[m])
+                        for m in range(len(xes))]
+                return recons, devs
+
+        template = model.init_params(jax.random.PRNGKey(0))
+        params, _ = load_checkpoint(fold_model_dir, template_params=template)
+
+        n_rows = data_list[0].shape[0]
+        padded = -(-n_rows // 64) * 64
+        pad = lambda a: np.pad(np.asarray(a, np.float32),
+                               ((0, padded - n_rows), (0, 0)))
+        recons, devs = infer_fn(params, tuple(pad(x) for x in data_list),
+                                (pad(cov),) * len(dataset_names),
+                                jax.random.PRNGKey(args.seed + fold))
+        devs = np.stack([np.asarray(d)[:n_rows] for d in devs])  # [M, N]
+        per_fold_dev.append(devs.mean(axis=0))
+        roi = np.concatenate(
+            [(data_list[m] - np.asarray(recons[m])[:n_rows]) ** 2
+             for m in range(len(dataset_names))], axis=1)
+        per_fold_roi.append(roi)
+
+    deviation = np.mean(per_fold_dev, axis=0)
+    roi_dev = np.mean(per_fold_roi, axis=0)
+
+    out = pd.DataFrame({'participant_id': subject_ids,
+                        'deviation': deviation})
+    if args.output:
+        out.to_csv(args.output, index=False)
+        if args.roi_output:
+            all_cols = [c for cols in columns_list for c in cols]
+            roi_frame = pd.DataFrame(roi_dev, columns=all_cols)
+            roi_frame.insert(0, 'participant_id', subject_ids)
+            roi_frame.to_csv(args.roi_output, index=False)
+        print(f'scored {len(out)} subjects '
+              f'({"ensemble of " + str(len(per_fold_dev)) + " folds" if args.fold is None else f"fold {args.fold}"}) '
+              f'-> {args.output}')
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description='Score subjects against a trained normative model.')
+    parser.add_argument('-R', '--dataset_resourse', type=str, default='ADNI')
+    parser.add_argument('-P', '--procedure', type=str, default='UCA-gPoE')
+    parser.add_argument('-C', '--combine', type=str, default=None)
+    parser.add_argument('-K', '--n_splits', type=int, default=10)
+    parser.add_argument('--ids', required=True,
+                        help='CSV with an IID column listing subjects to '
+                             'score (must exist in the modality tables).')
+    parser.add_argument('--fold', type=int, default=None,
+                        help='score with one fold model instead of the '
+                             'all-fold ensemble.')
+    parser.add_argument('--output', default='deviation_scores.csv')
+    parser.add_argument('--roi_output', default=None,
+                        help='also write per-ROI squared deviations here.')
+    parser.add_argument('--seed', type=int, default=42)
+    return parser
+
+
+def run(argv=None, project_root=None):
+    args = build_parser().parse_args(argv)
+    if args.combine is None:
+        args.combine = args.procedure.split('-')[1]
+    return score(args, project_root=project_root)
+
+
+if __name__ == '__main__':
+    run()

@@ -1,0 +1,49 @@
+"""Scoring CLI: ensemble deviation scoring of arbitrary subject lists."""
+import argparse
+
+import numpy as np
+import pandas as pd
+
+from multi_modal_normative_modeling_tpu.cli import score, train_supervised
+from multi_modal_normative_modeling_tpu.data.synthetic import (
+    make_synthetic_resource,
+)
+
+
+def test_score_ensemble(tmp_path):
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=60, n_disease={0: 30},
+                            effect=1.2)
+    train_args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 6],
+        procedure="SM-av45", combine="PoE", epochs=30, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=False, precision="fp32",
+    )
+    train_supervised.main(train_args, project_root=root)
+
+    # score every subject (HC + disease)
+    y = pd.read_csv(root / "data" / "ADNI" / "y.csv")
+    ids_path = root / "score_ids.csv"
+    y[["IID"]].to_csv(ids_path, index=False)
+
+    score_args = argparse.Namespace(
+        dataset_resourse="ADNI", procedure="SM-av45", combine="PoE",
+        n_splits=2, ids=str(ids_path), fold=None,
+        output=str(root / "scores.csv"),
+        roi_output=str(root / "roi_scores.csv"), seed=42,
+    )
+    out = score.score(score_args, project_root=root)
+    assert len(out) == len(y)
+
+    merged = out.merge(y, left_on="participant_id", right_on="IID")
+    hc_dev = merged[merged["DIA"] == 2]["deviation"]
+    ad_dev = merged[merged["DIA"] == 0]["deviation"]
+    # injected per-subject noise must raise disease deviations
+    assert ad_dev.mean() > hc_dev.mean()
+
+    roi = pd.read_csv(root / "roi_scores.csv")
+    assert roi.shape == (len(y), 1 + 90)
+    assert np.isfinite(roi.iloc[:, 1:].values).all()
