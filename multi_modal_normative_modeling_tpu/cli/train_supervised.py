@@ -123,10 +123,14 @@ def main(args, project_root=None):
                                      train_config.batch_size)
         out_params, logs = mft.run(stacked, jax.device_put(batches),
                                    jnp.stack(keys))
-        per_fold_params = unstack_params(out_params, n_folds)
+        # one bulk device->host fetch, then numpy slicing: per-fold device
+        # indexing would issue an eager (compile + RTT) op per leaf per fold
+        host_params = jax.tree_util.tree_map(np.asarray,
+                                             jax.device_get(out_params))
+        host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
+        per_fold_params = unstack_params(host_params, n_folds)
         per_fold_logs = [
-            {k: np.asarray(v)[f] for k, v in logs.items()}
-            for f in range(n_folds)
+            {k: v[f] for k, v in host_logs.items()} for f in range(n_folds)
         ]
     else:
         trainer = FoldTrainer(model, train_config, folds[0][0][0].shape[0])

@@ -34,6 +34,9 @@ def stack_params(params_list: Sequence) -> dict:
 
 
 def unstack_params(stacked, n_folds: int) -> List:
+    """Slice the leading fold axis. Prefer passing host (numpy) trees: on
+    device arrays each slice is an eager dispatch (a compile + round trip
+    per leaf per fold on the remote-TPU path)."""
     return [
         jax.tree_util.tree_map(lambda leaf: leaf[i], stacked)
         for i in range(n_folds)

@@ -38,7 +38,10 @@ def configure_jax_cache() -> None:
         return
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache everything: on the remote-compile path even trivial eager
+        # ops cost ~0.4s to compile, so the usual >=1s threshold would leave
+        # dozens of per-run recompiles on the table
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
