@@ -144,6 +144,54 @@ def fold_paths(kfold_dir: Path, fold: int) -> Tuple[Path, Path]:
             kfold_dir / f'test_ids_{fold:03d}.csv')
 
 
+def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
+              loss_fn=None, state_update=None, per_fold_extras=None):
+    """Train every fold — sequentially with a shared compiled trainer, or all
+    at once as one vmapped program (numerics identical; see
+    tests/test_parallel.py). ``folds`` is a list of (data_list, cov_list).
+
+    Returns (per_fold_params, per_fold_logs) as host numpy pytrees.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..train import FoldTrainer
+    from ..parallel import MultiFoldTrainer, stack_fold_batches, stack_params
+    from ..parallel.folds import unstack_params
+
+    n_folds = len(folds)
+    if fold_parallel:
+        max_n = max(f[0][0].shape[0] for f in folds)
+        mft = MultiFoldTrainer(model, config, max_n, loss_fn=loss_fn,
+                               state_update=state_update)
+        stacked = stack_params(params_list)
+        batches = stack_fold_batches([f[0] for f in folds],
+                                     [f[1] for f in folds],
+                                     config.batch_size,
+                                     extras=per_fold_extras)
+        out_params, logs = mft.run(stacked, jax.device_put(batches),
+                                   jnp.stack(list(keys)))
+        host_params = jax.tree_util.tree_map(np.asarray,
+                                             jax.device_get(out_params))
+        host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
+        return (unstack_params(host_params, n_folds),
+                [{k: v[f] for k, v in host_logs.items()}
+                 for f in range(n_folds)])
+
+    trainer = FoldTrainer(model, config, folds[0][0][0].shape[0],
+                          loss_fn=loss_fn, state_update=state_update)
+    per_fold_params, per_fold_logs = [], []
+    for f, (data_list, cov_list) in enumerate(folds):
+        extras = per_fold_extras[f] if per_fold_extras else None
+        params, logs = trainer.run(params_list[f], data_list, cov_list,
+                                   key=keys[f], extras=extras)
+        per_fold_params.append(
+            jax.tree_util.tree_map(np.asarray, jax.device_get(params)))
+        per_fold_logs.append(logs)
+    return per_fold_params, per_fold_logs
+
+
 def model_config_dict(args, input_dim_list: List[int], c_dim: int,
                       modalities: int) -> dict:
     return {

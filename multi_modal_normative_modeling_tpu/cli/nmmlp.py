@@ -69,14 +69,13 @@ def train(args, project_root: Path):
                        n_splits=args.n_splits, project_root=project_root)
 
     kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
-    trainer = None
+    folds, input_dim_list, c_dim = [], [], None
     for fold, _ in enumerate(kf.split(HC_group)):
         train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
-        fold_model_dir = model_dir / f'{fold:03d}'
-        fold_model_dir.mkdir(exist_ok=True)
+        (model_dir / f'{fold:03d}').mkdir(exist_ok=True)
 
-        data_list, cov_list, input_dim_list = [], [], []
-        c_dim = None
+        data_list, cov_list = [], []
+        input_dim_list = []
         for dataset_name in dataset_names:
             from sklearn.preprocessing import RobustScaler
 
@@ -96,25 +95,31 @@ def train(args, project_root: Path):
             cov_list.append(cov)
             input_dim_list.append(data.shape[1])
             c_dim = cov.shape[1]
+        folds.append((data_list, cov_list))
 
-        model = _build_model(args, input_dim_list, c_dim, modalities)
-        params = model.init_params(jax.random.PRNGKey(42 + fold))
+    model = _build_model(args, input_dim_list, c_dim, modalities)
+    # working cyclic schedule here (nmmlp:363-364, :380-381)
+    config = TrainConfig(epochs=args.epochs, batch_size=256,
+                         combine=args.combine, lr_schedule='cyclic',
+                         base_lr=1e-6, max_lr=5e-5, shuffle=False, seed=42)
+    n_folds = len(folds)
+    params_list = [model.init_params(jax.random.PRNGKey(42 + f))
+                   for f in range(n_folds)]
+    keys = [jax.random.PRNGKey(42 + f) for f in range(n_folds)]
 
-        if trainer is None:
-            # working cyclic schedule here (nmmlp:363-364, :380-381)
-            config = TrainConfig(epochs=args.epochs, batch_size=256,
-                                 combine=args.combine, lr_schedule='cyclic',
-                                 base_lr=1e-6, max_lr=5e-5, shuffle=False,
-                                 seed=42)
-            trainer = FoldTrainer(model, config, data_list[0].shape[0])
+    print('Training model...')
+    from .common import run_folds
 
-        print('Training model...')
-        params, logs = trainer.run(params, data_list, cov_list,
-                                   key=jax.random.PRNGKey(42 + fold))
+    per_fold_params, per_fold_logs = run_folds(
+        model, config, folds, params_list, keys,
+        getattr(args, 'fold_parallel', False))
+
+    for fold in range(n_folds):
+        fold_model_dir = model_dir / f'{fold:03d}'
         logger = Logger()
-        logger.extend(logs)
+        logger.extend(per_fold_logs[fold])
         plot_losses(logger, fold_model_dir, 'training')
-        save_checkpoint(fold_model_dir, params, {
+        save_checkpoint(fold_model_dir, per_fold_params[fold], {
             'model': 'nmmlp', 'input_dim_list': list(map(int, input_dim_list)),
             'hidden_dim': list(args.hz_para_list[:-1]),
             'latent_dim': int(args.hz_para_list[-1]), 'c_dim': int(c_dim),
@@ -279,6 +284,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help='Number of splits for k-fold cross-validation.')
     parser.add_argument('-O', '--oversample_percentage', type=float, default=1,
                         help='Percentage of oversampling of the training data.')
+    parser.add_argument('--fold_parallel', dest='fold_parallel',
+                        action='store_true',
+                        help='train every CV fold concurrently as one '
+                             'vmapped device program.')
     return parser
 
 

@@ -88,8 +88,8 @@ def main(args, project_root=None):
         print('note: no ids in kfold_analysis, using kfold_analysis_endtoend')
 
     all_metrics = []
-    trainer = None
     model = None
+    fold_data = []
 
     for fold, _ in enumerate(kf.split(HC_group)):
         train_ids_path = ids_source / f'train_ids_{fold:03d}.csv'
@@ -123,52 +123,61 @@ def main(args, project_root=None):
             input_dim_list.append(data.shape[1])
             c_dim = cov.shape[1]
 
-        h_dim = args.hz_para_list[:-1]
-        z_dim = args.hz_para_list[-1]
+        fold_data.append({
+            'train': (train_data_list, train_cov_list),
+            'train_labels': train_labels,
+            'test_data_list': test_data_list,
+            'test_cov_list': test_cov_list,
+            'test_labels': test_labels,
+        })
 
-        if model is None:
-            model = EndToEndCVAE(input_dim_list, h_dim, z_dim, c_dim,
-                                 modalities, non_linear=True,
-                                 classifier_layers=args.layers,
-                                 dropout_rate=0.5, num_classes=2)
+    h_dim = args.hz_para_list[:-1]
+    z_dim = args.hz_para_list[-1]
+    model = EndToEndCVAE(input_dim_list, h_dim, z_dim, c_dim, modalities,
+                         non_linear=True, classifier_layers=args.layers,
+                         dropout_rate=0.5, num_classes=2)
+    config = TrainConfig(epochs=args.epochs, batch_size=256,
+                         learning_rate=0.0001, combine='poe',
+                         shuffle=False, seed=42)
 
-        params = model.init_params(jax.random.PRNGKey(42 + fold))
-
-        if trainer is None:
-            config = TrainConfig(epochs=args.epochs, batch_size=256,
-                                 learning_rate=0.0001, combine='poe',
-                                 shuffle=False, seed=42)
-
-            def loss_fn(p, batch, k):
-                labels = batch['extras']['labels'][:, 0].astype(np.int32)
-                fwd = model.forward(p, list(batch['x']), list(batch['c']), k,
-                                    train=True, mask=batch['mask'])
-                losses = model.loss(
-                    p, list(batch['x']), fwd, labels,
-                    margin=args.margin,
-                    weight_contrastive=args.weightcontrastive,
-                    mask=batch['mask'],
-                )
-                losses['__bn_state__'] = fwd['bn_state']
-                return losses['total_loss'], losses
-
-            def state_update(p, aux):
-                return {**p, 'bn_state': aux['__bn_state__']}
-
-            trainer = FoldTrainer(model, config,
-                                  train_data_list[0].shape[0],
-                                  loss_fn=loss_fn,
-                                  state_update=state_update)
-
-        print('train model')
-        params, logs = trainer.run(
-            params, train_data_list, train_cov_list,
-            key=jax.random.PRNGKey(42 + fold),
-            extras={'labels': train_labels.astype(np.float32)[:, None]},
+    def loss_fn(p, batch, k):
+        labels = batch['extras']['labels'][:, 0].astype(np.int32)
+        fwd = model.forward(p, list(batch['x']), list(batch['c']), k,
+                            train=True, mask=batch['mask'])
+        losses = model.loss(
+            p, list(batch['x']), fwd, labels,
+            margin=args.margin,
+            weight_contrastive=args.weightcontrastive,
+            mask=batch['mask'],
         )
+        losses['__bn_state__'] = fwd['bn_state']
+        return losses['total_loss'], losses
 
+    def state_update(p, aux):
+        return {**p, 'bn_state': aux['__bn_state__']}
+
+    n_folds = len(fold_data)
+    params_list = [model.init_params(jax.random.PRNGKey(42 + f))
+                   for f in range(n_folds)]
+    keys = [jax.random.PRNGKey(42 + f) for f in range(n_folds)]
+
+    print('train model')
+    from .common import run_folds
+
+    per_fold_params, per_fold_logs = run_folds(
+        model, config, [f['train'] for f in fold_data], params_list, keys,
+        getattr(args, 'fold_parallel', False), loss_fn=loss_fn,
+        state_update=state_update,
+        per_fold_extras=[
+            {'labels': f['train_labels'].astype(np.float32)[:, None]}
+            for f in fold_data
+        ])
+
+    for fold in range(n_folds):
+        fold_model_dir = model_dir / f'{fold:03d}'
+        params = per_fold_params[fold]
         logger = Logger()
-        logger.extend(logs)
+        logger.extend(per_fold_logs[fold])
         plot_losses(logger, fold_model_dir, 'training')
         save_checkpoint(fold_model_dir, params, {
             'model': 'cVAE_multimodal_endtoend',
@@ -178,11 +187,13 @@ def main(args, project_root=None):
             'classifier_layers': list(args.layers),
         })
 
-        logits = model.predict(params,
-                               [np.asarray(x) for x in test_data_list],
-                               [np.asarray(c) for c in test_cov_list])
+        logits = model.predict(
+            params,
+            [np.asarray(x) for x in fold_data[fold]['test_data_list']],
+            [np.asarray(c) for c in fold_data[fold]['test_cov_list']])
         preds = np.argmax(np.asarray(logits), axis=1)
-        metrics = binary_prediction_metrics(test_labels, preds)
+        metrics = binary_prediction_metrics(fold_data[fold]['test_labels'],
+                                            preds)
         print(f'Fold {fold} metrics:')
         print(metrics)
         all_metrics.append(metrics)
@@ -217,6 +228,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('-Layers', '--layers', dest='layers', nargs='+',
                         default=[128, 64, 32], type=int,
                         help='Layers for the classifier.')
+    parser.add_argument('--fold_parallel', dest='fold_parallel',
+                        action='store_true',
+                        help='train every CV fold concurrently as one '
+                             'vmapped device program.')
     return parser
 
 

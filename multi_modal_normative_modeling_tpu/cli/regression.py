@@ -46,12 +46,12 @@ def train_and_test(args, project_root=None):
     ids_df = pd.read_csv(participants_path)
 
     kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
-    trainer = None
     model = None
     all_scores = []
 
+    # ---- phase 1: per-fold data prep --------------------------------------
+    fold_data = []
     for fold, (train_idx, test_idx) in enumerate(kf.split(ids_df)):
-        print(f'=== Fold {fold} ===')
         train_ids = ids_df.iloc[train_idx]['IID'].tolist()
         test_ids = ids_df.iloc[test_idx]['IID'].tolist()
 
@@ -87,36 +87,52 @@ def train_and_test(args, project_root=None):
             test_fi = test_df['FI'].values.astype(np.float32)
             input_dim_list.append(train_data_list[-1].shape[1])
 
-        h_dim = args.hz_para_list[:-1]
-        z_dim = args.hz_para_list[-1]
-        if model is None:
-            model = RegressionCVAE(input_dim_list, h_dim, z_dim, c_dim=2,
-                                   modalities=len(dataset_names),
-                                   non_linear=True)
-        params = model.init_params(jax.random.PRNGKey(42 + fold))
+        fold_data.append({
+            'train': (train_data_list, [train_cov] * len(dataset_names)),
+            'train_fi': train_fi,
+            'test_data_list': test_data_list,
+            'test_cov': test_cov,
+            'test_fi': test_fi,
+            'input_dim_list': input_dim_list,
+        })
 
-        if trainer is None:
-            config = TrainConfig(epochs=args.epochs,
-                                 batch_size=args.batch_size,
-                                 learning_rate=args.base_learning_rate,
-                                 combine=args.combine, shuffle=True, seed=42)
+    # ---- phase 2: train (sequential or fold-parallel) ----------------------
+    h_dim = args.hz_para_list[:-1]
+    z_dim = args.hz_para_list[-1]
+    input_dim_list = fold_data[0]['input_dim_list']
+    model = RegressionCVAE(input_dim_list, h_dim, z_dim, c_dim=2,
+                           modalities=len(dataset_names), non_linear=True)
+    config = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                         learning_rate=args.base_learning_rate,
+                         combine=args.combine, shuffle=True, seed=42)
 
-            def loss_fn(p, batch, k):
-                fwd = model.forward(p, list(batch['x']), list(batch['c']), k,
-                                    config.combine)
-                losses = model.loss(p, list(batch['x']), fwd,
-                                    batch['extras']['fi'][:, 0],
-                                    lambda_reg=1.0, mask=batch['mask'])
-                return losses['total'], losses
+    def loss_fn(p, batch, k):
+        fwd = model.forward(p, list(batch['x']), list(batch['c']), k,
+                            config.combine)
+        losses = model.loss(p, list(batch['x']), fwd,
+                            batch['extras']['fi'][:, 0],
+                            lambda_reg=1.0, mask=batch['mask'])
+        return losses['total'], losses
 
-            trainer = FoldTrainer(model, config, train_data_list[0].shape[0],
-                                  loss_fn=loss_fn)
+    n_folds = len(fold_data)
+    params_list = [model.init_params(jax.random.PRNGKey(42 + f))
+                   for f in range(n_folds)]
+    keys = [jax.random.PRNGKey(42 + f) for f in range(n_folds)]
+    from .common import run_folds
 
-        params, logs = trainer.run(
-            params, train_data_list, [train_cov] * len(dataset_names),
-            key=jax.random.PRNGKey(42 + fold),
-            extras={'fi': train_fi[:, None]},
-        )
+    per_fold_params, per_fold_logs = run_folds(
+        model, config, [f['train'] for f in fold_data], params_list, keys,
+        getattr(args, 'fold_parallel', False), loss_fn=loss_fn,
+        per_fold_extras=[{'fi': f['train_fi'][:, None]} for f in fold_data])
+
+    # ---- phase 3: per-fold eval + artifacts ---------------------------------
+    for fold in range(n_folds):
+        print(f'=== Fold {fold} ===')
+        params = per_fold_params[fold]
+        logs = per_fold_logs[fold]
+        test_data_list = fold_data[fold]['test_data_list']
+        test_cov = fold_data[fold]['test_cov']
+        test_fi = fold_data[fold]['test_fi']
         print(f"[Fold {fold}] final loss: {float(logs['total'][-1]):.4f}, "
               f"FI MSE: {float(logs['regression'][-1]):.4f}")
 
@@ -193,6 +209,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--batch_size', type=int, default=128)
     parser.add_argument('-BaseLR', '--base_learning_rate', type=float,
                         default=0.0001)
+    parser.add_argument('--fold_parallel', dest='fold_parallel',
+                        action='store_true',
+                        help='train every CV fold concurrently as one '
+                             'vmapped device program.')
     return parser
 
 
