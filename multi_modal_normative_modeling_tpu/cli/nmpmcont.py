@@ -238,6 +238,14 @@ def build_parser() -> argparse.ArgumentParser:
 def run(argv=None, project_root=None):
     args = build_parser().parse_args(argv)
     common.apply_post_parse_defaults(args, default_procedure='SE-MoE')
+    # reference post-parse quirk (nmpmcont:463-470)
+    if args.procedure.startswith('SingleModality'):
+        if args.dataset_resourse == 'ADNI':
+            args.single_modality = 'av45'
+        elif args.dataset_resourse == 'HCP':
+            args.single_modality = 'T1_volume'
+        else:
+            raise ValueError('Unknown dataset resource')
     main(args, project_root=project_root)
 
 
