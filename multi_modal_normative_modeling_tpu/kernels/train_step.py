@@ -10,7 +10,7 @@ pallas_call, so every activation lives and dies in VMEM: HBM sees one read of
 the batch and weights and one write of the gradients.
 
 Scope: the packed cVAE family (models/stacked.py layout), 2 hidden layers,
-fusion in {poe, gpoe, moe}, fp32. Gradients are verified against
+fusion in {poe, gpoe, moe, mopoe}, fp32. Gradients are verified against
 jax.grad of the stacked model in tests/test_train_step_kernel.py (interpret
 mode on CPU and on real TPU).
 
@@ -90,6 +90,16 @@ def _kernel(m_count: int, combine: str, *refs):
     elif combine == "moe":
         mu = sum(mus) / M
         var = sum(jnp.exp(lv) for lv in lvs) / M
+        lgv = jnp.log(var)
+    elif combine == "mopoe":
+        # PoE expert appended, then uniform mixture (cVAE.py:1060-1083)
+        vars_m = [jnp.exp(lv) for lv in lvs]
+        Ts = [1.0 / v for v in vars_m]
+        Tsum = sum(Ts)
+        mu_p = sum(Ts[m] * mus[m] for m in range(M)) / Tsum
+        var_p = 1.0 / Tsum
+        mu = (sum(mus) + mu_p) / (M + 1)
+        var = (sum(vars_m) + var_p) / (M + 1)
         lgv = jnp.log(var)
     else:  # poe / gpoe over variances
         if combine == "gpoe":
@@ -180,6 +190,18 @@ def _kernel(m_count: int, combine: str, *refs):
         dvar = dlgv / var
         dmus = [dmu / M for _ in range(M)]
         dlvs = [(dvar / M) * jnp.exp(lvs[m]) for m in range(M)]
+    elif combine == "mopoe":
+        dvar = dlgv / var
+        dmu_p = dmu / (M + 1)
+        dvar_p = dvar / (M + 1)
+        dTsum = -dvar_p / (Tsum * Tsum) - dmu_p * mu_p / Tsum
+        dmus, dlvs = [], []
+        for m in range(M):
+            dmu_m = dmu / (M + 1) + dmu_p * Ts[m] / Tsum
+            dT_m = dmu_p * mus[m] / Tsum + dTsum
+            dvar_m = dvar / (M + 1) - dT_m * Ts[m] * Ts[m]
+            dmus.append(dmu_m)
+            dlvs.append(dvar_m * vars_m[m])
     else:
         dP = -dlgv / P - dmu * mu / P
         dmus, dlvs, ds = [], [], []
@@ -230,7 +252,7 @@ class FusedTrainStep:
         assert isinstance(stacked_model, StackedMultimodalCVAE)
         self.model = stacked_model
         self.combine = combine.lower()
-        if self.combine not in ("poe", "gpoe", "moe"):
+        if self.combine not in ("poe", "gpoe", "moe", "mopoe"):
             raise NotImplementedError(self.combine)
         self.interpret = (not _on_tpu()) if interpret is None else interpret
 

@@ -57,7 +57,7 @@ def _reference_loss(model, xp, c, eps, rowmask, combine):
     return loss_ref
 
 
-@pytest.mark.parametrize("combine", ["gpoe", "poe", "moe"])
+@pytest.mark.parametrize("combine", ["gpoe", "poe", "moe", "mopoe"])
 def test_fused_grads_match_autodiff(problem, combine):
     model, params, xp, c, eps, rowmask = problem
     loss_ref = _reference_loss(model, xp, c, eps, rowmask, combine)
