@@ -37,6 +37,7 @@ def score(args, project_root=None) -> pd.DataFrame:
     folds = (range(args.n_splits) if args.fold is None else [args.fold])
     model = None
     infer_fn = None
+    template = None
     per_fold_dev = []
     per_fold_roi = []
     subject_ids = None
@@ -73,7 +74,8 @@ def score(args, project_root=None) -> pd.DataFrame:
                         for m in range(len(xes))]
                 return recons, devs
 
-        template = model.init_params(jax.random.PRNGKey(0))
+        if template is None:
+            template = model.init_params(jax.random.PRNGKey(0))
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
 
         n_rows = data_list[0].shape[0]

@@ -49,6 +49,7 @@ def main(args, project_root=None):
     emitter = DeviationEmitter(dataset_names)
     model = None
     infer_fn = None
+    template = None
 
     for fold, _ in enumerate(kf.split(HC_group)):
         train_ids_path, test_ids_path = common.fold_paths(kfold_dir, fold)
@@ -88,7 +89,8 @@ def main(args, project_root=None):
                 ]
                 return recons, devs
 
-        template = model.init_params(jax.random.PRNGKey(0))
+        if template is None:
+            template = model.init_params(jax.random.PRNGKey(0))
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
 
         # bucket-pad rows so every fold hits the same compiled shape (fold
