@@ -74,18 +74,52 @@ def apply_post_parse_defaults(args, default_procedure: str = 'UCA-gPoE',
 
 _CSV_CACHE: dict = {}
 
+# Wide numeric tables (PPMI is 3485 columns) parse ~6x faster through the
+# native loader; below this width pandas' fixed overhead doesn't matter.
+_FASTCSV_MIN_COLS = 256
+
+
+def _read_modality_fast(path) -> "pd.DataFrame | None":
+    """Parse an IID + all-numeric-columns table with the native fastcsv
+    loader (or return None to fall back to pandas). Values are correctly
+    rounded (std::from_chars); pandas' default parser may differ by 1 ulp."""
+    try:
+        from ..native.fastcsv import FastCSV, fastcsv_available
+    except Exception:
+        return None
+    if not fastcsv_available():
+        return None
+    with open(path) as f:
+        header = f.readline().rstrip("\r\n").split(",")
+    if "IID" not in header or len(header) < _FASTCSV_MIN_COLS:
+        return None
+    value_cols = [c for c in header if c != "IID"]
+    reader = FastCSV(path)
+    try:
+        ids = reader.read_string_column("IID")
+        values = reader.read_columns(value_cols)
+    finally:
+        reader.close()
+    if np.isnan(values).any():
+        return None  # non-numeric cells: defer to pandas' dtype inference
+    frame = pd.DataFrame(values, columns=value_cols)
+    frame.insert(header.index("IID"), "IID", ids)
+    return frame
+
 
 def read_csv_cached(path) -> pd.DataFrame:
     """Modality/demographic CSVs are re-read for every fold in the reference
     (train:88-89); cache them per (path, mtime) — k-fold runs read each file
-    once instead of k times."""
+    once instead of k times. Wide numeric tables go through the native C++
+    loader (native/fastcsv.cpp) when available."""
     path = Path(path)
     key = (str(path), path.stat().st_mtime_ns)
     if key not in _CSV_CACHE:
         # drop stale entries for the same path
         for old in [k for k in _CSV_CACHE if k[0] == key[0]]:
             del _CSV_CACHE[old]
-        _CSV_CACHE[key] = pd.read_csv(path)
+        frame = _read_modality_fast(path)
+        _CSV_CACHE[key] = frame if frame is not None else pd.read_csv(path)
     return _CSV_CACHE[key]
 
 
