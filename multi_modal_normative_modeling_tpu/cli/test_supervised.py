@@ -57,7 +57,8 @@ def main(args, project_root=None):
         fold_model_dir.mkdir(exist_ok=True)
 
         test_data_list, clinical_df_list, columns_list = [], [], []
-        test_cov = None
+        train_data_list = []
+        test_cov = train_cov = None
         for dataset_name in dataset_names:
             prep = common.prepare_modality(
                 project_root, args.dataset_resourse, dataset_name,
@@ -67,6 +68,8 @@ def main(args, project_root=None):
             clinical_df_list.append(prep['test_df'])
             columns_list.append(prep['columns'])
             test_cov = prep['test_cov']  # last modality wins (test:102)
+            train_data_list.append(prep['train_data'])
+            train_cov = prep['train_cov']
 
         if not checkpoint_exists(fold_model_dir):
             print('firstly train model')
@@ -114,7 +117,42 @@ def main(args, project_root=None):
                 test_data_list[m], predictions[m], deviations[m],
             )
 
+        if getattr(args, 'emit_latent', False) and hasattr(model,
+                                                           'latent_stats'):
+            _emit_latent(model, params, args.combine, fold_model_dir,
+                         clinical_df_list[0], train_data_list, train_cov,
+                         test_data_list, test_cov, len(dataset_names))
+
     emitter.emit_combined(deviation_dir)
+
+
+def _emit_latent(model, params, combine, fold_model_dir, clinical_df,
+                 train_data_list, train_cov, test_data_list, test_cov,
+                 n_modalities):
+    """Opt-in latent deviation CSV per fold (beyond-reference: the reference
+    ships the latent deviation math, utils_vae.py:155-161, but no pipeline
+    ever emits it)."""
+    from ..infer.deviation import (
+        latent_deviation,
+        separate_latent_deviation,
+    )
+
+    stats = jax.jit(lambda p, xes, cs: model.latent_stats(
+        p, list(xes), list(cs), combine))
+    mu_train, _ = stats(params, tuple(train_data_list),
+                        (train_cov,) * n_modalities)
+    mu_test, var_test = stats(params, tuple(test_data_list),
+                              (test_cov,) * n_modalities)
+    mu_train = np.asarray(mu_train)
+    mu_test = np.asarray(mu_test)
+    var_test = np.asarray(var_test)
+
+    frame = clinical_df[['participant_id', 'DIA', 'AGE', 'PTGENDER']].copy()
+    frame['Latent deviation'] = latent_deviation(mu_train, mu_test, var_test)
+    per_dim = separate_latent_deviation(mu_train, mu_test, var_test)
+    for i in range(per_dim.shape[1]):
+        frame[f'latent {i}'] = per_dim[:, i]
+    frame.to_csv(Path(fold_model_dir) / 'latent_deviation.csv', index=False)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -131,6 +169,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('-K', '--n_splits', dest='n_splits', type=int,
                         default=10,
                         help='Number of splits for k-fold cross-validation.')
+    parser.add_argument('--emit_latent', dest='emit_latent',
+                        action='store_true',
+                        help='also write per-fold latent_deviation.csv '
+                             '(scalar + per-dim latent z-scores against the '
+                             'train cohort).')
     return parser
 
 

@@ -208,6 +208,13 @@ class MultimodalCVAE:
         """Per-subject mean squared error over features (cVAE.py:1210-1211)."""
         return jnp.sum((x - x_pred) ** 2, axis=1) / x.shape[1]
 
+    def latent_stats(self, params, xes, cs, combine: str):
+        """(fused_mu, fused_var) without sampling — feeds the latent
+        deviation utilities (utils_vae.py:155-161)."""
+        mus, logvars = self.encode_all(params, xes, cs)
+        fused_mu, fused_logvar = self.fuse(params, mus, logvars, combine)
+        return fused_mu, jnp.exp(fused_logvar)
+
     def pred_recon_fused(self, params, xes, cs, key, combine: str,
                          interpret: bool | None = None):
         """Fused-kernel inference path: Pallas encoder kernels per modality,
