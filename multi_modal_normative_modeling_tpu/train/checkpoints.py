@@ -19,26 +19,58 @@ from flax import serialization
 
 
 def save_checkpoint(directory, params, model_config: dict,
-                    name: str = "cVAE_model") -> Path:
+                    name: str = "cVAE_model",
+                    backend: str = "msgpack") -> Path:
+    """backend 'msgpack' (single-file flax.serialization blob, default) or
+    'orbax' (ocp.StandardCheckpointer directory)."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     params = jax.tree_util.tree_map(np.asarray, params)
-    blob = serialization.to_bytes(params)
-    (directory / f"{name}.ckpt").write_bytes(blob)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        target = (directory / f"{name}.orbax").resolve()
+        if target.exists():
+            import shutil
+
+            shutil.rmtree(target)
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(target, params)
+        checkpointer.wait_until_finished()
+        out = target
+    else:
+        blob = serialization.to_bytes(params)
+        (directory / f"{name}.ckpt").write_bytes(blob)
+        out = directory / f"{name}.ckpt"
     with open(directory / f"{name}.json", "w") as f:
         json.dump(model_config, f, indent=1)
-    return directory / f"{name}.ckpt"
+    return out
 
 
 def load_checkpoint(directory, template_params=None,
                     name: str = "cVAE_model") -> Tuple[dict, dict]:
     """Returns (params, model_config). ``template_params`` (a pytree with the
-    right structure) restores exact types; if omitted, msgpack's raw dict
-    structure is returned."""
+    right structure) restores exact types; if omitted, the stored raw
+    structure is returned. Detects the backend from what's on disk."""
     directory = Path(directory)
-    blob = (directory / f"{name}.ckpt").read_bytes()
     with open(directory / f"{name}.json") as f:
         config = json.load(f)
+    orbax_dir = directory / f"{name}.orbax"
+    if orbax_dir.exists():
+        import orbax.checkpoint as ocp
+
+        checkpointer = ocp.StandardCheckpointer()
+        if template_params is not None:
+            import jax.numpy as jnp
+
+            abstract = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype),
+                template_params)
+            params = checkpointer.restore(orbax_dir.resolve(), abstract)
+        else:
+            params = checkpointer.restore(orbax_dir.resolve())
+        return params, config
+    blob = (directory / f"{name}.ckpt").read_bytes()
     if template_params is not None:
         params = serialization.from_bytes(template_params, blob)
     else:
@@ -47,4 +79,6 @@ def load_checkpoint(directory, template_params=None,
 
 
 def checkpoint_exists(directory, name: str = "cVAE_model") -> bool:
-    return (Path(directory) / f"{name}.ckpt").exists()
+    directory = Path(directory)
+    return ((directory / f"{name}.ckpt").exists()
+            or (directory / f"{name}.orbax").exists())

@@ -111,3 +111,20 @@ def test_checkpoint_roundtrip(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         params, restored)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    model = build_model("cVAE_multimodal", [12, 9], [8, 8], 4, 3, 2)
+    params = model.init_params(jax.random.PRNGKey(0))
+    save_checkpoint(tmp_path, params, {"model": "cVAE_multimodal"},
+                    backend="orbax")
+    from multi_modal_normative_modeling_tpu.train import checkpoint_exists
+
+    assert checkpoint_exists(tmp_path)
+    template = model.init_params(jax.random.PRNGKey(7))
+    restored, config = load_checkpoint(tmp_path, template_params=template)
+    assert config["model"] == "cVAE_multimodal"
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, restored)
