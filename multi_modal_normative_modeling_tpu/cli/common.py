@@ -73,6 +73,7 @@ def apply_post_parse_defaults(args, default_procedure: str = 'UCA-gPoE',
 
 
 _CSV_CACHE: dict = {}
+_CSV_LOCK = __import__("threading").Lock()
 
 # Wide numeric tables (PPMI is 3485 columns) parse ~6x faster through the
 # native loader; below this width pandas' fixed overhead doesn't matter.
@@ -114,12 +115,17 @@ def read_csv_cached(path) -> pd.DataFrame:
     loader (native/fastcsv.cpp) when available."""
     path = Path(path)
     key = (str(path), path.stat().st_mtime_ns)
-    if key not in _CSV_CACHE:
+    with _CSV_LOCK:
+        if key in _CSV_CACHE:
+            return _CSV_CACHE[key]
+    frame = _read_modality_fast(path)
+    if frame is None:
+        frame = pd.read_csv(path)
+    with _CSV_LOCK:
         # drop stale entries for the same path
         for old in [k for k in _CSV_CACHE if k[0] == key[0]]:
             del _CSV_CACHE[old]
-        frame = _read_modality_fast(path)
-        _CSV_CACHE[key] = frame if frame is not None else pd.read_csv(path)
+        _CSV_CACHE[key] = frame
     return _CSV_CACHE[key]
 
 

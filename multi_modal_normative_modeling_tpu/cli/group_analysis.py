@@ -74,8 +74,9 @@ def analyze_pair(args, project_root: Path):
             test_dataset_df['DIA'] == args.disease_label]['Reconstruction error']
 
         roc_auc, accuracy, recall, specificity, significance = (
-            classification_performance(error_hc, error_patient,
-                                       args.training_class, method='roc')
+            classification_performance(
+                error_hc, error_patient, args.training_class,
+                method=getattr(args, 'threshold_method', 'roc'))
         )
         auc_roc_list.append(roc_auc)
         accuracy_list.append(accuracy)
@@ -129,6 +130,12 @@ def main(args, project_root=None):
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     common.add_common_flags(parser)
+    parser.add_argument('--threshold_method', dest='threshold_method',
+                        default='roc',
+                        choices=['roc', 'f1', 'pr', 'cost', 'eer'],
+                        help="optimal-threshold finder (the reference ships "
+                             "all five but hardcodes 'roc', "
+                             "group_analysis:220,353).")
     return parser
 
 

@@ -63,29 +63,37 @@ def main(args, project_root=None):
     run_log = RunLog(model_dir / 'run_log.jsonl')
     run_log.event('train_start', args=vars(args))
 
-    # ---- per-fold data prep (host side) -----------------------------------
-    folds = []
-    config_dict = None
-    n_folds = 0
+    # ---- per-fold data prep (host side, threaded over fold x modality) -----
+    from concurrent.futures import ThreadPoolExecutor
+
+    fold_ids = []
     for fold, _ in enumerate(kf.split(training_class_group)):
         train_ids_path, _ = common.fold_paths(kfold_dir, fold)
         (model_dir / f'{fold:03d}').mkdir(exist_ok=True)
-        data_list, cov_list, input_dim_list = [], [], []
-        c_dim = None
-        for dataset_name in dataset_names:
-            prep = common.prepare_modality(
-                project_root, args.dataset_resourse, dataset_name,
-                participants_path, train_ids_path,
-            )
-            data_list.append(prep['train_data'])
-            cov_list.append(prep['train_cov'])
-            input_dim_list.append(prep['train_data'].shape[1])
-            c_dim = prep['train_cov'].shape[1]
-        folds.append((data_list, cov_list))
+        fold_ids.append(train_ids_path)
+    n_folds = len(fold_ids)
+
+    def prep_one(job):
+        train_ids_path, dataset_name = job
+        return common.prepare_modality(
+            project_root, args.dataset_resourse, dataset_name,
+            participants_path, train_ids_path,
+        )
+
+    jobs = [(ids, name) for ids in fold_ids for name in dataset_names]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        preps = list(pool.map(prep_one, jobs))
+
+    folds = []
+    config_dict = None
+    for f in range(n_folds):
+        fold_preps = preps[f * modalities:(f + 1) * modalities]
+        folds.append(([p['train_data'] for p in fold_preps],
+                      [p['train_cov'] for p in fold_preps]))
         if config_dict is None:
-            config_dict = common.model_config_dict(args, input_dim_list,
-                                                   c_dim, modalities)
-        n_folds += 1
+            config_dict = common.model_config_dict(
+                args, [p['train_data'].shape[1] for p in fold_preps],
+                fold_preps[0]['train_cov'].shape[1], modalities)
 
     model = common.build_model_from_config(config_dict)
     train_config = TrainConfig(
