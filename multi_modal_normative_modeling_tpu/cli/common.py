@@ -172,9 +172,10 @@ def prepare_modality(project_root: Path, resource: str, dataset_name: str,
         test_df = load_dataset_cached(participants_path, test_ids_path,
                                       modality_path)
         out['test_df'] = test_df
-        out['test_data'] = scaler.transform(
-            test_df[columns_name].values
-        ).astype(np.float32)
+        # float64, like the reference's scaled DataFrame (test:90): the
+        # emitted normalized_/error CSVs carry float64 formatting while the
+        # device path downcasts to float32 at the jit boundary
+        out['test_data'] = scaler.transform(test_df[columns_name].values)
         out['test_cov'] = one_hot_covariates(test_df[['DIA', 'AGE', 'PTGENDER']])
     return out
 

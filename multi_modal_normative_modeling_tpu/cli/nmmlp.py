@@ -160,9 +160,9 @@ def test(args, project_root: Path):
                                    modality_path)
             scaler = RobustScaler()
             scaler.fit(train_df[columns_name].values)
+            # float64 for CSV formatting parity; downcast at the jit boundary
             test_data_list.append(
                 scaler.transform(test_df[columns_name].values)
-                .astype(np.float32)
             )
             clinical_df_list.append(test_df)
             columns_list.append(columns_name)
@@ -180,7 +180,8 @@ def test(args, project_root: Path):
 
         cs = [test_cov] * len(dataset_names)
         predictions = model.pred_recon(
-            params, [np.asarray(x) for x in test_data_list], cs,
+            params, [np.asarray(x, dtype=np.float32) for x in test_data_list],
+            cs,
             jax.random.PRNGKey(1000 + fold), args.combine,
         )
         predictions = [np.asarray(p) for p in predictions]

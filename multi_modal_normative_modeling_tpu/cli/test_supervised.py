@@ -104,10 +104,17 @@ def main(args, project_root=None):
                                ((0, padded_rows - n_rows), (0, 0)))
         cs = (pad(test_cov),) * len(dataset_names)
         key = jax.random.PRNGKey(1000 + fold)
-        predictions, deviations = infer_fn(
+        predictions, _ = infer_fn(
             params, tuple(pad(x) for x in test_data_list), cs, key)
         predictions = [np.asarray(p)[:n_rows] for p in predictions]
-        deviations = [np.asarray(d)[:n_rows] for d in deviations]
+        # float64 deviation from the float64 scaled data and float32
+        # predictions — matches the reference's numpy upcast (test:113,
+        # cVAE.py:1210) and the goldens' float formatting
+        deviations = [
+            np.sum((test_data_list[m] - predictions[m]) ** 2, axis=1)
+            / test_data_list[m].shape[1]
+            for m in range(len(dataset_names))
+        ]
 
         for m, dataset_name in enumerate(dataset_names):
             emitter.emit_fold(

@@ -102,6 +102,18 @@ def test_deviation_csv_schemas(project):
         # every test subject appears exactly once across folds
         assert err["participant_id"].is_unique
 
+        # float-width parity with the reference goldens: normalized and
+        # error CSVs carry float64 formatting (scaler/numpy-upcast outputs),
+        # reconstructions carry float32 (model predictions)
+        def decimals(path, field):
+            row = open(path).readlines()[1].strip().split(",")
+            frac = row[field].split(".")[-1].rstrip("0")
+            return len(frac)
+
+        assert decimals(mod_dir / f"normalized_{name}.csv", 5) > 9
+        assert decimals(mod_dir / f"reconstruction_error_{name}.csv", 4) > 9
+        assert decimals(mod_dir / f"reconstruction_{name}.csv", 5) <= 9
+
 
 def test_group_analysis_reports_and_auc(project):
     root, args = project
