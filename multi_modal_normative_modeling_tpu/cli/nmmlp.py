@@ -27,7 +27,6 @@ from ..data.preprocess import one_hot_covariates
 from ..evaluation.reports import append_performance_metrics
 from ..models.multimodal import MultimodalCVAE
 from ..train import (
-    FoldTrainer,
     TrainConfig,
     checkpoint_exists,
     load_checkpoint,

@@ -31,7 +31,7 @@ from ..data.preprocess import binary_labels, one_hot_covariates
 from ..evaluation.metrics import binary_prediction_metrics
 from ..evaluation.reports import append_endtoend_results
 from ..models.endtoend import EndToEndCVAE
-from ..train import FoldTrainer, TrainConfig, save_checkpoint
+from ..train import TrainConfig, save_checkpoint
 from ..utils.logging import Logger, plot_losses
 from . import common
 

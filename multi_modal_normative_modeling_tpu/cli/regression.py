@@ -19,7 +19,7 @@ from sklearn.model_selection import KFold
 
 from .. import registry
 from ..models.regression import RegressionCVAE
-from ..train import FoldTrainer, TrainConfig
+from ..train import TrainConfig
 
 
 def evaluate_regression(y_true, y_pred) -> dict:
