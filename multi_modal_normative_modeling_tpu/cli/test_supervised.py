@@ -51,25 +51,32 @@ def main(args, project_root=None):
     infer_fn = None
     template = None
 
-    for fold, _ in enumerate(kf.split(HC_group)):
-        train_ids_path, test_ids_path = common.fold_paths(kfold_dir, fold)
-        fold_model_dir = model_dir / f'{fold:03d}'
-        fold_model_dir.mkdir(exist_ok=True)
+    # prepare all (fold x modality) splits on a thread pool up front
+    from concurrent.futures import ThreadPoolExecutor
 
-        test_data_list, clinical_df_list, columns_list = [], [], []
-        train_data_list = []
-        test_cov = train_cov = None
+    n_folds = sum(1 for _ in kf.split(HC_group))
+    jobs = []
+    for fold in range(n_folds):
+        train_ids_path, test_ids_path = common.fold_paths(kfold_dir, fold)
+        (model_dir / f'{fold:03d}').mkdir(exist_ok=True)
         for dataset_name in dataset_names:
-            prep = common.prepare_modality(
-                project_root, args.dataset_resourse, dataset_name,
-                participants_path, train_ids_path, test_ids_path,
-            )
-            test_data_list.append(prep['test_data'])
-            clinical_df_list.append(prep['test_df'])
-            columns_list.append(prep['columns'])
-            test_cov = prep['test_cov']  # last modality wins (test:102)
-            train_data_list.append(prep['train_data'])
-            train_cov = prep['train_cov']
+            jobs.append((dataset_name, train_ids_path, test_ids_path))
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        all_preps = list(pool.map(
+            lambda j: common.prepare_modality(
+                project_root, args.dataset_resourse, j[0],
+                participants_path, j[1], j[2]), jobs))
+
+    for fold in range(n_folds):
+        fold_model_dir = model_dir / f'{fold:03d}'
+        preps = all_preps[fold * len(dataset_names):
+                          (fold + 1) * len(dataset_names)]
+        test_data_list = [p['test_data'] for p in preps]
+        clinical_df_list = [p['test_df'] for p in preps]
+        columns_list = [p['columns'] for p in preps]
+        test_cov = preps[-1]['test_cov']  # last modality wins (test:102)
+        train_data_list = [p['train_data'] for p in preps]
+        train_cov = preps[-1]['train_cov']
 
         if not checkpoint_exists(fold_model_dir):
             print('firstly train model')
@@ -93,7 +100,10 @@ def main(args, project_root=None):
                 return recons, devs
 
         if template is None:
-            template = model.init_params(jax.random.PRNGKey(0))
+            # numpy template: restored params stay host-side and transfer
+            # asynchronously at the jit call instead of leaf-by-leaf
+            template = jax.tree_util.tree_map(
+                np.asarray, model.init_params(jax.random.PRNGKey(0)))
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
 
         # bucket-pad rows so every fold hits the same compiled shape (fold
