@@ -16,3 +16,8 @@ for P in "UCA-MoE" "SE-MoE"; do
     done
   done
 done
+
+# TPU-native alternative: the whole grid as ONE device program (every
+# (margin, weight) config x every fold trains concurrently):
+#   python -m multi_modal_normative_modeling_tpu.cli.sweep_endtoend \
+#     -P SE-MoE -E 200 -K 5 -Margins 0.25 0.5 1 2 -Weightcontrastives 0.1 0.5 1

@@ -140,11 +140,15 @@ def build_optimizer(config: TrainConfig, n_samples: int) -> optax.GradientTransf
 
 def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
                    epochs: int, shuffle: bool = False,
-                   state_update: Optional[Callable] = None):
+                   state_update: Optional[Callable] = None,
+                   with_hyper: bool = False):
     """Compile-ready whole-fold trainer.
 
     ``loss_fn(params, batch, key) -> (total, aux_dict)`` where ``batch`` is
-    one slice of the make_batches pytree.
+    one slice of the make_batches pytree. With ``with_hyper=True`` the loss
+    takes a fourth argument — a pytree of traced hyperparameters — and the
+    returned train fn becomes ``train(params, batches, key, hyper)``,
+    enabling whole-hyperparameter-grid vmaps (parallel/sweep.py).
 
     ``state_update(params, aux) -> params`` optionally applies
     non-gradient state carried in the aux dict (e.g. BatchNorm running
@@ -154,7 +158,14 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
     the per-epoch first-batch aux dict — scan this under jit or vmap it over
     a stacked fold axis.
     """
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    hyper_box = []
+
+    if with_hyper:
+        grad_fn = jax.value_and_grad(
+            lambda p, batch, k: loss_fn(p, batch, k, hyper_box[0]),
+            has_aux=True)
+    else:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(carry, batch):
         params, opt_state, key = carry
@@ -193,7 +204,11 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
         out["valid"] = shuffled["mask"].sum(axis=1) > 0
         return out
 
-    def train(params, batches, key):
+    def train(params, batches, key, hyper=None):
+        if with_hyper:
+            hyper_box.clear()
+            hyper_box.append(hyper)
+
         def epoch(carry, _):
             params, opt_state, key = carry
             key, shuffle_key = jax.random.split(key)
