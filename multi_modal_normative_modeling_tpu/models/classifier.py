@@ -33,15 +33,51 @@ class MLPClassifier:
     def init_params(self, key):
         return init_mlp(key, self.sizes, self.dtype)
 
-    def apply(self, params, x, key=None, train: bool = False):
+    def apply(self, params, x, key=None, train: bool = False, dropout=None):
+        """``dropout`` may be a traced scalar (overrides the static rate;
+        used by the grid-sweep path)."""
+        rate = self.dropout if dropout is None else dropout
+        static_zero = dropout is None and self.dropout <= 0.0
         h = x
         for layer in params[:-1]:
             h = jax.nn.relu(apply_linear(layer, h))
-            if train and self.dropout > 0.0:
+            if train and not static_zero:
                 key, sub = jax.random.split(key)
-                keep = jax.random.bernoulli(sub, 1.0 - self.dropout, h.shape)
-                h = jnp.where(keep, h / (1.0 - self.dropout), 0.0)
+                keep = jax.random.bernoulli(sub, 1.0 - rate, h.shape)
+                h = jnp.where(keep, h / (1.0 - rate), 0.0)
         return apply_linear(params[-1], h)
+
+
+def _build_classifier_train(model: MLPClassifier, x_train, y_train, x_val,
+                            y_val, num_epochs: int,
+                            early_stopping_patience: int = 10000):
+    """train(params, hyper, key) -> (best_params, history) with hyper =
+    {initial_lr, factor, patience, min_lr, dropout} as (traceable) scalars —
+    usable directly or vmapped over a hyperparameter grid."""
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+
+    def train(params, hyper, key):
+        opt_state = optimizer.init(params)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            hyper["initial_lr"], jnp.float32)
+
+        def loss_of(p, x, y, key, train_mode):
+            logits = model.apply(p, x, key, train_mode,
+                                 dropout=hyper["dropout"])
+            return cross_entropy_logits(logits, y)
+
+        grad_fn = jax.value_and_grad(
+            lambda p, key: loss_of(p, x_train, y_train, key, True)
+        )
+        factor = hyper["factor"]
+        patience = hyper["patience"]
+        min_lr = hyper["min_lr"]
+
+        return _scan_epochs(optimizer, params, opt_state, key, grad_fn,
+                            loss_of, x_val, y_val, factor, patience, min_lr,
+                            num_epochs, early_stopping_patience)
+
+    return train
 
 
 def train_classifier(model: MLPClassifier, params, x_train, y_train, x_val,
@@ -54,17 +90,47 @@ def train_classifier(model: MLPClassifier, params, x_train, y_train, x_val,
     Returns (best_params, history) where history has per-epoch train/val loss
     and lr arrays.
     """
-    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=initial_lr)
-    opt_state = optimizer.init(params)
+    train = _build_classifier_train(model, x_train, y_train, x_val, y_val,
+                                    num_epochs, early_stopping_patience)
+    hyper = {"initial_lr": float(initial_lr), "factor": float(factor),
+             "patience": int(patience), "min_lr": float(min_lr),
+             "dropout": float(model.dropout)}
+    return jax.jit(train)(params, hyper, jax.random.PRNGKey(seed))
 
-    def loss_of(p, x, y, key, train):
-        logits = model.apply(p, x, key, train)
-        return cross_entropy_logits(logits, y)
 
-    grad_fn = jax.value_and_grad(
-        lambda p, key: loss_of(p, x_train, y_train, key, True)
-    )
+def sweep_classifiers(model: MLPClassifier, params, x_train, y_train, x_val,
+                      y_val, num_epochs: int, configs, seed: int = 42):
+    """Train the whole (lr, factor, patience, min_lr, dropout) grid as one
+    vmapped program (classifier_baseline/tune_parameter.sh, minus the axes
+    that change shapes). Returns (best_params[S], history[S])."""
+    train = _build_classifier_train(model, x_train, y_train, x_val, y_val,
+                                    num_epochs)
+    hyper = {
+        "initial_lr": jnp.asarray([c["initial_lr"] for c in configs],
+                                  jnp.float32),
+        "factor": jnp.asarray([c["factor"] for c in configs], jnp.float32),
+        "patience": jnp.asarray([c.get("patience", 10) for c in configs],
+                                jnp.int32),
+        "min_lr": jnp.asarray([c["min_lr"] for c in configs], jnp.float32),
+        "dropout": jnp.asarray([c.get("dropout", 0.0) for c in configs],
+                               jnp.float32),
+    }
+    n = len(configs)
+    stacked = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n,) + a.shape), params)
+    keys = jnp.stack([jax.random.PRNGKey(seed)] * n)
+    best, hist = jax.jit(jax.vmap(train))(stacked, hyper, keys)
+    import numpy as np
 
+    best = jax.tree_util.tree_map(np.asarray, jax.device_get(best))
+    hist = jax.tree_util.tree_map(np.asarray, jax.device_get(hist))
+    return ([jax.tree_util.tree_map(lambda a: a[s], best) for s in range(n)],
+            [{k: v[s] for k, v in hist.items()} for s in range(n)])
+
+
+def _scan_epochs(optimizer, params, opt_state, key, grad_fn, loss_of, x_val,
+                 y_val, factor, patience, min_lr, num_epochs,
+                 early_stopping_patience):
     def epoch(carry, _):
         (params, opt_state, key, best_val, plateau, stopped_ctr, best_params,
          stopped) = carry
@@ -104,11 +170,10 @@ def train_classifier(model: MLPClassifier, params, x_train, y_train, x_val,
         return carry, {"train_loss": train_loss, "val_loss": val_loss,
                        "lr": opt_state.hyperparams["learning_rate"]}
 
-    init = (params, opt_state, jax.random.PRNGKey(seed),
+    init = (params, opt_state, key,
             jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), params, jnp.asarray(False))
-    run = jax.jit(lambda c: jax.lax.scan(epoch, c, None, length=num_epochs))
-    final_carry, history = run(init)
+    final_carry, history = jax.lax.scan(epoch, init, None, length=num_epochs)
     best_params = final_carry[6]
     return best_params, history
 

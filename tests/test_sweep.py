@@ -79,3 +79,40 @@ def test_sweep_matches_sequential():
             np.testing.assert_allclose(
                 logs_grid[s][f]["total_loss"],
                 np.asarray(ref_logs["total_loss"]), rtol=2e-3)
+
+
+def test_classifier_grid_matches_sequential():
+    """sweep_classifiers: each grid point == its train_classifier run."""
+    from multi_modal_normative_modeling_tpu.models.classifier import (
+        MLPClassifier,
+        sweep_classifiers,
+        train_classifier,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(60, 10)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.int32)
+    xt, yt, xv, yv = x[:40], y[:40], x[40:], y[40:]
+
+    model = MLPClassifier(10, [8], dropout=0.0)
+    params = model.init_params(jax.random.PRNGKey(0))
+    configs = [
+        {"initial_lr": 1e-2, "factor": 0.5, "patience": 3, "min_lr": 1e-6,
+         "dropout": 0.0},
+        {"initial_lr": 1e-3, "factor": 0.9, "patience": 1, "min_lr": 1e-5,
+         "dropout": 0.0},
+    ]
+    best_grid, hist_grid = sweep_classifiers(model, params, xt, yt, xv, yv,
+                                             num_epochs=30, configs=configs)
+    for s, cfg in enumerate(configs):
+        ref_best, ref_hist = train_classifier(
+            model, params, xt, yt, xv, yv, num_epochs=30,
+            initial_lr=cfg["initial_lr"], factor=cfg["factor"],
+            patience=cfg["patience"], min_lr=cfg["min_lr"])
+        np.testing.assert_allclose(hist_grid[s]["val_loss"],
+                                   np.asarray(ref_hist["val_loss"]),
+                                   rtol=2e-3)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5),
+            best_grid[s], ref_best)
