@@ -88,9 +88,17 @@ def main(args, project_root=None):
             # one jitted inference program reused across folds (eager
             # dispatch over the remote-TPU link costs a round trip per op)
             combine = args.combine
+            use_fused = (getattr(args, 'fused_inference', False)
+                         and hasattr(model, 'pred_recon_fused'))
 
             @jax.jit
             def infer_fn(params, xes, cs, key):
+                if use_fused:
+                    # Pallas kernels: fused encoder chains + decode-and-
+                    # deviate, one HBM round trip per modality (kernels/)
+                    recons, devs = model.pred_recon_fused(
+                        params, list(xes), list(cs), key, combine)
+                    return recons, devs
                 recons = model.pred_recon(params, list(xes), list(cs), key,
                                           combine)
                 devs = [
@@ -191,6 +199,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help='also write per-fold latent_deviation.csv '
                              '(scalar + per-dim latent z-scores against the '
                              'train cohort).')
+    parser.add_argument('--fused_inference', dest='fused_inference',
+                        action='store_true',
+                        help='run inference through the fused Pallas '
+                             'encoder/decode-and-deviate kernels (TPU; '
+                             'interpret-mode fallback elsewhere).')
     return parser
 
 

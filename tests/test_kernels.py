@@ -82,3 +82,42 @@ def test_model_fused_inference_matches_pred_recon():
                                    rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(devs[i]), dev_ref[i],
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_inference_cli_flag(tmp_path):
+    """--fused_inference emits the same CSV set with near-identical values."""
+    import argparse
+
+    import pandas as pd
+
+    from multi_modal_normative_modeling_tpu.cli import (
+        test_supervised,
+        train_supervised,
+    )
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=40, n_disease={0: 20},
+                            effect=1.0)
+    base = dict(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 6],
+        procedure="SM-av45", combine="PoE", epochs=10, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=False, precision="fp32",
+    )
+    train_supervised.main(argparse.Namespace(**base), project_root=tmp_path)
+    test_supervised.main(argparse.Namespace(**base, fused_inference=False),
+                         project_root=tmp_path)
+    dev_dir = (tmp_path / "deviation" / "supervised_cvae" / "ADNI" /
+               "SM-av45" / "path_model" / "av45")
+    ref = pd.read_csv(dev_dir / "reconstruction_error_av45.csv")
+
+    test_supervised.main(argparse.Namespace(**base, fused_inference=True),
+                         project_root=tmp_path)
+    fused = pd.read_csv(dev_dir / "reconstruction_error_av45.csv")
+    np.testing.assert_allclose(fused["Reconstruction error"],
+                               ref["Reconstruction error"],
+                               rtol=1e-3, atol=1e-4)
