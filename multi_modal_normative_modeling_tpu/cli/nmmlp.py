@@ -102,9 +102,9 @@ def train(args, project_root: Path):
                          combine=args.combine, lr_schedule='cyclic',
                          base_lr=1e-6, max_lr=5e-5, shuffle=False, seed=42)
     n_folds = len(folds)
-    params_list = [model.init_params(jax.random.PRNGKey(42 + f))
+    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
                    for f in range(n_folds)]
-    keys = [jax.random.PRNGKey(42 + f) for f in range(n_folds)]
+    keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
 
     print('Training model...')
     from .common import run_folds

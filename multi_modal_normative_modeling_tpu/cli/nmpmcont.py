@@ -157,9 +157,9 @@ def main(args, project_root=None):
         return {**p, 'bn_state': aux['__bn_state__']}
 
     n_folds = len(fold_data)
-    params_list = [model.init_params(jax.random.PRNGKey(42 + f))
+    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
                    for f in range(n_folds)]
-    keys = [jax.random.PRNGKey(42 + f) for f in range(n_folds)]
+    keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
 
     print('train model')
     from .common import run_folds

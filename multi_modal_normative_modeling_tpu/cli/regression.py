@@ -115,9 +115,9 @@ def train_and_test(args, project_root=None):
         return losses['total'], losses
 
     n_folds = len(fold_data)
-    params_list = [model.init_params(jax.random.PRNGKey(42 + f))
+    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
                    for f in range(n_folds)]
-    keys = [jax.random.PRNGKey(42 + f) for f in range(n_folds)]
+    keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
     from .common import run_folds
 
     per_fold_params, per_fold_logs = run_folds(

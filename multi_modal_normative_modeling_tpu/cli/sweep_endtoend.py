@@ -115,9 +115,9 @@ def main(args, project_root=None):
         extras=[{'labels': f['labels'].astype(np.float32)[:, None]}
                 for f in fold_data])
     keys = jnp.stack([
-        jnp.stack([jax.random.PRNGKey(42 + f) for f in range(n_folds)])
+        jnp.stack([jax.random.PRNGKey(42) for _ in range(n_folds)])
         for _ in configs])
-    params_list = [model.init_params(jax.random.PRNGKey(42 + f))
+    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
                    for f in range(n_folds)]
 
     print(f'training grid: {len(configs)} configs x {n_folds} folds '

@@ -108,9 +108,9 @@ def main(args, project_root=None):
         seed=42,
         precision=getattr(args, 'precision', 'fp32'),
     )
-    params_list = [model.init_params(jax.random.PRNGKey(42 + f))
+    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
                    for f in range(n_folds)]
-    keys = [jax.random.PRNGKey(42 + f) for f in range(n_folds)]
+    keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
 
     fold_parallel = getattr(args, 'fold_parallel', False)
     if fold_parallel:
