@@ -158,6 +158,10 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
     the per-epoch first-batch aux dict — scan this under jit or vmap it over
     a stacked fold axis.
     """
+    # hyper threading: the traced hyper pytree is stashed at trace time (the
+    # body of `train` runs exactly once per jit/vmap trace, synchronously) so
+    # the step/grad closures see the right tracer without changing their
+    # scan-compatible signatures.
     hyper_box = []
 
     if with_hyper:
