@@ -44,19 +44,68 @@ def separate_latent_deviation(mu_train, mu_sample, var_sample):
     )
 
 
+def _ols_pvalues(y, X):
+    """Two-sided t-test p-values for OLS coefficients (statsmodels OLS
+    semantics)."""
+    from scipy import stats
+
+    n, k = X.shape
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    dof = n - k
+    sigma2 = resid @ resid / dof
+    cov = sigma2 * np.linalg.inv(X.T @ X)
+    t_stat = beta / np.sqrt(np.diag(cov))
+    return 2.0 * stats.t.sf(np.abs(t_stat), dof)
+
+
+def _logit_pvalues(y, X, max_iter: int = 100, tol: float = 1e-8):
+    """Wald-test p-values from Newton-Raphson logistic regression
+    (statsmodels Logit semantics)."""
+    from scipy import stats
+
+    beta = np.zeros(X.shape[1])
+    for _ in range(max_iter):
+        p = 1.0 / (1.0 + np.exp(-X @ beta))
+        w = p * (1.0 - p)
+        hessian = X.T @ (X * w[:, None])
+        grad = X.T @ (y - p)
+        step = np.linalg.solve(hessian + 1e-10 * np.eye(X.shape[1]), grad)
+        beta = beta + step
+        if np.max(np.abs(step)) < tol:
+            break
+    p = 1.0 / (1.0 + np.exp(-X @ beta))
+    w = p * (1.0 - p)
+    cov = np.linalg.inv(X.T @ (X * w[:, None]) + 1e-10 * np.eye(X.shape[1]))
+    z = beta / np.sqrt(np.diag(cov))
+    return 2.0 * stats.norm.sf(np.abs(z))
+
+
 def latent_pvalues(latent, target, type):
     """Per-latent-dim regression p-values (OLS for continuous targets, Logit
     otherwise), matching utils_vae.py:163-174 including the output frame
-    layout (rows 'const'/'latent', one column per latent dim)."""
-    import statsmodels.api as sm
+    layout (rows 'const'/'latent', one column per latent dim). Uses
+    statsmodels when available; otherwise a native scipy implementation with
+    the same test statistics."""
+    try:
+        import statsmodels.api as sm
+    except ImportError:
+        sm = None
 
     latent = np.asarray(latent)
+    target = np.asarray(target, dtype=float)
     pval_df = pd.DataFrame({"labels": ["const", "latent"]})
     for i in range(latent.shape[1]):
-        column = sm.add_constant(latent[:, i])
-        if type == "continuous":
-            fit = sm.OLS(target, column).fit()
+        column = np.column_stack([np.ones(len(latent)), latent[:, i]])
+        if sm is not None:
+            if type == "continuous":
+                fit = sm.OLS(target, column).fit()
+            else:
+                fit = sm.Logit(target, column).fit(disp=0)
+            pvals = list(np.asarray(fit.pvalues))
+        elif type == "continuous":
+            pvals = list(_ols_pvalues(target, column))
         else:
-            fit = sm.Logit(target, column).fit()
-        pval_df[f"latent {i}"] = list(np.asarray(fit.pvalues))
+            pvals = list(_logit_pvalues(target, column))
+        pval_df[f"latent {i}"] = pvals
     return pval_df

@@ -157,3 +157,23 @@ def test_compat_shims():
 
     dev = utils_vae.reconstruction_deviation(data, data * 0.5)
     np.testing.assert_allclose(dev, np.sum((data * 0.5) ** 2, axis=1) / 3)
+
+
+def test_latent_pvalues_ols_and_logit():
+    from multi_modal_normative_modeling_tpu.infer.deviation import (
+        latent_pvalues,
+    )
+
+    rng = np.random.default_rng(0)
+    latent = rng.normal(size=(80, 3))
+    continuous = 2.0 * latent[:, 0] + rng.normal(scale=0.1, size=80)
+    frame = latent_pvalues(latent, continuous, "continuous")
+    assert list(frame["labels"]) == ["const", "latent"]
+    assert frame.shape == (2, 4)
+    # dim 0 strongly predicts the target; dims 1-2 don't
+    assert frame["latent 0"][1] < 1e-6
+    assert frame["latent 1"][1] > 1e-3
+
+    binary = (latent[:, 1] > 0).astype(int)
+    frame2 = latent_pvalues(latent, binary, "binary")
+    assert frame2.shape == (2, 4)
