@@ -20,6 +20,19 @@ import numpy as np
 import pandas as pd
 
 
+def write_csv(path, frame: pd.DataFrame) -> None:
+    """frame.to_csv(path, index=False), through the native multithreaded
+    writer when possible (byte-identical output; native/fastwrite.cpp)."""
+    try:
+        from ..native.fastwrite import write_frame
+
+        if write_frame(path, frame):
+            return
+    except Exception:
+        pass
+    frame.to_csv(path, index=False)
+
+
 class DeviationEmitter:
     """Accumulates per-fold frames and writes per-fold + combined CSVs."""
 
@@ -70,7 +83,7 @@ class DeviationEmitter:
             "deviation_as_feature_importance": importance,
         }
         for kind, frame in frames.items():
-            frame.to_csv(out_dir / f"{kind}_{dataset_name}.csv", index=False)
+            write_csv(out_dir / f"{kind}_{dataset_name}.csv", frame)
             self._all[kind][dataset_name].append(frame)
 
     def emit_combined(self, deviation_dir) -> None:
@@ -83,5 +96,4 @@ class DeviationEmitter:
                 if not frames:
                     continue
                 combined = pd.concat(frames, ignore_index=True)
-                combined.to_csv(out_dir / f"{kind}_{dataset_name}.csv",
-                                index=False)
+                write_csv(out_dir / f"{kind}_{dataset_name}.csv", combined)

@@ -72,3 +72,42 @@ def test_crlf_and_trailing_newline(tmp_path):
                                [[1.5, 2.0], [-3.0, 0.04]])
     assert f.read_string_column("IID") == ["s1", "s2"]
     f.close()
+
+
+def test_fastwrite_byte_parity_with_pandas(tmp_path):
+    from multi_modal_normative_modeling_tpu.native.fastwrite import (
+        fastwrite_available,
+        write_frame,
+    )
+
+    if not fastwrite_available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(0)
+    n = 500
+    values = np.concatenate([
+        rng.normal(size=n - 12),
+        np.array([0.0, -0.0, 1e16, 1e15, 1e-4, 1e-5, 2.5e-4, 2.0, np.nan,
+                  5e-324, 0.001, 123456789.0]),
+    ])
+    frame = pd.DataFrame({
+        "participant_id": [f"s{i}" for i in range(n)],
+        "DIA": rng.integers(0, 3, size=n).astype(np.int64),
+        "f64": values,
+        "f32": values.astype(np.float32),
+    })
+    frame.to_csv(tmp_path / "ref.csv", index=False)
+    assert write_frame(tmp_path / "fast.csv", frame)
+    assert (tmp_path / "fast.csv").read_bytes() == \
+        (tmp_path / "ref.csv").read_bytes()
+
+
+def test_fastwrite_falls_back_on_quoting(tmp_path):
+    from multi_modal_normative_modeling_tpu.native.fastwrite import (
+        fastwrite_available,
+        write_frame,
+    )
+
+    if not fastwrite_available():
+        pytest.skip("no C++ toolchain")
+    frame = pd.DataFrame({"s": ["a,b", "c"], "v": [1.0, 2.0]})
+    assert write_frame(tmp_path / "x.csv", frame) is False
