@@ -21,6 +21,7 @@ import pandas as pd
 from sklearn.model_selection import KFold
 
 from .. import registry
+from ..infer.emitters import write_csv
 from ..data.loading import generate_kfold_ids
 from .common import load_dataset_cached as load_dataset
 from ..data.preprocess import one_hot_covariates
@@ -197,12 +198,10 @@ def test(args, project_root: Path):
             normalized = pd.DataFrame(test_data_list[idx],
                                       columns=columns_list[idx])
             normalized['participant_id'] = participant_ids
-            normalized.to_csv(out_dir / f'normalized_{dataset_name}.csv',
-                              index=False)
+            write_csv(out_dir / f'normalized_{dataset_name}.csv', normalized)
             recon = pd.DataFrame(predictions[idx], columns=columns_list[idx])
             recon['participant_id'] = participant_ids
-            recon.to_csv(out_dir / f'reconstruction_{dataset_name}.csv',
-                         index=False)
+            write_csv(out_dir / f'reconstruction_{dataset_name}.csv', recon)
             pd.DataFrame({
                 'participant_id': participant_ids,
                 'Reconstruction error': deviations[idx],

@@ -18,6 +18,7 @@ import pandas as pd
 from sklearn.model_selection import KFold
 
 from .. import registry
+from ..infer.emitters import write_csv
 from ..models.regression import RegressionCVAE
 from ..train import TrainConfig
 
@@ -189,9 +190,8 @@ def train_and_test(args, project_root=None):
                 deviation,
                 columns=[f'ROI_{i}' for i in range(deviation.shape[1])])
             out.insert(0, 'IID', full_df['IID'].tolist())
-            out.to_csv(output_dir /
-                       f'deviation_fold_{fold}_{dataset_name}_roiwise.csv',
-                       index=False)
+            write_csv(output_dir /
+                      f'deviation_fold_{fold}_{dataset_name}_roiwise.csv', out)
 
     print('Training & evaluation complete.')
     return all_scores

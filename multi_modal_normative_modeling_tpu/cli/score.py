@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from .. import registry
+from ..infer.emitters import write_csv
 from ..train import checkpoint_exists, load_checkpoint
 from . import common
 
@@ -103,7 +104,7 @@ def score(args, project_root=None) -> pd.DataFrame:
             all_cols = [c for cols in columns_list for c in cols]
             roi_frame = pd.DataFrame(roi_dev, columns=all_cols)
             roi_frame.insert(0, 'participant_id', subject_ids)
-            roi_frame.to_csv(args.roi_output, index=False)
+            write_csv(args.roi_output, roi_frame)
         print(f'scored {len(out)} subjects '
               f'({"ensemble of " + str(len(per_fold_dev)) + " folds" if args.fold is None else f"fold {args.fold}"}) '
               f'-> {args.output}')
