@@ -185,6 +185,36 @@ def fold_paths(kfold_dir: Path, fold: int) -> Tuple[Path, Path]:
             kfold_dir / f'test_ids_{fold:03d}.csv')
 
 
+def fuse_preps(base_preps: List[dict], base_names: List[str],
+               resource: str) -> dict:
+    """Build the UCA early-fusion modality by concatenating the base
+    modalities' already-scaled matrices in memory, instead of reading the
+    early_fusion_modalities_<resource>.csv.
+
+    Numerically identical to the file-based path: RobustScaler is
+    per-column, so scaling the concatenated raw table fit on the same train
+    rows equals concatenating the per-modality scaled blocks; row order
+    follows the base modality CSVs exactly like the offline builder
+    (early_fusion_modalities.py asserts shared IID order).
+    """
+    columns = []
+    for prep, name in zip(base_preps, base_names):
+        columns += [f"{c}_{name}" for c in prep['columns']]
+    fused = {
+        'columns': columns,
+        'train_df': base_preps[0]['train_df'],
+        'train_data': np.concatenate(
+            [p['train_data'] for p in base_preps], axis=1),
+        'train_cov': base_preps[-1]['train_cov'],
+    }
+    if 'test_data' in base_preps[0]:
+        fused['test_df'] = base_preps[0]['test_df']
+        fused['test_data'] = np.concatenate(
+            [p['test_data'] for p in base_preps], axis=1)
+        fused['test_cov'] = base_preps[-1]['test_cov']
+    return fused
+
+
 def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
               loss_fn=None, state_update=None, per_fold_extras=None):
     """Train every fold — sequentially with a shared compiled trainer, or all

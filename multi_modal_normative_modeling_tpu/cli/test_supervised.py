@@ -54,12 +54,16 @@ def main(args, project_root=None):
     # prepare all (fold x modality) splits on a thread pool up front
     from concurrent.futures import ThreadPoolExecutor
 
+    in_memory_fusion = (getattr(args, 'in_memory_fusion', False)
+                        and args.procedure.startswith('UCA'))
+    load_names = dataset_names[:-1] if in_memory_fusion else dataset_names
+
     n_folds = sum(1 for _ in kf.split(HC_group))
     jobs = []
     for fold in range(n_folds):
         train_ids_path, test_ids_path = common.fold_paths(kfold_dir, fold)
         (model_dir / f'{fold:03d}').mkdir(exist_ok=True)
-        for dataset_name in dataset_names:
+        for dataset_name in load_names:
             jobs.append((dataset_name, train_ids_path, test_ids_path))
     with ThreadPoolExecutor(max_workers=8) as pool:
         all_preps = list(pool.map(
@@ -69,8 +73,11 @@ def main(args, project_root=None):
 
     for fold in range(n_folds):
         fold_model_dir = model_dir / f'{fold:03d}'
-        preps = all_preps[fold * len(dataset_names):
-                          (fold + 1) * len(dataset_names)]
+        preps = list(all_preps[fold * len(load_names):
+                               (fold + 1) * len(load_names)])
+        if in_memory_fusion:
+            preps.append(common.fuse_preps(preps, load_names,
+                                           args.dataset_resourse))
         test_data_list = [p['test_data'] for p in preps]
         clinical_df_list = [p['test_df'] for p in preps]
         columns_list = [p['columns'] for p in preps]
@@ -204,6 +211,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help='run inference through the fused Pallas '
                              'encoder/decode-and-deviate kernels (TPU; '
                              'interpret-mode fallback elsewhere).')
+    parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
+                        action='store_true',
+                        help='build the UCA early-fusion modality by '
+                             'concatenating the scaled base blocks in memory '
+                             '(numerically identical; skips reading the '
+                             'early_fusion CSV).')
     return parser
 
 

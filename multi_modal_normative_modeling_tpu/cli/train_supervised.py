@@ -73,6 +73,13 @@ def main(args, project_root=None):
         fold_ids.append(train_ids_path)
     n_folds = len(fold_ids)
 
+    # --in_memory_fusion: build the UCA early-fusion modality by
+    # concatenating the scaled base blocks instead of reading its CSV
+    # (identical up to the CSV round-trip ulp; see common.fuse_preps)
+    in_memory_fusion = (getattr(args, 'in_memory_fusion', False)
+                        and args.procedure.startswith('UCA'))
+    load_names = dataset_names[:-1] if in_memory_fusion else dataset_names
+
     def prep_one(job):
         train_ids_path, dataset_name = job
         return common.prepare_modality(
@@ -80,14 +87,18 @@ def main(args, project_root=None):
             participants_path, train_ids_path,
         )
 
-    jobs = [(ids, name) for ids in fold_ids for name in dataset_names]
+    jobs = [(ids, name) for ids in fold_ids for name in load_names]
     with ThreadPoolExecutor(max_workers=8) as pool:
         preps = list(pool.map(prep_one, jobs))
 
     folds = []
     config_dict = None
+    n_loaded = len(load_names)
     for f in range(n_folds):
-        fold_preps = preps[f * modalities:(f + 1) * modalities]
+        fold_preps = list(preps[f * n_loaded:(f + 1) * n_loaded])
+        if in_memory_fusion:
+            fold_preps.append(common.fuse_preps(
+                fold_preps, load_names, args.dataset_resourse))
         folds.append(([p['train_data'] for p in fold_preps],
                       [p['train_cov'] for p in fold_preps]))
         if config_dict is None:
@@ -183,6 +194,12 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['fp32', 'bf16'],
                         help='bf16 runs the MXU matmuls in bfloat16 with '
                              'fp32 master params and loss reductions.')
+    parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
+                        action='store_true',
+                        help='build the UCA early-fusion modality by '
+                             'concatenating the scaled base blocks in memory '
+                             '(numerically identical; skips reading the '
+                             'early_fusion CSV).')
     parser.add_argument('--profile_dir', dest='profile_dir', default=None,
                         help='emit a jax.profiler device trace of the '
                              'training run into this directory.')

@@ -42,3 +42,38 @@ def test_uca_gpoe_pipeline(tmp_path):
         dev_dir / names[-1] / f"reconstruction_error_roi_{names[-1]}.csv")
     assert fused.shape[1] == 4 + 270
     assert fused.columns[4].endswith("_av45")
+
+
+def test_in_memory_fusion_matches_file_based(tmp_path):
+    """--in_memory_fusion matches the file-based early-fusion path."""
+    roots = {}
+    for mode in ("file", "mem"):
+        root = tmp_path / mode
+        make_synthetic_resource(root, "ADNI", n_hc=40,
+                                n_disease={0: 20, 1: 20}, effect=0.9,
+                                with_early_fusion=True, seed=5)
+        args = argparse.Namespace(
+            dataset_resourse="ADNI", hz_para_list=[16, 16, 6],
+            procedure="UCA-gPoE", combine="gPoE", epochs=10, n_splits=2,
+            oversample_percentage=1, model="cVAE_multimodal",
+            single_modality=None, base_learning_rate=0.0001,
+            max_learning_rate=0.005, training_class="nm",
+            lr_schedule="constant", fold_parallel=True, precision="fp32",
+            in_memory_fusion=(mode == "mem"),
+        )
+        train_supervised.main(args, project_root=root)
+        test_supervised.main(args, project_root=root)
+        roots[mode] = root
+
+    rel = ("deviation/supervised_cvae/ADNI/UCA-gPoE/path_model/"
+           "early_fusion_modalities_ADNI/"
+           "reconstruction_error_early_fusion_modalities_ADNI.csv")
+    # the file-based path re-parses values through the early-fusion CSV
+    # (a 1-ulp round trip); in-memory fusion skips that, so compare
+    # numerically rather than byte-wise
+    ref = pd.read_csv(roots["file"] / rel)
+    mem = pd.read_csv(roots["mem"] / rel)
+    assert list(ref.columns) == list(mem.columns)
+    np.testing.assert_allclose(mem["Reconstruction error"],
+                               ref["Reconstruction error"],
+                               rtol=1e-5, atol=1e-8)
