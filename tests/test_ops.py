@@ -180,3 +180,49 @@ def test_margin_contrastive_matches_torch():
     ref = torch.mean((1 - tl) * torch.relu(1.0 + th - td)
                      + tl * torch.relu(1.0 + td - th)).item()
     np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_fusion_property_invariants():
+    """Property checks: identical experts collapse correctly; fusions agree
+    on M==1 semantics."""
+    rng = np.random.default_rng(7)
+    mu = rng.normal(size=(1, 6, 4)).astype(np.float32)
+    var = np.exp(rng.normal(size=(1, 6, 4)).astype(np.float32) * 0.3)
+    m3_mu = np.repeat(mu, 3, axis=0)
+    m3_var = np.repeat(var, 3, axis=0)
+
+    # PoE of M identical experts: same mean, variance / M
+    pm, pv = fusion.product_of_experts(jnp.asarray(m3_mu), jnp.asarray(m3_var))
+    np.testing.assert_allclose(np.asarray(pm), mu[0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pv), var[0] / 3, rtol=1e-5)
+
+    # MoE of identical experts: unchanged
+    mm, mv = fusion.mixture_of_experts(jnp.asarray(m3_mu), jnp.asarray(m3_var))
+    np.testing.assert_allclose(np.asarray(mm), mu[0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mv), var[0], rtol=1e-6)
+
+    # gPoE with uniform weights == PoE with precisions scaled by 1/M
+    alpha = jnp.zeros(3)
+    gm, gv = fusion.gpoe(jnp.asarray(m3_mu), jnp.asarray(m3_var), alpha)
+    np.testing.assert_allclose(np.asarray(gm), mu[0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), var[0], rtol=1e-5)
+
+    # MoPoE of identical experts: mean unchanged, var = (M*v + v/M)/(M+1)
+    om, ov = fusion.mixture_of_product_of_experts(jnp.asarray(m3_mu),
+                                                  jnp.asarray(m3_var))
+    np.testing.assert_allclose(np.asarray(om), mu[0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ov),
+                               (3 * var[0] + var[0] / 3) / 4, rtol=1e-5)
+
+
+def test_poe_logvar_consistent_with_poe():
+    rng = np.random.default_rng(8)
+    mus = rng.normal(size=(3, 5, 4)).astype(np.float32)
+    logvars = (rng.normal(size=(3, 5, 4)) * 0.3).astype(np.float32)
+    m1, lv = fusion.poe_logvar(jnp.asarray(mus), jnp.asarray(logvars))
+    m2, v = fusion.product_of_experts(jnp.asarray(mus),
+                                      jnp.exp(jnp.asarray(logvars)))
+    # exp(-lv) vs 1/exp(lv) and exp(log(.)) round trips in fp32: a few ulps
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(jnp.exp(lv)), np.asarray(v),
+                               rtol=2e-4)
