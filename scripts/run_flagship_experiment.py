@@ -35,6 +35,7 @@ def main():
         single_modality=None, base_learning_rate=0.0001,
         max_learning_rate=0.005, training_class="nm",
         lr_schedule="constant", fold_parallel=True, precision="fp32",
+        in_memory_fusion=True, emit_latent=False, fused_inference=False,
     )
     t0 = time.perf_counter()
     train_supervised.main(args, project_root=root)
