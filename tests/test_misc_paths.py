@@ -1,0 +1,68 @@
+"""Coverage for remaining paths: single-fold scoring, alternate threshold
+methods in the analysis CLI, distributed mesh helper."""
+import argparse
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from multi_modal_normative_modeling_tpu.cli import (
+    group_analysis,
+    score,
+    test_supervised,
+    train_supervised,
+)
+from multi_modal_normative_modeling_tpu.data.synthetic import (
+    make_synthetic_resource,
+)
+from multi_modal_normative_modeling_tpu.parallel.distributed import (
+    global_fold_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("misc")
+    make_synthetic_resource(root, "ADNI", n_hc=50, n_disease={0: 25, 1: 25},
+                            effect=1.0)
+    args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 6],
+        procedure="SM-av45", combine="PoE", epochs=15, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=False, precision="fp32",
+    )
+    train_supervised.main(args, project_root=root)
+    test_supervised.main(args, project_root=root)
+    return root, args
+
+
+def test_single_fold_scoring(trained):
+    root, _ = trained
+    y = pd.read_csv(root / "data" / "ADNI" / "y.csv")
+    ids_path = root / "sids.csv"
+    y[["IID"]].head(30).to_csv(ids_path, index=False)
+    args = argparse.Namespace(
+        dataset_resourse="ADNI", procedure="SM-av45", combine="PoE",
+        n_splits=2, ids=str(ids_path), fold=1, output=None, roi_output=None,
+        seed=42,
+    )
+    out = score.score(args, project_root=root)
+    assert len(out) == 30
+    assert np.isfinite(out["deviation"]).all()
+
+
+@pytest.mark.parametrize("method", ["f1", "eer"])
+def test_threshold_methods_through_cli(trained, method):
+    root, base = trained
+    args = argparse.Namespace(**vars(base), threshold_method=method)
+    stats = group_analysis.main(args, project_root=root)
+    assert np.isfinite(stats["auc"]).all()
+
+
+def test_global_fold_mesh():
+    mesh = global_fold_mesh(n_folds=4)
+    assert set(mesh.axis_names) == {"fold", "data"}
+    assert mesh.devices.size == len(jax.devices())
