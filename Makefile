@@ -1,0 +1,16 @@
+.PHONY: test bench flagship ppmi-bench lint
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+flagship:
+	python scripts/run_flagship_experiment.py
+
+ppmi-bench:
+	python scripts/bench_ppmi_scale.py
+
+lint:
+	python -m compileall -q multi_modal_normative_modeling_tpu bench.py __graft_entry__.py
