@@ -113,15 +113,42 @@ void* fc_open(const char* path) {
     split_line(header_line, cells);
     for (auto c : cells) f->header.emplace_back(c);
 
-    // index data-row starts
-    size_t pos = header_len + 1;
-    while (pos < f->size) {
-        f->row_starts.push_back(pos);
-        const char* next = static_cast<const char*>(
-            memchr(f->data + pos, '\n', f->size - pos));
-        if (!next) break;
-        pos = static_cast<size_t>(next - f->data) + 1;
+    // index data-row starts (chunk-parallel: each thread scans a byte range
+    // that begins at the first newline boundary after its nominal start)
+    size_t begin = header_len + 1;
+    size_t span = f->size - begin;
+    unsigned n_threads = span > (4u << 20) ? 16 : 1;
+    std::vector<std::vector<size_t>> partials(n_threads);
+    {
+        std::vector<std::thread> pool;
+        size_t chunk = span / n_threads + 1;
+        for (unsigned t = 0; t < n_threads; ++t) {
+            pool.emplace_back([&, t] {
+                size_t lo = begin + t * chunk;
+                size_t hi = std::min(f->size, lo + chunk);
+                if (lo >= f->size) return;
+                if (t > 0) {
+                    // advance to the first row that starts in this chunk
+                    const char* nl = static_cast<const char*>(
+                        memchr(f->data + lo - 1, '\n', hi - lo + 1));
+                    if (!nl) return;
+                    lo = static_cast<size_t>(nl - f->data) + 1;
+                    if (lo >= hi) return;  // row spans past this chunk
+                }
+                size_t pos = lo;
+                while (pos < hi) {
+                    partials[t].push_back(pos);
+                    const char* next = static_cast<const char*>(
+                        memchr(f->data + pos, '\n', f->size - pos));
+                    if (!next) break;
+                    pos = static_cast<size_t>(next - f->data) + 1;
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
     }
+    for (auto& part : partials)
+        f->row_starts.insert(f->row_starts.end(), part.begin(), part.end());
     // drop a trailing empty line
     if (!f->row_starts.empty()) {
         auto last = row_view(*f, f->row_starts.size() - 1);
