@@ -66,3 +66,16 @@ def test_global_fold_mesh():
     mesh = global_fold_mesh(n_folds=4)
     assert set(mesh.axis_names) == {"fold", "data"}
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_report_generator(trained):
+    root, base = trained
+    stats = group_analysis.main(base, project_root=root)
+    from multi_modal_normative_modeling_tpu.cli.report import generate_report
+
+    report = generate_report(root, "ADNI", "SM-av45",
+                             out_path=root / "report.md")
+    assert "# Experiment report" in report
+    assert "mean ROC-AUC" in report
+    assert "Top deviating ROIs" in report
+    assert (root / "report.md").exists()
