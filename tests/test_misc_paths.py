@@ -79,3 +79,24 @@ def test_report_generator(trained):
     assert "mean ROC-AUC" in report
     assert "Top deviating ROIs" in report
     assert (root / "report.md").exists()
+
+def test_sweep_parser_flag_surface():
+    """sweep_endtoend exposes the commands_list9_endtoend grid axes plus the
+    common reference flags (reference commands_list9_endtoend.sh loops over
+    margin x weightcontrastive on the nm-PM-cont trainer)."""
+    from multi_modal_normative_modeling_tpu.cli import common, sweep_endtoend
+
+    parser = sweep_endtoend.build_parser()
+    args = parser.parse_args(
+        ["-Margins", "0.5", "1.0", "-Weightcontrastives", "0.1",
+         "-Layers", "64", "32", "-E", "3", "-K", "2", "-R", "ADNI"])
+    common.apply_post_parse_defaults(args, default_procedure="SE-MoE")
+    assert args.margins == [0.5, 1.0]
+    assert args.weightcontrastives == [0.1]
+    assert args.layers == [64, 32]
+    assert args.epochs == 3 and args.n_splits == 2
+    assert args.procedure == "SE-MoE"
+    # common flag surface from the reference trainers is present
+    for flag in ("dataset_resourse", "hz_para_list", "combine",
+                 "oversample_percentage", "training_class"):
+        assert hasattr(args, flag), flag

@@ -101,6 +101,30 @@ def test_fastwrite_byte_parity_with_pandas(tmp_path):
         (tmp_path / "ref.csv").read_bytes()
 
 
+def test_fastwrite_extreme_exponents(tmp_path):
+    """3-digit exponents, denormals, ±inf and float32 format-policy edges."""
+    from multi_modal_normative_modeling_tpu.native.fastwrite import (
+        fastwrite_available,
+        write_frame,
+    )
+
+    if not fastwrite_available():
+        pytest.skip("no C++ toolchain")
+    f64 = np.array([1e100, -1e100, 1e-100, 1.7976931348623157e308,
+                    2.2250738585072014e-308, -4.9e-324, np.inf, -np.inf,
+                    9.999999999999999e15, 1.0000000000000002,
+                    3.141592653589793e-5, -0.0001, 12345.6789e90])
+    f32 = np.array([3.4028235e38, 1.1754944e-38, 1e-45, -6.1e-5, 9.9e-5,
+                    1.00001e-4, np.inf, -np.inf, 16777216.0, 1.5e-7,
+                    7.0e37, -2.802597e-45, 0.0], dtype=np.float32)
+    frame = pd.DataFrame({"id": [f"s{i}" for i in range(len(f64))],
+                          "f64": f64, "f32": f32})
+    frame.to_csv(tmp_path / "ref.csv", index=False)
+    assert write_frame(tmp_path / "fast.csv", frame)
+    assert (tmp_path / "fast.csv").read_bytes() == \
+        (tmp_path / "ref.csv").read_bytes()
+
+
 def test_fastwrite_falls_back_on_quoting(tmp_path):
     from multi_modal_normative_modeling_tpu.native.fastwrite import (
         fastwrite_available,
