@@ -1,4 +1,4 @@
-.PHONY: test bench flagship ppmi-bench lint
+.PHONY: test bench flagship ppmi-bench lint report
 
 test:
 	python -m pytest tests/ -x -q
@@ -14,3 +14,6 @@ ppmi-bench:
 
 lint:
 	python -m compileall -q multi_modal_normative_modeling_tpu bench.py __graft_entry__.py
+
+report:
+	python -m multi_modal_normative_modeling_tpu.cli.report
