@@ -100,3 +100,17 @@ def test_sweep_parser_flag_surface():
     for flag in ("dataset_resourse", "hz_para_list", "combine",
                  "oversample_percentage", "training_class"):
         assert hasattr(args, flag), flag
+
+def test_jaxconfig_cache_setup_idempotent():
+    """configure_jax_cache enables the persistent compile cache once; repeat
+    calls are no-ops; JAX_PLATFORMS env is honored over the TPU-plugin
+    sitecustomize override (see utils/jaxconfig.py)."""
+    from multi_modal_normative_modeling_tpu.utils import jaxconfig
+
+    jaxconfig.configure_jax_cache()
+    assert jaxconfig._configured
+    # conftest pins CPU for the test suite; the env honoring must keep it
+    assert jax.default_backend() == "cpu"
+    cache_dir = jax.config.jax_compilation_cache_dir
+    jaxconfig.configure_jax_cache()  # second call: no change
+    assert jax.config.jax_compilation_cache_dir == cache_dir
