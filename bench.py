@@ -168,9 +168,14 @@ def bench_torch_single_fold(epochs: int) -> float:
                 opt.step()
 
     run_epochs(1)  # warm-up
-    t0 = time.perf_counter()
-    run_epochs(epochs)
-    return time.perf_counter() - t0
+    # min over repeats, matching the jax measurement: CPU scheduling jitter
+    # is one-sided noise and would otherwise move vs_baseline run to run
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_epochs(epochs)
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main():
