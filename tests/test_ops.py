@@ -226,3 +226,21 @@ def test_poe_logvar_consistent_with_poe():
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-4)
     np.testing.assert_allclose(np.asarray(jnp.exp(lv)), np.asarray(v),
                                rtol=2e-4)
+
+
+def test_linear_init_matches_torch_distribution():
+    """init_linear draws W and b from U(-1/sqrt(fan_in), 1/sqrt(fan_in)) —
+    torch nn.Linear's default (reference models rely on it for parity)."""
+    import jax
+
+    from multi_modal_normative_modeling_tpu.ops.linear import init_linear
+
+    fan_in, fan_out = 64, 32
+    bound = 1.0 / np.sqrt(fan_in)
+    layer = init_linear(jax.random.PRNGKey(0), fan_in, fan_out)
+    w, b = np.asarray(layer["w"]), np.asarray(layer["b"])
+    assert w.shape == (fan_in, fan_out) and b.shape == (fan_out,)
+    assert np.abs(w).max() <= bound and np.abs(b).max() <= bound
+    # uniform, not gaussian: spread close to the full interval
+    assert np.abs(w).max() > 0.9 * bound
+    assert w.std() == pytest.approx(2 * bound / np.sqrt(12), rel=0.1)
