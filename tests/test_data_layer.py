@@ -177,3 +177,51 @@ def test_latent_pvalues_ols_and_logit():
     binary = (latent[:, 1] > 0).astype(int)
     frame2 = latent_pvalues(latent, binary, "binary")
     assert frame2.shape == (2, 4)
+
+
+def test_generate_kfold_ids_unigroup_hc_only_training(tmp_path):
+    """Unigroup split: train folds draw from HC only; every patient joins
+    every test fold (reference utils.py:50-70 — used by nm-MLP/nm-PM-cont)."""
+    from multi_modal_normative_modeling_tpu.data.loading import (
+        generate_kfold_ids_with_unigroup,
+    )
+
+    np.random.seed(42)
+    hc = pd.DataFrame({"IID": [f"h{i}" for i in range(20)]})
+    other = pd.DataFrame({"IID": [f"d{i}" for i in range(10)]})
+    generate_kfold_ids_with_unigroup(hc, other, oversample_percentage=1,
+                                     n_splits=3, project_root=tmp_path)
+    kdir = tmp_path / "outputs" / "kfold_analysis"
+    for fold in range(3):
+        train = pd.read_csv(kdir / f"train_ids_{fold:03d}.csv")
+        test = pd.read_csv(kdir / f"test_ids_{fold:03d}.csv")
+        assert all(iid.startswith("h") for iid in train["IID"])
+        assert set(other["IID"]).issubset(set(test["IID"]))
+    # HC test rows still partition the HC cohort across folds
+    hc_test = pd.concat([
+        pd.read_csv(kdir / f"test_ids_{f:03d}.csv") for f in range(3)
+    ])
+    hc_only = hc_test[hc_test["IID"].str.startswith("h")]
+    assert sorted(hc_only["IID"]) == sorted(hc["IID"])
+
+
+def test_generate_kfold_ids_endtoend_dir_and_determinism(tmp_path):
+    """End-to-end variant writes to kfold_analysis_endtoend with the same
+    seed-42 KFold split as the supervised generator (utils.py:19-42)."""
+    from multi_modal_normative_modeling_tpu.data.loading import (
+        generate_kfold_ids,
+        generate_kfold_ids_endtoend,
+    )
+
+    hc = pd.DataFrame({"IID": [f"h{i}" for i in range(20)]})
+    other = pd.DataFrame({"IID": [f"d{i}" for i in range(10)]})
+    np.random.seed(42)
+    generate_kfold_ids(hc, other, n_splits=3, project_root=tmp_path)
+    np.random.seed(42)
+    generate_kfold_ids_endtoend(hc, other, n_splits=3, project_root=tmp_path)
+    for fold in range(3):
+        a = pd.read_csv(tmp_path / "outputs" / "kfold_analysis" /
+                        f"test_ids_{fold:03d}.csv")
+        b = pd.read_csv(tmp_path / "outputs" / "kfold_analysis_endtoend" /
+                        f"test_ids_{fold:03d}.csv")
+        pd.testing.assert_frame_equal(a, b)
