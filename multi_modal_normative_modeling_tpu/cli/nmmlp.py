@@ -224,7 +224,7 @@ def analyze(args, project_root: Path):
     outputs, kfold_dir, model_dir = _dirs(project_root)
     participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
     ids_df = pd.read_csv(participants_path)
-    hc_label = 2 if args.dataset_resourse == 'ADNI' else 1
+    hc_label = registry.get_hc_label(args.dataset_resourse)
     HC_group = ids_df[ids_df['DIA'] == hc_label]
     kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
 
@@ -253,6 +253,11 @@ def analyze(args, project_root: Path):
         sigs.append(roc_auc / (1 - roc_auc) if roc_auc < 1 else float('inf'))
         print(f'Fold {fold}: ROC AUC: {roc_auc:.4f}')
 
+    if not aucs:
+        # no fold produced diagnosis CSVs (reference would np.mean([]) into a
+        # NaN + RuntimeWarning, nmmlp:637); report cleanly instead
+        print('No diagnosis results found for any fold; nothing to analyze.')
+        return {'auc': None, 'auc_std': None}
     print('Overall Performance:')
     print(f'Mean ROC AUC: {np.mean(aucs):.4f} ± {np.std(aucs):.4f}')
     append_performance_metrics(

@@ -63,10 +63,11 @@ def _logit_pvalues(y, X, max_iter: int = 100, tol: float = 1e-8):
     """Wald-test p-values from Newton-Raphson logistic regression
     (statsmodels Logit semantics)."""
     from scipy import stats
+    from scipy.special import expit
 
     beta = np.zeros(X.shape[1])
     for _ in range(max_iter):
-        p = 1.0 / (1.0 + np.exp(-X @ beta))
+        p = expit(X @ beta)  # overflow-safe sigmoid (perfect separation)
         w = p * (1.0 - p)
         hessian = X.T @ (X * w[:, None])
         grad = X.T @ (y - p)
@@ -74,7 +75,7 @@ def _logit_pvalues(y, X, max_iter: int = 100, tol: float = 1e-8):
         beta = beta + step
         if np.max(np.abs(step)) < tol:
             break
-    p = 1.0 / (1.0 + np.exp(-X @ beta))
+    p = expit(X @ beta)
     w = p * (1.0 - p)
     cov = np.linalg.inv(X.T @ (X * w[:, None]) + 1e-10 * np.eye(X.shape[1]))
     z = beta / np.sqrt(np.diag(cov))

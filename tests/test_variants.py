@@ -50,6 +50,26 @@ def test_nmmlp_train_test_analyze(adhd_project):
     assert norm.columns[-1] == "participant_id"
 
 
+def test_nmmlp_analyze_without_any_diagnosis_csvs(tmp_path):
+    """analyze on a project where test never ran: no NaN means, no
+    RuntimeWarning (reference nmmlp:637 would np.mean([]))."""
+    import warnings
+
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=30, n_disease={0: 10})
+    args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[24, 24, 6], combine="moe",
+        procedure="SE-MoE", epochs=5, n_splits=3, oversample_percentage=1,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        stats = nmmlp.analyze(args, root)
+    assert stats == {"auc": None, "auc_std": None}
+    # nothing appended to the report
+    report = root / "outputs" / "analysis_results" / "performance_metrics.txt"
+    assert not report.exists()
+
+
 def test_nmpmcont_endtoend(adhd_project):
     root = adhd_project
     args = argparse.Namespace(
