@@ -79,20 +79,46 @@ _CSV_LOCK = __import__("threading").Lock()
 # native loader; below this width pandas' fixed overhead doesn't matter.
 _FASTCSV_MIN_COLS = 256
 
+_log = __import__("logging").getLogger("mmnm.data")
+# why the native fast path disengaged, per absolute path (user-visible signal
+# + skips re-attempting the native parse for files known to need pandas)
+fast_path_reasons: dict = {}
+
+
+def _fast_path_off(path, reason: str, level=None) -> None:
+    path = str(path)
+    if fast_path_reasons.get(path) != reason:
+        fast_path_reasons[path] = reason
+        (level or _log.info)("fastcsv fast path disabled for %s: %s",
+                             path, reason)
+
 
 def _read_modality_fast(path) -> "pd.DataFrame | None":
     """Parse an IID + all-numeric-columns table with the native fastcsv
-    loader (or return None to fall back to pandas). Values are correctly
-    rounded (std::from_chars); pandas' default parser may differ by 1 ulp."""
+    loader (or return None to fall back to pandas, logging why on
+    'mmnm.data'). Values are correctly rounded (std::from_chars); pandas'
+    default parser may differ by 1 ulp. Quoted fields are supported
+    (RFC4180, no embedded newlines)."""
+    if str(path) in fast_path_reasons:
+        return None  # known to need pandas; don't re-parse natively
     try:
         from ..native.fastcsv import FastCSV, fastcsv_available
     except Exception:
+        _fast_path_off(path, "native loader import failed")
         return None
     if not fastcsv_available():
+        _fast_path_off(path, "no C++ toolchain: native library unavailable")
         return None
-    with open(path) as f:
-        header = f.readline().rstrip("\r\n").split(",")
-    if "IID" not in header or len(header) < _FASTCSV_MIN_COLS:
+    import csv
+
+    with open(path, newline="") as f:
+        header = next(csv.reader(f))
+    if "IID" not in header:
+        return None  # not a modality table; silently use pandas
+    if len(header) < _FASTCSV_MIN_COLS:
+        _fast_path_off(
+            path, f"narrow table ({len(header)} cols < {_FASTCSV_MIN_COLS}): "
+            "pandas fixed overhead is negligible here", _log.debug)
         return None
     value_cols = [c for c in header if c != "IID"]
     reader = FastCSV(path)
@@ -102,7 +128,11 @@ def _read_modality_fast(path) -> "pd.DataFrame | None":
     finally:
         reader.close()
     if np.isnan(values).any():
-        return None  # non-numeric cells: defer to pandas' dtype inference
+        # non-numeric or missing cells: pandas' dtype inference is needed.
+        # Memoized, so the file is natively parsed at most once.
+        _fast_path_off(path, "non-numeric or missing cells detected: "
+                             "deferring to pandas dtype inference")
+        return None
     frame = pd.DataFrame(values, columns=value_cols)
     frame.insert(header.index("IID"), "IID", ids)
     return frame

@@ -48,13 +48,29 @@ struct File {
     }
 };
 
-// Split one CSV line (no embedded-quote handling: these are plain numeric
-// research tables) into string_views.
+// Split one CSV line into string_views. RFC4180 quoted fields are supported
+// (commas inside quotes, doubled "" escapes); embedded NEWLINES inside quoted
+// fields are not — the parallel row index is newline-delimited. Research
+// feature tables never embed newlines; pandas fallback covers anything else.
+// Returned views keep their surrounding quotes; see unquote()/parse_cell.
 void split_line(std::string_view line, std::vector<std::string_view>& out) {
     out.clear();
     size_t start = 0;
+    const size_t n = line.size();
     while (true) {
-        size_t comma = line.find(',', start);
+        size_t pos = start;
+        if (pos < n && line[pos] == '"') {
+            ++pos;
+            while (pos < n) {
+                if (line[pos] == '"') {
+                    if (pos + 1 < n && line[pos + 1] == '"') pos += 2;
+                    else { ++pos; break; }
+                } else {
+                    ++pos;
+                }
+            }
+        }
+        size_t comma = line.find(',', pos);
         if (comma == std::string_view::npos) {
             out.push_back(line.substr(start));
             return;
@@ -62,6 +78,20 @@ void split_line(std::string_view line, std::vector<std::string_view>& out) {
         out.push_back(line.substr(start, comma - start));
         start = comma + 1;
     }
+}
+
+// Strip surrounding quotes and collapse doubled "" escapes.
+std::string unquote(std::string_view cell) {
+    if (cell.size() < 2 || cell.front() != '"' || cell.back() != '"')
+        return std::string(cell);
+    cell = cell.substr(1, cell.size() - 2);
+    std::string out;
+    out.reserve(cell.size());
+    for (size_t i = 0; i < cell.size(); ++i) {
+        out.push_back(cell[i]);
+        if (cell[i] == '"' && i + 1 < cell.size() && cell[i + 1] == '"') ++i;
+    }
+    return out;
 }
 
 std::string_view row_view(const File& f, size_t row) {
@@ -79,6 +109,9 @@ double parse_cell(std::string_view cell) {
         cell.remove_prefix(1);
     while (!cell.empty() && std::isspace(static_cast<unsigned char>(cell.back())))
         cell.remove_suffix(1);
+    // quoted numeric cell: strip the quotes (numbers never embed "")
+    if (cell.size() >= 2 && cell.front() == '"' && cell.back() == '"')
+        cell = cell.substr(1, cell.size() - 2);
     double value;
     auto result = std::from_chars(cell.data(), cell.data() + cell.size(), value);
     if (result.ec != std::errc() || result.ptr != cell.data() + cell.size())
@@ -111,7 +144,7 @@ void* fc_open(const char* path) {
                                      ? header_len - 1 : header_len);
     std::vector<std::string_view> cells;
     split_line(header_line, cells);
-    for (auto c : cells) f->header.emplace_back(c);
+    for (auto c : cells) f->header.push_back(unquote(c));
 
     // index data-row starts (chunk-parallel: each thread scans a byte range
     // that begins at the first newline boundary after its nominal start)
@@ -215,17 +248,31 @@ int32_t fc_fill(void* handle, const int32_t* col_indices, int32_t n_cols,
     return 0;
 }
 
-// Extract only the n-th comma-separated field of a line (no full split).
+// Extract only the n-th comma-separated field of a line (no full split;
+// quote-aware like split_line).
 static std::string_view nth_field(std::string_view line, int32_t n) {
     size_t start = 0;
-    for (int32_t i = 0; i < n; ++i) {
-        size_t comma = line.find(',', start);
+    for (int32_t i = 0;; ++i) {
+        size_t pos = start;
+        if (pos < line.size() && line[pos] == '"') {
+            ++pos;
+            while (pos < line.size()) {
+                if (line[pos] == '"') {
+                    if (pos + 1 < line.size() && line[pos + 1] == '"') pos += 2;
+                    else { ++pos; break; }
+                } else {
+                    ++pos;
+                }
+            }
+        }
+        size_t comma = line.find(',', pos);
+        if (i == n)
+            return line.substr(start, comma == std::string_view::npos
+                                          ? std::string_view::npos
+                                          : comma - start);
         if (comma == std::string_view::npos) return {};
         start = comma + 1;
     }
-    size_t comma = line.find(',', start);
-    return line.substr(start, comma == std::string_view::npos
-                                  ? std::string_view::npos : comma - start);
 }
 
 int64_t fc_read_strings(void* handle, int32_t col, char* buf, int64_t cap) {
@@ -233,7 +280,7 @@ int64_t fc_read_strings(void* handle, int32_t col, char* buf, int64_t cap) {
     if (col < 0 || static_cast<size_t>(col) >= f->header.size()) return -1;
     int64_t needed = 0;
     for (size_t r = 0; r < f->row_starts.size(); ++r) {
-        std::string_view cell = nth_field(row_view(*f, r), col);
+        std::string cell = unquote(nth_field(row_view(*f, r), col));
         if (buf && needed + static_cast<int64_t>(cell.size()) + 1 <= cap) {
             memcpy(buf + needed, cell.data(), cell.size());
             buf[needed + cell.size()] = '\n';

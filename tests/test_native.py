@@ -74,6 +74,70 @@ def test_crlf_and_trailing_newline(tmp_path):
     f.close()
 
 
+def test_quoted_fields_rfc4180(tmp_path):
+    """Quoted headers, quoted string cells with embedded commas and doubled
+    quotes, quoted numeric cells — parity with pandas."""
+    path = tmp_path / "quoted.csv"
+    path.write_text('"IID","a,x",b,"no""te"\n'
+                    '"s,1","1.5",2,"he,""llo"""\n'
+                    's2,-3,"4e-2",plain\n')
+    ref = pd.read_csv(path)
+    f = FastCSV(path)
+    assert f.n_rows == 2
+    assert f.read_string_column("IID") == list(ref["IID"])
+    assert f.read_string_column('no"te') == ['he,"llo"', "plain"]
+    np.testing.assert_allclose(f.read_columns(["a,x", "b"]),
+                               ref[["a,x", "b"]].values)
+    f.close()
+
+
+def test_fast_path_disengage_reason_logged(tmp_path, caplog):
+    """A wide table with missing cells falls back to pandas with a logged
+    reason, exactly once, and the pipeline still loads the data."""
+    import logging
+
+    from multi_modal_normative_modeling_tpu.cli import common
+
+    n, d = 20, 300
+    rng = np.random.default_rng(0)
+    frame = pd.DataFrame(rng.normal(size=(n, d)),
+                         columns=[f"c{i}" for i in range(d)])
+    frame.insert(0, "IID", [f"s{i}" for i in range(n)])
+    frame.loc[3, "c7"] = np.nan  # legitimate missing value
+    path = tmp_path / "wide_nan.csv"
+    frame.to_csv(path, index=False)
+
+    with caplog.at_level(logging.INFO, logger="mmnm.data"):
+        out = common.read_csv_cached(path)
+        # second (cache-busting) read: reason memoized, no native re-parse
+        common._CSV_CACHE.clear()
+        out2 = common.read_csv_cached(path)
+    msgs = [r.message for r in caplog.records
+            if "fast path disabled" in r.message]
+    assert len(msgs) == 1 and "missing cells" in msgs[0]
+    assert str(path) in common.fast_path_reasons
+    pd.testing.assert_frame_equal(out, frame)
+    pd.testing.assert_frame_equal(out2, frame)
+    common.fast_path_reasons.clear()
+
+
+def test_fast_path_engages_on_clean_wide_table(tmp_path):
+    from multi_modal_normative_modeling_tpu.cli import common
+
+    n, d = 20, 300
+    rng = np.random.default_rng(1)
+    frame = pd.DataFrame(rng.normal(size=(n, d)),
+                         columns=[f"c{i}" for i in range(d)])
+    frame.insert(0, "IID", [f"s{i}" for i in range(n)])
+    path = tmp_path / "wide.csv"
+    frame.to_csv(path, index=False)
+    out = common.read_csv_cached(path)
+    assert str(path) not in common.fast_path_reasons
+    assert list(out.columns) == list(frame.columns)
+    np.testing.assert_allclose(out[frame.columns[1:]].values,
+                               frame[frame.columns[1:]].values, rtol=1e-15)
+
+
 def test_fastwrite_byte_parity_with_pandas(tmp_path):
     from multi_modal_normative_modeling_tpu.native.fastwrite import (
         fastwrite_available,
