@@ -124,7 +124,40 @@ def main(args, project_root=None):
     keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
 
     fold_parallel = getattr(args, 'fold_parallel', False)
-    if fold_parallel:
+
+    fused_trainer = None
+    if getattr(args, 'fused_train_step', False):
+        # fully-fused Pallas fwd+bwd train step (kernels/train_step.py), with
+        # automatic fallback to the XLA path when shapes/config are out of the
+        # kernel's scope or Mosaic cannot compile it on this core
+        from ..train.fused import FusedFoldTrainer, supported
+
+        ok, reason = supported(model, train_config,
+                               train_config.batch_size, fold_parallel)
+        if ok:
+            fused_trainer = FusedFoldTrainer(
+                model, train_config, folds[0][0][0].shape[0])
+            print('train model (fused Pallas train-step kernel)')
+        else:
+            print(f'fused train step unavailable ({reason}); '
+                  'using the XLA path')
+
+    if fused_trainer is not None:
+        per_fold_params, per_fold_logs = [], []
+        for fold, (data_list, cov_list) in enumerate(folds):
+            try:
+                params, logs = fused_trainer.run(
+                    params_list[fold], data_list, cov_list[0],
+                    key=keys[fold])
+            except Exception as exc:  # Mosaic compile/alloc failure
+                print(f'fused train step failed to compile ({exc!r}); '
+                      'falling back to the XLA path')
+                fused_trainer = None
+                break
+            per_fold_params.append(params)
+            per_fold_logs.append(logs)
+
+    if fused_trainer is None and fold_parallel:
         # all folds train concurrently: stacked params, one vmapped program
         from ..parallel import (
             MultiFoldTrainer,
@@ -151,7 +184,7 @@ def main(args, project_root=None):
         per_fold_logs = [
             {k: v[f] for k, v in host_logs.items()} for f in range(n_folds)
         ]
-    else:
+    elif fused_trainer is None:
         trainer = FoldTrainer(model, train_config, folds[0][0][0].shape[0])
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
@@ -194,6 +227,12 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['fp32', 'bf16'],
                         help='bf16 runs the MXU matmuls in bfloat16 with '
                              'fp32 master params and loss reductions.')
+    parser.add_argument('--fused_train_step', dest='fused_train_step',
+                        action='store_true',
+                        help='run each optimizer step as ONE fused Pallas '
+                             'fwd+bwd kernel (cVAE_multimodal, '
+                             'poe/gpoe/moe/mopoe, fp32); automatically falls '
+                             'back to the XLA path when unsupported.')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true',
                         help='build the UCA early-fusion modality by '

@@ -9,8 +9,12 @@ reparameterize -> decoders -> masked ELBO) *and* its backward inside a single
 pallas_call, so every activation lives and dies in VMEM: HBM sees one read of
 the batch and weights and one write of the gradients.
 
-Scope: the packed cVAE family (models/stacked.py layout), 2 hidden layers,
-fusion in {poe, gpoe, moe, mopoe}, fp32. Gradients are verified against
+Scope: the packed cVAE family (models/stacked.py layout), ANY number of
+hidden layers (the reference ADHD sweep grid spans 1-3 hidden,
+commands_list11_adhd.sh:18), fusion in {poe, gpoe, moe, mopoe}, fp32.
+All operands must fit VMEM (~16 MB/core): supported for the reference's
+90-270-feature modalities; PPMI-width (3485) shapes exceed VMEM and take the
+XLA path (see fits_vmem / RESULTS.md). Gradients are verified against
 jax.grad of the stacked model in tests/test_train_step_kernel.py (interpret
 mode on CPU and on real TPU).
 
@@ -46,6 +50,28 @@ from .mlp import LANE, SUBLANE, _on_tpu, _round_up
 
 _HALF_LOG_2PI = 0.9189385332046727
 
+# per-core VMEM budgets for the single-block kernel (bytes): v4-class cores
+# have 16 MiB vector memory; v5e/v5p-class have 128 MiB. The estimate in
+# vmem_bytes over-counts slightly (Mosaic reuses buffers), so leave headroom.
+VMEM_BUDGET_SMALL = 14 * 1024 * 1024
+VMEM_BUDGET_LARGE = 110 * 1024 * 1024
+
+
+def default_vmem_budget() -> int:
+    """Best-effort budget for the current backend. Unknown TPU generations
+    get the small budget; the fused trainer additionally falls back to XLA if
+    Mosaic fails to allocate at compile time."""
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", "").lower()
+        if any(t in kind for t in ("v5", "v6", "v7")):
+            return VMEM_BUDGET_LARGE
+    except Exception:
+        pass
+    return VMEM_BUDGET_SMALL
+
 
 def _lrelu(v):
     return jnp.where(v > 0, v, 0.01 * v)
@@ -56,31 +82,46 @@ def _dlrelu_from_out(a):
     return jnp.where(a > 0, 1.0, 0.01)
 
 
-def _kernel(m_count: int, combine: str, *refs):
-    (xc, x, c_tail, eps, rowmask, zmask, colmask, nvalid,
-     alpha, w1, b1, w2, b2, wmu, bmu, wlv, blv,
-     v1, c1, v2, c2, vm, cm, lvo,
-     losses_out, d_alpha, d_w1, d_b1, d_w2, d_b2, d_wmu, d_bmu, d_wlv, d_blv,
-     d_v1, d_c1, d_v2, d_c2, d_vm, d_cm, d_lvo) = refs
+def _kernel(m_count: int, n_hidden: int, combine: str, *refs):
+    L = n_hidden
+    M = m_count
+    (xc, x, c_tail, eps, rowmask, zmask, colmask, nvalid) = refs[:8]
+    pos = 8
+    alpha = refs[pos]; pos += 1
+    enc_w = [refs[pos + 2 * l] for l in range(L)]
+    enc_b = [refs[pos + 2 * l + 1] for l in range(L)]
+    pos += 2 * L
+    wmu, bmu, wlv, blv = refs[pos:pos + 4]; pos += 4
+    dec_w = [refs[pos + 2 * l] for l in range(L)]
+    dec_b = [refs[pos + 2 * l + 1] for l in range(L)]
+    pos += 2 * L
+    vm, cm, lvo = refs[pos:pos + 3]; pos += 3
+    losses_out, d_alpha = refs[pos:pos + 2]; pos += 2
+    d_enc_w = [refs[pos + 2 * l] for l in range(L)]
+    d_enc_b = [refs[pos + 2 * l + 1] for l in range(L)]
+    pos += 2 * L
+    d_wmu, d_bmu, d_wlv, d_blv = refs[pos:pos + 4]; pos += 4
+    d_dec_w = [refs[pos + 2 * l] for l in range(L)]
+    d_dec_b = [refs[pos + 2 * l + 1] for l in range(L)]
+    pos += 2 * L
+    d_vm, d_cm, d_lvo = refs[pos:pos + 3]
 
     n = nvalid[0, 0]
     rm = rowmask[:]                      # [B, 1]
     zm = zmask[:]                        # [1, Zp]
-    M = m_count
 
     # ---------------- forward: encoders -----------------------------------
-    a1s, a2s, mus, lvs = [], [], [], []
+    acts, mus, lvs = [], [], []          # acts[m] = [a_0 .. a_L]
     for m in range(M):
-        a0 = xc[m]
-        h1 = _lrelu(jnp.dot(a0, w1[m], preferred_element_type=jnp.float32)
-                    + b1[m])
-        h2 = _lrelu(jnp.dot(h1, w2[m], preferred_element_type=jnp.float32)
-                    + b2[m])
-        a1s.append(h1)
-        a2s.append(h2)
-        mus.append(jnp.dot(h2, wmu[m], preferred_element_type=jnp.float32)
+        a = [xc[m]]
+        for l in range(L):
+            a.append(_lrelu(
+                jnp.dot(a[-1], enc_w[l][m],
+                        preferred_element_type=jnp.float32) + enc_b[l][m]))
+        acts.append(a)
+        mus.append(jnp.dot(a[-1], wmu[m], preferred_element_type=jnp.float32)
                    + bmu[m])
-        lvs.append(jnp.dot(h2, wlv[m], preferred_element_type=jnp.float32)
+        lvs.append(jnp.dot(a[-1], wlv[m], preferred_element_type=jnp.float32)
                    + blv[m])
 
     # ---------------- fusion ------------------------------------------------
@@ -122,15 +163,15 @@ def _kernel(m_count: int, combine: str, *refs):
     z = (mu + eps[:] * half) * zm          # padded latent dims zeroed
     zc = jnp.concatenate([z, c_tail[:]], axis=1)
 
-    g1s, g2s, means = [], [], []
+    gacts, means = [], []                  # gacts[m] = [zc, g_1 .. g_L]
     for m in range(M):
-        y1 = _lrelu(jnp.dot(zc, v1[m], preferred_element_type=jnp.float32)
-                    + c1[m])
-        y2 = _lrelu(jnp.dot(y1, v2[m], preferred_element_type=jnp.float32)
-                    + c2[m])
-        g1s.append(y1)
-        g2s.append(y2)
-        means.append(jnp.dot(y2, vm[m], preferred_element_type=jnp.float32)
+        g = [zc]
+        for l in range(L):
+            g.append(_lrelu(
+                jnp.dot(g[-1], dec_w[l][m],
+                        preferred_element_type=jnp.float32) + dec_b[l][m]))
+        gacts.append(g)
+        means.append(jnp.dot(g[-1], vm[m], preferred_element_type=jnp.float32)
                      + cm[m])
 
     # ---------------- losses ------------------------------------------------
@@ -155,18 +196,18 @@ def _kernel(m_count: int, combine: str, *refs):
         d_lvo[m] = -jnp.sum(
             rm * cmask * (0.5 * diff * diff * q - 0.5), axis=0, keepdims=True
         ) / n
-        d_vm[m] = jnp.dot(g2s[m].T, dmean, preferred_element_type=jnp.float32)
+        g = gacts[m]
+        d_vm[m] = jnp.dot(g[L].T, dmean, preferred_element_type=jnp.float32)
         d_cm[m] = jnp.sum(dmean, axis=0, keepdims=True)
-        dg2 = jnp.dot(dmean, vm[m].T, preferred_element_type=jnp.float32)
-        dy2 = dg2 * _dlrelu_from_out(g2s[m])
-        d_v2[m] = jnp.dot(g1s[m].T, dy2, preferred_element_type=jnp.float32)
-        d_c2[m] = jnp.sum(dy2, axis=0, keepdims=True)
-        dg1 = jnp.dot(dy2, v2[m].T, preferred_element_type=jnp.float32)
-        dy1 = dg1 * _dlrelu_from_out(g1s[m])
-        d_v1[m] = jnp.dot(zc.T, dy1, preferred_element_type=jnp.float32)
-        d_c1[m] = jnp.sum(dy1, axis=0, keepdims=True)
-        d_zc = d_zc + jnp.dot(dy1, v1[m].T,
-                              preferred_element_type=jnp.float32)
+        dg = jnp.dot(dmean, vm[m].T, preferred_element_type=jnp.float32)
+        for l in range(L - 1, -1, -1):
+            dy = dg * _dlrelu_from_out(g[l + 1])
+            d_dec_w[l][m] = jnp.dot(g[l].T, dy,
+                                    preferred_element_type=jnp.float32)
+            d_dec_b[l][m] = jnp.sum(dy, axis=0, keepdims=True)
+            dg = jnp.dot(dy, dec_w[l][m].T,
+                         preferred_element_type=jnp.float32)
+        d_zc = d_zc + dg
 
     total = M * kl - ll_total
     losses_out[0, 0] = total
@@ -218,31 +259,33 @@ def _kernel(m_count: int, combine: str, *refs):
 
     # ---------------- backward: encoders ------------------------------------
     for m in range(M):
-        d_wmu[m] = jnp.dot(a2s[m].T, dmus[m],
+        a = acts[m]
+        d_wmu[m] = jnp.dot(a[L].T, dmus[m],
                            preferred_element_type=jnp.float32)
         d_bmu[m] = jnp.sum(dmus[m], axis=0, keepdims=True)
-        d_wlv[m] = jnp.dot(a2s[m].T, dlvs[m],
+        d_wlv[m] = jnp.dot(a[L].T, dlvs[m],
                            preferred_element_type=jnp.float32)
         d_blv[m] = jnp.sum(dlvs[m], axis=0, keepdims=True)
-        da2 = (jnp.dot(dmus[m], wmu[m].T, preferred_element_type=jnp.float32)
-               + jnp.dot(dlvs[m], wlv[m].T,
-                         preferred_element_type=jnp.float32))
-        dz2 = da2 * _dlrelu_from_out(a2s[m])
-        d_w2[m] = jnp.dot(a1s[m].T, dz2, preferred_element_type=jnp.float32)
-        d_b2[m] = jnp.sum(dz2, axis=0, keepdims=True)
-        da1 = jnp.dot(dz2, w2[m].T, preferred_element_type=jnp.float32)
-        dz1 = da1 * _dlrelu_from_out(a1s[m])
-        d_w1[m] = jnp.dot(xc[m].T, dz1, preferred_element_type=jnp.float32)
-        d_b1[m] = jnp.sum(dz1, axis=0, keepdims=True)
+        da = (jnp.dot(dmus[m], wmu[m].T, preferred_element_type=jnp.float32)
+              + jnp.dot(dlvs[m], wlv[m].T,
+                        preferred_element_type=jnp.float32))
+        for l in range(L - 1, -1, -1):
+            dz_l = da * _dlrelu_from_out(a[l + 1])
+            d_enc_w[l][m] = jnp.dot(a[l].T, dz_l,
+                                    preferred_element_type=jnp.float32)
+            d_enc_b[l][m] = jnp.sum(dz_l, axis=0, keepdims=True)
+            if l > 0:
+                da = jnp.dot(dz_l, enc_w[l][m].T,
+                             preferred_element_type=jnp.float32)
 
 
 class FusedTrainStep:
     """Builds padded operands once and exposes
     ``loss_and_grads(packed_params, x_packed, c, eps, rowmask)``.
 
-    Operates on the models/stacked.py packed parameter layout; returns
-    (losses_dict, grads) where grads matches the packed pytree (padding
-    entries zero, like jax.grad of the stacked model).
+    Operates on the models/stacked.py packed parameter layout (any hidden
+    depth); returns (losses_dict, grads) where grads matches the packed
+    pytree (padding entries zero, like jax.grad of the stacked model).
     """
 
     def __init__(self, stacked_model, combine: str,
@@ -258,18 +301,51 @@ class FusedTrainStep:
 
         m = stacked_model
         self.M = m.modalities
+        self.L = m.n_hidden
         self.Z = m.latent_dim
         self.C = m.c_dim
         self.H = [_round_up(h, LANE) for h in m.hidden_dim]
+        self.Hr = self.H[::-1]           # decoder hidden widths, in order
         self.D = _round_up(m.d_max, LANE)
         # covariate rows sit AFTER the lane-padded x block
         self.K = _round_up(self.D + m.c_dim, LANE)
         self.Zp = _round_up(m.latent_dim, LANE)
         self.ZC = _round_up(self.Zp + m.c_dim, LANE)
 
+    # ---- VMEM feasibility ----------------------------------------------------
+    def vmem_bytes(self, batch: int) -> int:
+        """Estimated VMEM residency of the single-block kernel: all inputs,
+        outputs and live activations (fp32)."""
+        M, L = self.M, self.L
+        Bp = _round_up(batch, SUBLANE)
+        n = 0
+        # batch blocks: xc, x, means+diff (~2x), eps, masks
+        n += M * Bp * self.K            # xc
+        n += M * Bp * self.D            # x
+        n += 2 * M * Bp * self.D        # means + diff live simultaneously
+        n += Bp * (self.ZC + self.Zp + 2)
+        # params + grads (2x)
+        p = M * (self.K * self.H[0] + self.H[0])
+        for l in range(1, L):
+            p += M * (self.H[l - 1] * self.H[l] + self.H[l])
+        p += 2 * M * (self.H[-1] * self.Zp + self.Zp)          # mu/lv heads
+        p += M * (self.ZC * self.Hr[0] + self.Hr[0])
+        for l in range(1, L):
+            p += M * (self.Hr[l - 1] * self.Hr[l] + self.Hr[l])
+        p += M * (self.Hr[-1] * self.D + 2 * self.D)           # mean head+lvo
+        n += 2 * p
+        # activations kept for backward
+        n += M * Bp * (sum(self.H) + sum(self.Hr) + 2 * self.Zp)
+        return 4 * n
+
+    def fits_vmem(self, batch: int, budget: int | None = None) -> bool:
+        if budget is None:
+            budget = default_vmem_budget()
+        return self.vmem_bytes(batch) <= budget
+
     # ---- padding helpers ---------------------------------------------------
     def _pad_params(self, p) -> list:
-        M, H0, H1 = self.M, self.H[0], self.H[1]
+        M, L = self.M, self.L
 
         def pad3(a, rows, cols):
             return jnp.pad(a, ((0, 0), (0, rows - a.shape[1]),
@@ -279,63 +355,101 @@ class FusedTrainStep:
             return jnp.pad(a, ((0, 0), (0, cols - a.shape[1])))[:, None, :]
 
         e, d = p["enc"], p["dec"]
-        # encoder W1 rows: [x-features | covariates] -> [x(D) | cov | pad]
-        xw = e["w1"][:, : self.model.d_max]
-        cw = e["w1"][:, self.model.d_max:]
-        w1 = jnp.concatenate([
+        # encoder W0 rows: [x-features | covariates] -> [x(D) | cov | pad]
+        w0 = e["layers"][0]["w"]
+        xw = w0[:, : self.model.d_max]
+        cw = w0[:, self.model.d_max:]
+        w0 = jnp.concatenate([
             jnp.pad(xw, ((0, 0), (0, self.D - xw.shape[1]), (0, 0))),
             cw,
         ], axis=1)
-        w1 = jnp.pad(w1, ((0, 0), (0, self.K - w1.shape[1]),
-                          (0, H0 - w1.shape[2])))
-        # decoder V1 rows: [latent | covariates] -> [latent(Zp) | cov | pad]
-        zv = d["w1"][:, : self.Z]
-        cv = d["w1"][:, self.Z:]
-        v1 = jnp.concatenate([
+        w0 = jnp.pad(w0, ((0, 0), (0, self.K - w0.shape[1]),
+                          (0, self.H[0] - w0.shape[2])))
+        enc_ops = [w0, padb(e["layers"][0]["b"], self.H[0])]
+        for l in range(1, L):
+            enc_ops += [pad3(e["layers"][l]["w"], self.H[l - 1], self.H[l]),
+                        padb(e["layers"][l]["b"], self.H[l])]
+        # decoder V0 rows: [latent | covariates] -> [latent(Zp) | cov | pad]
+        v0 = d["layers"][0]["w"]
+        zv = v0[:, : self.Z]
+        cv = v0[:, self.Z:]
+        v0 = jnp.concatenate([
             jnp.pad(zv, ((0, 0), (0, self.Zp - zv.shape[1]), (0, 0))),
             cv,
         ], axis=1)
-        v1 = jnp.pad(v1, ((0, 0), (0, self.ZC - v1.shape[1]),
-                          (0, H1 - v1.shape[2])))
-        return [
-            p["alpha"].reshape(self.M, 1).astype(jnp.float32),
-            w1, padb(e["b1"], H0),
-            pad3(e["w2"], H0, H1), padb(e["b2"], H1),
-            pad3(e["wmu"], H1, self.Zp), padb(e["bmu"], self.Zp),
-            pad3(e["wlv"], H1, self.Zp), padb(e["blv"], self.Zp),
-            v1, padb(d["b1"], H1),
-            pad3(d["w2"], H1, H0), padb(d["b2"], H0),
-            pad3(d["wm"], H0, self.D), padb(d["bm"], self.D),
-            padb(d["lvo"], self.D),
-        ]
+        v0 = jnp.pad(v0, ((0, 0), (0, self.ZC - v0.shape[1]),
+                          (0, self.Hr[0] - v0.shape[2])))
+        dec_ops = [v0, padb(d["layers"][0]["b"], self.Hr[0])]
+        for l in range(1, L):
+            dec_ops += [pad3(d["layers"][l]["w"], self.Hr[l - 1], self.Hr[l]),
+                        padb(d["layers"][l]["b"], self.Hr[l])]
+        return (
+            [p["alpha"].reshape(self.M, 1).astype(jnp.float32)]
+            + enc_ops
+            + [pad3(e["wmu"], self.H[-1], self.Zp), padb(e["bmu"], self.Zp),
+               pad3(e["wlv"], self.H[-1], self.Zp), padb(e["blv"], self.Zp)]
+            + dec_ops
+            + [pad3(d["wm"], self.Hr[-1], self.D), padb(d["bm"], self.D),
+               padb(d["lvo"], self.D)]
+        )
+
+    def _grad_shapes(self) -> dict:
+        M, L = self.M, self.L
+        shapes = {"losses": (1, 4), "alpha": (M, 1)}
+        shapes["enc_w0"] = (M, self.K, self.H[0])
+        shapes["enc_b0"] = (M, 1, self.H[0])
+        for l in range(1, L):
+            shapes[f"enc_w{l}"] = (M, self.H[l - 1], self.H[l])
+            shapes[f"enc_b{l}"] = (M, 1, self.H[l])
+        shapes["wmu"] = (M, self.H[-1], self.Zp)
+        shapes["bmu"] = (M, 1, self.Zp)
+        shapes["wlv"] = (M, self.H[-1], self.Zp)
+        shapes["blv"] = (M, 1, self.Zp)
+        shapes["dec_w0"] = (M, self.ZC, self.Hr[0])
+        shapes["dec_b0"] = (M, 1, self.Hr[0])
+        for l in range(1, L):
+            shapes[f"dec_w{l}"] = (M, self.Hr[l - 1], self.Hr[l])
+            shapes[f"dec_b{l}"] = (M, 1, self.Hr[l])
+        shapes["vm"] = (M, self.Hr[-1], self.D)
+        shapes["cm"] = (M, 1, self.D)
+        shapes["lvo"] = (M, 1, self.D)
+        return shapes
 
     def _unpad_grads(self, g: dict) -> dict:
         m = self.model
-        dm, z, c = m.d_max, self.Z, self.C
-        enc_w1 = jnp.concatenate(
-            [g["w1"][:, :dm], g["w1"][:, self.D: self.D + c]], axis=1
-        )[:, :, : m.hidden_dim[0]]
-        dec_v1 = jnp.concatenate(
-            [g["v1"][:, :z], g["v1"][:, self.Zp: self.Zp + c]], axis=1
-        )[:, :, : m.hidden_dim[1]]
+        dm, z, c, L = m.d_max, self.Z, self.C, self.L
+        h = m.hidden_dim
+        hr = h[::-1]
+        enc_w0 = jnp.concatenate(
+            [g["enc_w0"][:, :dm], g["enc_w0"][:, self.D: self.D + c]], axis=1
+        )[:, :, : h[0]]
+        dec_v0 = jnp.concatenate(
+            [g["dec_w0"][:, :z], g["dec_w0"][:, self.Zp: self.Zp + c]], axis=1
+        )[:, :, : hr[0]]
+        enc_layers = [{"w": enc_w0, "b": g["enc_b0"][:, 0, : h[0]]}]
+        for l in range(1, L):
+            enc_layers.append({
+                "w": g[f"enc_w{l}"][:, : h[l - 1], : h[l]],
+                "b": g[f"enc_b{l}"][:, 0, : h[l]],
+            })
+        dec_layers = [{"w": dec_v0, "b": g["dec_b0"][:, 0, : hr[0]]}]
+        for l in range(1, L):
+            dec_layers.append({
+                "w": g[f"dec_w{l}"][:, : hr[l - 1], : hr[l]],
+                "b": g[f"dec_b{l}"][:, 0, : hr[l]],
+            })
         return {
             "alpha": g["alpha"][:, 0],
             "enc": {
-                "w1": enc_w1,
-                "b1": g["b1"][:, 0, : m.hidden_dim[0]],
-                "w2": g["w2"][:, : m.hidden_dim[0], : m.hidden_dim[1]],
-                "b2": g["b2"][:, 0, : m.hidden_dim[1]],
-                "wmu": g["wmu"][:, : m.hidden_dim[1], :z],
+                "layers": enc_layers,
+                "wmu": g["wmu"][:, : h[-1], :z],
                 "bmu": g["bmu"][:, 0, :z],
-                "wlv": g["wlv"][:, : m.hidden_dim[1], :z],
+                "wlv": g["wlv"][:, : h[-1], :z],
                 "blv": g["blv"][:, 0, :z],
             },
             "dec": {
-                "w1": dec_v1,
-                "b1": g["c1"][:, 0, : m.hidden_dim[1]],
-                "w2": g["v2"][:, : m.hidden_dim[1], : m.hidden_dim[0]],
-                "b2": g["c2"][:, 0, : m.hidden_dim[0]],
-                "wm": g["vm"][:, : m.hidden_dim[0], :dm],
+                "layers": dec_layers,
+                "wm": g["vm"][:, : hr[-1], :dm],
                 "bm": g["cm"][:, 0, :dm],
                 "lvo": g["lvo"][:, 0, :dm],
             },
@@ -377,19 +491,7 @@ class FusedTrainStep:
         operands = [xc, x_pad, c_tail, eps_p, rm, zmask, colmask,
                     nvalid] + params_ops
 
-        H0, H1 = self.H
-        shapes = {
-            "losses": (1, 4),
-            "alpha": (M, 1),
-            "w1": (M, self.K, H0), "b1": (M, 1, H0),
-            "w2": (M, H0, H1), "b2": (M, 1, H1),
-            "wmu": (M, H1, self.Zp), "bmu": (M, 1, self.Zp),
-            "wlv": (M, H1, self.Zp), "blv": (M, 1, self.Zp),
-            "v1": (M, self.ZC, H1), "c1": (M, 1, H1),
-            "v2": (M, H1, H0), "c2": (M, 1, H0),
-            "vm": (M, H0, self.D), "cm": (M, 1, self.D),
-            "lvo": (M, 1, self.D),
-        }
+        shapes = self._grad_shapes()
         out_shape = [jax.ShapeDtypeStruct(s, jnp.float32)
                      for s in shapes.values()]
         # losses + d_alpha are scalar-sized -> SMEM; big tensors -> VMEM
@@ -404,7 +506,7 @@ class FusedTrainStep:
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(params_ops) - 1)
         )
         outs = pl.pallas_call(
-            functools.partial(_kernel, M, self.combine),
+            functools.partial(_kernel, M, self.L, self.combine),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,

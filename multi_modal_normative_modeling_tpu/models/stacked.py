@@ -10,6 +10,11 @@ columns carry zero weights and zero data, so the math is exactly the
 per-modality model's (verified in tests/test_stacked.py down to gradients);
 padding rows receive zero gradients and stay zero under Adam.
 
+Supports ANY hidden depth (the reference's ADHD sweep spans 1-3 hidden
+layers, commands_list11_adhd.sh:18 — "20 10" through "1024 512 256 32"):
+encoder layers run (D+C) -> h0 -> ... -> h_{L-1}, decoder layers run
+(Z+C) -> h_{L-1} -> ... -> h0 -> D, matching models/cvae.py.
+
 This is the SURVEY §2.6 "modalities stay in-kernel" design: fold-parallelism
 via vmap on top gives [F, M, B, D] operands — large, uniform batched matmuls
 that XLA maps straight onto the MXU.
@@ -40,13 +45,14 @@ class StackedMultimodalCVAE:
     def __init__(self, input_dim_list: Sequence[int], hidden_dim: Sequence[int],
                  latent_dim: int, c_dim: int, modalities: int,
                  non_linear: bool = True, dtype=jnp.float32):
-        assert len(hidden_dim) == 2, "stacked variant supports 2 hidden layers"
+        assert len(hidden_dim) >= 1, "at least one hidden layer"
         self.base = MultimodalCVAE(input_dim_list, hidden_dim, latent_dim,
                                    c_dim, modalities, non_linear,
                                    variant="cvae", dtype=dtype)
         self.input_dim_list = list(input_dim_list)
         self.d_max = max(input_dim_list)
         self.hidden_dim = list(hidden_dim)
+        self.n_hidden = len(hidden_dim)
         self.latent_dim = latent_dim
         self.c_dim = c_dim
         self.modalities = modalities
@@ -60,33 +66,37 @@ class StackedMultimodalCVAE:
 
     def pack_params(self, per_modality: dict) -> dict:
         """Per-modality pytree -> stacked [M, ...] arrays with zero padding
-        on the (modality-specific) input/output feature dims."""
-        dm, c, h, z = self.d_max, self.c_dim, self.hidden_dim, self.latent_dim
-        enc_w1, enc_b1, enc_w2, enc_b2 = [], [], [], []
+        on the (modality-specific) input/output feature dims.
+
+        Layout: enc["layers"] / dec["layers"] are lists of {"w","b"} stacked
+        over modalities; enc layer 0's W rows are [x-block padded to d_max |
+        covariates] so packed inputs stay aligned across modalities."""
+        dm, L = self.d_max, self.n_hidden
+        enc_layers = [{"w": [], "b": []} for _ in range(L)]
+        dec_layers = [{"w": [], "b": []} for _ in range(L)]
         enc_wmu, enc_bmu, enc_wlv, enc_blv = [], [], [], []
-        dec_w1, dec_b1, dec_w2, dec_b2 = [], [], [], []
         dec_wm, dec_bm, dec_lvo = [], [], []
         for m in range(self.modalities):
             e = per_modality["enc"][m]
-            # W1 rows are [x-features (D_m), covariates (c)]; pad the
-            # x-block to d_max so the covariate rows stay aligned with the
-            # packed input's trailing c columns
-            w1 = e["hidden"][0]["w"]
             d_m = self.input_dim_list[m]
-            enc_w1.append(jnp.concatenate(
-                [_pad_axis0(w1[:d_m], dm), w1[d_m:]], axis=0))
-            enc_b1.append(e["hidden"][0]["b"])
-            enc_w2.append(e["hidden"][1]["w"])
-            enc_b2.append(e["hidden"][1]["b"])
+            for l in range(L):
+                w = e["hidden"][l]["w"]
+                if l == 0:
+                    # W rows are [x-features (D_m), covariates (c)]; pad the
+                    # x-block to d_max so the covariate rows stay aligned with
+                    # the packed input's trailing c columns
+                    w = jnp.concatenate(
+                        [_pad_axis0(w[:d_m], dm), w[d_m:]], axis=0)
+                enc_layers[l]["w"].append(w)
+                enc_layers[l]["b"].append(e["hidden"][l]["b"])
             enc_wmu.append(e["mu"]["w"])
             enc_bmu.append(e["mu"]["b"])
             enc_wlv.append(e["logvar"]["w"])
             enc_blv.append(e["logvar"]["b"])
             d = per_modality["dec"][m]
-            dec_w1.append(d["hidden"][0]["w"])
-            dec_b1.append(d["hidden"][0]["b"])
-            dec_w2.append(d["hidden"][1]["w"])
-            dec_b2.append(d["hidden"][1]["b"])
+            for l in range(L):
+                dec_layers[l]["w"].append(d["hidden"][l]["w"])
+                dec_layers[l]["b"].append(d["hidden"][l]["b"])
             dec_wm.append(jnp.pad(d["mean"]["w"],
                                   ((0, 0), (0, dm - d["mean"]["w"].shape[1]))))
             dec_bm.append(jnp.pad(d["mean"]["b"],
@@ -95,14 +105,18 @@ class StackedMultimodalCVAE:
                                    (0, dm - d["logvar_out"].shape[1])))
         stack = lambda xs: jnp.stack(xs)
         return {
-            "enc": {"w1": stack(enc_w1), "b1": stack(enc_b1),
-                    "w2": stack(enc_w2), "b2": stack(enc_b2),
-                    "wmu": stack(enc_wmu), "bmu": stack(enc_bmu),
-                    "wlv": stack(enc_wlv), "blv": stack(enc_blv)},
-            "dec": {"w1": stack(dec_w1), "b1": stack(dec_b1),
-                    "w2": stack(dec_w2), "b2": stack(dec_b2),
-                    "wm": stack(dec_wm), "bm": stack(dec_bm),
-                    "lvo": stack(dec_lvo)},
+            "enc": {
+                "layers": [{"w": stack(lay["w"]), "b": stack(lay["b"])}
+                           for lay in enc_layers],
+                "wmu": stack(enc_wmu), "bmu": stack(enc_bmu),
+                "wlv": stack(enc_wlv), "blv": stack(enc_blv),
+            },
+            "dec": {
+                "layers": [{"w": stack(lay["w"]), "b": stack(lay["b"])}
+                           for lay in dec_layers],
+                "wm": stack(dec_wm), "bm": stack(dec_bm),
+                "lvo": stack(dec_lvo),
+            },
             "alpha": per_modality["alpha"],
         }
 
@@ -110,26 +124,24 @@ class StackedMultimodalCVAE:
         """Stacked arrays -> the per-modality pytree (for checkpoints /
         interchange with MultimodalCVAE)."""
         out = {"enc": [], "dec": [], "alpha": packed["alpha"]}
-        c = self.c_dim
         for m in range(self.modalities):
             d = self.input_dim_list[m]
             e = packed["enc"]
-            w1 = jnp.concatenate(
-                [e["w1"][m][:d], e["w1"][m][self.d_max:]], axis=0)
+            hidden = []
+            for l, lay in enumerate(e["layers"]):
+                w = lay["w"][m]
+                if l == 0:
+                    w = jnp.concatenate([w[:d], w[self.d_max:]], axis=0)
+                hidden.append({"w": w, "b": lay["b"][m]})
             out["enc"].append({
-                "hidden": [
-                    {"w": w1, "b": e["b1"][m]},
-                    {"w": e["w2"][m], "b": e["b2"][m]},
-                ],
+                "hidden": hidden,
                 "mu": {"w": e["wmu"][m], "b": e["bmu"][m]},
                 "logvar": {"w": e["wlv"][m], "b": e["blv"][m]},
             })
             dd = packed["dec"]
             out["dec"].append({
-                "hidden": [
-                    {"w": dd["w1"][m], "b": dd["b1"][m]},
-                    {"w": dd["w2"][m], "b": dd["b2"][m]},
-                ],
+                "hidden": [{"w": lay["w"][m], "b": lay["b"][m]}
+                           for lay in dd["layers"]],
                 "mean": {"w": dd["wm"][m][:, :d], "b": dd["bm"][m][:d]},
                 "logvar_out": dd["lvo"][m][None, :d],
             })
@@ -157,11 +169,12 @@ class StackedMultimodalCVAE:
         act = leaky_relu if self.non_linear else (lambda a: a)
         m, b, _ = x_packed.shape
         e = params["enc"]
-        xc = jnp.concatenate(
+        h = jnp.concatenate(
             [x_packed, jnp.broadcast_to(c, (m,) + c.shape)], axis=2
         )
-        h = act(jnp.einsum("mbk,mkh->mbh", xc, e["w1"]) + e["b1"][:, None, :])
-        h = act(jnp.einsum("mbk,mkh->mbh", h, e["w2"]) + e["b2"][:, None, :])
+        for lay in e["layers"]:
+            h = act(jnp.einsum("mbk,mkh->mbh", h, lay["w"])
+                    + lay["b"][:, None, :])
         mus = jnp.einsum("mbk,mkz->mbz", h, e["wmu"]) + e["bmu"][:, None, :]
         logvars = jnp.einsum("mbk,mkz->mbz", h, e["wlv"]) + e["blv"][:, None, :]
 
@@ -174,8 +187,11 @@ class StackedMultimodalCVAE:
 
         d = params["dec"]
         zc = jnp.concatenate([z, c], axis=1)  # [B, Z+C]
-        g = act(jnp.einsum("bk,mkh->mbh", zc, d["w1"]) + d["b1"][:, None, :])
-        g = act(jnp.einsum("mbk,mkh->mbh", g, d["w2"]) + d["b2"][:, None, :])
+        g = act(jnp.einsum("bk,mkh->mbh", zc, d["layers"][0]["w"])
+                + d["layers"][0]["b"][:, None, :])
+        for lay in d["layers"][1:]:
+            g = act(jnp.einsum("mbk,mkh->mbh", g, lay["w"])
+                    + lay["b"][:, None, :])
         means = jnp.einsum("mbk,mkd->mbd", g, d["wm"]) + d["bm"][:, None, :]
         return {
             "recon_means": means,                 # [M, B, d_max]

@@ -1,0 +1,129 @@
+"""--fused_train_step CLI path: full pipeline on the fused Pallas kernel
+(interpret mode on CPU), trajectory parity with the XLA trainer, and the
+automatic fallback for out-of-scope configs."""
+import argparse
+
+import jax
+import numpy as np
+import pytest
+
+from multi_modal_normative_modeling_tpu.cli import train_supervised
+from multi_modal_normative_modeling_tpu.data.synthetic import (
+    make_synthetic_resource,
+)
+from multi_modal_normative_modeling_tpu.models import build_model
+from multi_modal_normative_modeling_tpu.train import (
+    FoldTrainer,
+    TrainConfig,
+    load_checkpoint,
+)
+from multi_modal_normative_modeling_tpu.train.fused import (
+    FusedFoldTrainer,
+    supported,
+)
+
+
+def _args(**overrides):
+    base = dict(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 4],
+        procedure="SE-gPoE", combine="gPoE", epochs=8, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fused_train_step=True,
+    )
+    base.update(overrides)
+    return argparse.Namespace(**base)
+
+
+def test_fused_trainer_matches_xla_trajectory():
+    """Same PRNG stream, same math -> near-identical params after training."""
+    dims = [20, 12]
+    model = build_model("cVAE_multimodal", dims, [10, 8], 4, 3, len(dims))
+    config = TrainConfig(epochs=12, batch_size=8, combine="gpoe")
+    rng = np.random.default_rng(0)
+    n = 19  # ragged final batch exercises the row mask
+    data = [rng.normal(size=(n, d)).astype(np.float32) for d in dims]
+    cov = rng.normal(size=(n, 3)).astype(np.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+
+    xla = FoldTrainer(model, config, n)
+    p_xla, logs_xla = xla.run(params, data, [cov] * len(dims), key=key)
+
+    fused = FusedFoldTrainer(model, config, n, interpret=True)
+    p_fused, logs_fused = fused.run(params, data, cov, key=key)
+
+    np.testing.assert_allclose(logs_fused["total"], logs_xla["total"],
+                               rtol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5),
+        p_fused, p_xla)
+
+
+@pytest.mark.parametrize("hidden,latent", [([10], 4), ([12, 10, 8], 4)],
+                         ids=["1hidden", "3hidden"])
+def test_fused_trainer_other_depths(hidden, latent):
+    dims = [16, 12]
+    model = build_model("cVAE_multimodal", dims, hidden, latent, 3, len(dims))
+    config = TrainConfig(epochs=6, batch_size=8, combine="moe")
+    rng = np.random.default_rng(1)
+    data = [rng.normal(size=(16, d)).astype(np.float32) for d in dims]
+    cov = rng.normal(size=(16, 3)).astype(np.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(7)
+
+    xla = FoldTrainer(model, config, 16)
+    p_xla, _ = xla.run(params, data, [cov] * len(dims), key=key)
+    fused = FusedFoldTrainer(model, config, 16, interpret=True)
+    p_fused, _ = fused.run(params, data, cov, key=key)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5),
+        p_fused, p_xla)
+
+
+def test_supported_pre_checks():
+    model = build_model("cVAE_multimodal", [20, 12], [10, 8], 4, 3, 2)
+    config = TrainConfig(combine="gpoe")
+    assert supported(model, config, 256)[0]
+    ok, reason = supported(model, config, 256, fold_parallel=True)
+    assert not ok and "fold_parallel" in reason
+    ok, reason = supported(model, TrainConfig(combine="gpoe",
+                                              precision="bf16"), 256)
+    assert not ok and "precision" in reason
+    dmvae = build_model("DMVAE", [20, 12], [10, 8], 6, 3, 2)
+    ok, reason = supported(dmvae, config, 256)
+    assert not ok
+    # PPMI-width shapes exceed a v4-class VMEM budget -> falls back on CPU
+    wide = build_model("cVAE_multimodal", [3485] * 3, [110, 110], 10, 29, 3)
+    ok, reason = supported(wide, config, 256)
+    assert not ok and "VMEM" in reason
+
+
+def test_cli_fused_pipeline(tmp_path, capsys):
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=40, n_disease={0: 15, 1: 15},
+                            effect=0.8)
+    train_supervised.main(_args(), project_root=root)
+    out = capsys.readouterr().out
+    assert "fused Pallas train-step kernel" in out
+    model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
+    for fold in range(2):
+        # raw msgpack restore represents list nodes as str-indexed dicts
+        params, config = load_checkpoint(model_dir / f"{fold:03d}")
+        assert config["model"] == "cVAE_multimodal"
+        w = np.asarray(params["enc"]["0"]["hidden"]["0"]["w"])
+        assert np.isfinite(w).all()
+
+
+def test_cli_fused_fallback_message(tmp_path, capsys):
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=30, n_disease={0: 10, 1: 10})
+    args = _args(model="DMVAE", epochs=4)
+    train_supervised.main(args, project_root=root)
+    out = capsys.readouterr().out
+    assert "fused train step unavailable" in out
+    model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
+    assert (model_dir / "000" / "cVAE_model.ckpt").exists()

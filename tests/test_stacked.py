@@ -84,7 +84,8 @@ def test_gradient_equivalence(pair):
                                np.asarray(g_ref["alpha"]),
                                rtol=5e-4, atol=1e-6)
     # gradients on padded weight rows must be exactly zero
-    pad_rows = np.asarray(g_packed["enc"]["w1"])[0, DIMS[0]: stacked.d_max]
+    pad_rows = np.asarray(
+        g_packed["enc"]["layers"][0]["w"])[0, DIMS[0]: stacked.d_max]
     np.testing.assert_array_equal(pad_rows, 0.0)
 
 
@@ -109,3 +110,42 @@ def test_deviation_equivalence(pair):
         ref_dev = np.asarray(base.reconstruction_deviation(xes[m], ref[m]))
         np.testing.assert_allclose(np.asarray(devs[m]), ref_dev,
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("hidden", [[14], [20, 12, 8]],
+                         ids=["1hidden", "3hidden"])
+def test_equivalence_any_depth(hidden):
+    """Forward/loss/gradient parity at the sweep grid's other depths
+    (commands_list11_adhd.sh:18: '20 10' and '1024 512 256 32' families)."""
+    base = build_model("cVAE_multimodal", DIMS, hidden, 6, C, len(DIMS))
+    stacked = StackedMultimodalCVAE(DIMS, hidden, 6, C, len(DIMS))
+    params = base.init_params(jax.random.PRNGKey(0))
+    packed = stacked.pack_params(params)
+    rng = np.random.default_rng(4)
+    xes = [rng.normal(size=(9, d)).astype(np.float32) for d in DIMS]
+    c = rng.normal(size=(9, C)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    def loss_base(p):
+        fwd = base.forward(p, xes, [jnp.asarray(c)] * len(DIMS), key, "gpoe")
+        return base.loss(p, xes, fwd)["total"]
+
+    def loss_stacked(p):
+        x_packed = jnp.asarray(stacked.pack_inputs(xes))
+        fwd = stacked.forward(p, x_packed, jnp.asarray(c), key, "gpoe")
+        return stacked.loss(p, x_packed, fwd)["total"]
+
+    t_ref, g_ref = jax.value_and_grad(loss_base)(params)
+    t_pk, g_packed = jax.value_and_grad(loss_stacked)(packed)
+    np.testing.assert_allclose(float(t_pk), float(t_ref), rtol=2e-5)
+    g_unpacked = stacked.unpack_params(g_packed)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-5),
+        g_unpacked, g_ref)
+    # pack/unpack roundtrip at this depth
+    restored = stacked.unpack_params(packed)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, restored)

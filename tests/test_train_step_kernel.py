@@ -1,4 +1,6 @@
-"""Fused train-step kernel: hand-derived backward vs jax.grad (all fusions)."""
+"""Fused train-step kernel: hand-derived backward vs jax.grad (all fusions,
+1/2/3 hidden layers — the reference ADHD sweep grid spans all three,
+commands_list11_adhd.sh:18)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,16 +17,15 @@ DIMS = [24, 40, 16]
 C, Z, B = 5, 6, 9
 
 
-@pytest.fixture(scope="module")
-def problem():
-    model = StackedMultimodalCVAE(DIMS, [12, 12], Z, C, len(DIMS))
+def _make_problem(hidden, dims=DIMS, seed=0):
+    model = StackedMultimodalCVAE(dims, hidden, Z, C, len(dims))
     params = model.init_params(jax.random.PRNGKey(0))
-    rng = np.random.default_rng(0)
-    xes = [rng.normal(size=(B, d)).astype(np.float32) for d in DIMS]
+    rng = np.random.default_rng(seed)
+    xes = [rng.normal(size=(B, d)).astype(np.float32) for d in dims]
     xp = jnp.asarray(model.pack_inputs(xes))
     c = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
     eps = jnp.asarray(rng.normal(size=(B, Z)).astype(np.float32))
-    rowmask = jnp.asarray(np.r_[np.ones(7), np.zeros(2)].astype(np.float32))
+    rowmask = jnp.asarray(np.r_[np.ones(B - 2), np.zeros(2)].astype(np.float32))
     return model, params, xp, c, eps, rowmask
 
 
@@ -35,10 +36,11 @@ def _reference_loss(model, xp, c, eps, rowmask, combine):
         act = leaky_relu
         m_cnt = model.modalities
         e = p["enc"]
-        xcat = jnp.concatenate(
+        h = jnp.concatenate(
             [xp, jnp.broadcast_to(c, (m_cnt,) + c.shape)], axis=2)
-        h = act(jnp.einsum("mbk,mkh->mbh", xcat, e["w1"]) + e["b1"][:, None])
-        h = act(jnp.einsum("mbk,mkh->mbh", h, e["w2"]) + e["b2"][:, None])
+        for lay in e["layers"]:
+            h = act(jnp.einsum("mbk,mkh->mbh", h, lay["w"])
+                    + lay["b"][:, None])
         mus = jnp.einsum("mbk,mkz->mbz", h, e["wmu"]) + e["bmu"][:, None]
         lvs = jnp.einsum("mbk,mkz->mbz", h, e["wlv"]) + e["blv"][:, None]
         fm, fv = fusion.combine_latent(mus, jnp.exp(lvs), combine,
@@ -47,8 +49,11 @@ def _reference_loss(model, xp, c, eps, rowmask, combine):
         z = fm + eps * jnp.exp(0.5 * lgv)
         d = p["dec"]
         zc = jnp.concatenate([z, c], axis=1)
-        g = act(jnp.einsum("bk,mkh->mbh", zc, d["w1"]) + d["b1"][:, None])
-        g = act(jnp.einsum("mbk,mkh->mbh", g, d["w2"]) + d["b2"][:, None])
+        g = act(jnp.einsum("bk,mkh->mbh", zc, d["layers"][0]["w"])
+                + d["layers"][0]["b"][:, None])
+        for lay in d["layers"][1:]:
+            g = act(jnp.einsum("mbk,mkh->mbh", g, lay["w"])
+                    + lay["b"][:, None])
         means = jnp.einsum("mbk,mkd->mbd", g, d["wm"]) + d["bm"][:, None]
         fwd = {"recon_means": means, "mu_multimodal": fm,
                "logvar_multimodal": lgv}
@@ -57,9 +62,17 @@ def _reference_loss(model, xp, c, eps, rowmask, combine):
     return loss_ref
 
 
+def _assert_grads_close(grads, ref_grads):
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
+        grads, ref_grads,
+    )
+
+
 @pytest.mark.parametrize("combine", ["gpoe", "poe", "moe", "mopoe"])
-def test_fused_grads_match_autodiff(problem, combine):
-    model, params, xp, c, eps, rowmask = problem
+def test_fused_grads_match_autodiff(combine):
+    model, params, xp, c, eps, rowmask = _make_problem([12, 12])
     loss_ref = _reference_loss(model, xp, c, eps, rowmask, combine)
     ref_total, ref_grads = jax.value_and_grad(loss_ref)(params)
 
@@ -68,31 +81,49 @@ def test_fused_grads_match_autodiff(problem, combine):
 
     np.testing.assert_allclose(float(losses["total"]), float(ref_total),
                                rtol=1e-5)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
-        grads, ref_grads,
-    )
+    _assert_grads_close(grads, ref_grads)
 
 
-def test_single_modality_shortcut_path():
-    model = StackedMultimodalCVAE([30], [12, 12], Z, C, 1)
-    params = model.init_params(jax.random.PRNGKey(0))
-    rng = np.random.default_rng(1)
-    xp = jnp.asarray(model.pack_inputs(
-        [rng.normal(size=(B, 30)).astype(np.float32)]))
-    c = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
-    eps = jnp.asarray(rng.normal(size=(B, Z)).astype(np.float32))
-    rowmask = jnp.ones((B,), jnp.float32)
-
+@pytest.mark.parametrize("hidden", [[14], [12, 12], [20, 12, 8]],
+                         ids=["1hidden", "2hidden", "3hidden"])
+def test_fused_grads_match_autodiff_any_depth(hidden):
+    """Covers the reference sweep's '20 10' / '110 110 10' /
+    '1024 512 256 32' shape families (commands_list11_adhd.sh:18)."""
+    model, params, xp, c, eps, rowmask = _make_problem(hidden, seed=2)
     loss_ref = _reference_loss(model, xp, c, eps, rowmask, "gpoe")
     ref_total, ref_grads = jax.value_and_grad(loss_ref)(params)
     step = FusedTrainStep(model, "gpoe", interpret=True)
     losses, grads = step.loss_and_grads(params, xp, c, eps, rowmask)
     np.testing.assert_allclose(float(losses["total"]), float(ref_total),
                                rtol=1e-5)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
-        grads, ref_grads,
+    _assert_grads_close(grads, ref_grads)
+
+
+def test_single_modality_shortcut_path():
+    model, params, xp, c, eps, rowmask = _make_problem([12, 12], dims=[30],
+                                                       seed=1)
+    loss_ref = _reference_loss(model, xp, c, eps, rowmask, "gpoe")
+    ref_total, ref_grads = jax.value_and_grad(loss_ref)(params)
+    step = FusedTrainStep(model, "gpoe", interpret=True)
+    losses, grads = step.loss_and_grads(params, xp, c, eps, rowmask)
+    np.testing.assert_allclose(float(losses["total"]), float(ref_total),
+                               rtol=1e-5)
+    _assert_grads_close(grads, ref_grads)
+
+
+def test_vmem_feasibility_estimate():
+    """Flagship shapes fit a v5e-class budget (and even a v4-class one at
+    reduced batch); PPMI width fits only the large-VMEM budget."""
+    from multi_modal_normative_modeling_tpu.kernels.train_step import (
+        VMEM_BUDGET_LARGE,
+        VMEM_BUDGET_SMALL,
     )
+
+    flagship = StackedMultimodalCVAE([90, 90, 90, 270], [110, 110], 10, 29, 4)
+    step = FusedTrainStep(flagship, "gpoe", interpret=True)
+    assert step.fits_vmem(256, VMEM_BUDGET_LARGE)
+    assert step.fits_vmem(64, VMEM_BUDGET_SMALL)
+    ppmi = StackedMultimodalCVAE([3485, 3485, 3485], [110, 110], 10, 29, 3)
+    pstep = FusedTrainStep(ppmi, "gpoe", interpret=True)
+    assert not pstep.fits_vmem(256, VMEM_BUDGET_SMALL)
+    assert pstep.fits_vmem(256, VMEM_BUDGET_LARGE)
