@@ -1,22 +1,29 @@
 """Fully-fused cVAE training step (forward + hand-derived backward) in one
 Pallas TPU kernel.
 
-Why: the per-step time of the XLA train step is bound by HBM traffic of
-intermediate activations between fusion boundaries (~65-77us/step for the
-flagship workload at <20% MXU utilization; bf16 doesn't help). This kernel
-runs the complete packed-modality forward (encoders -> fusion ->
-reparameterize -> decoders -> masked ELBO) *and* its backward inside a single
-pallas_call, so every activation lives and dies in VMEM: HBM sees one read of
-the batch and weights and one write of the gradients.
+Why: at wide feature dims (PPMI, 3x3485) the XLA train step costs ~6.8x its
+own forward pass (measured on v5e, scripts/bench_fused_width.py): autodiff
+materializes the wide intermediates (recon means, residuals, dmean) in HBM
+between fusion boundaries. This kernel runs the complete packed-modality
+forward (encoders -> fusion -> reparameterize -> decoders -> masked ELBO)
+*and* its backward inside a single pallas_call, so every activation lives and
+dies in VMEM: per step, HBM sees one read of the batch tile and weights and
+one write of the gradients.
+
+The hot-path API is PADDED end-to-end: ``pad_params`` / ``pack_batch`` run
+once per fold (outside the step scan) and ``loss_and_grads_padded`` consumes
+the lane-aligned layouts directly — no per-step padding traffic. The
+compat wrapper ``loss_and_grads`` (pad -> kernel -> unpad per call) is used by
+the parity tests.
 
 Scope: the packed cVAE family (models/stacked.py layout), ANY number of
 hidden layers (the reference ADHD sweep grid spans 1-3 hidden,
 commands_list11_adhd.sh:18), fusion in {poe, gpoe, moe, mopoe}, fp32.
-All operands must fit VMEM (~16 MB/core): supported for the reference's
-90-270-feature modalities; PPMI-width (3485) shapes exceed VMEM and take the
-XLA path (see fits_vmem / RESULTS.md). Gradients are verified against
-jax.grad of the stacked model in tests/test_train_step_kernel.py (interpret
-mode on CPU and on real TPU).
+All operands must fit VMEM: ~16 MiB/core on v4-class, ~128 MiB on
+v5e/v5p-class (fits_vmem pre-checks; the CLI additionally falls back to the
+XLA path on Mosaic compile failure). Gradients are verified against jax.grad
+of the stacked model in tests/test_train_step_kernel.py (interpret mode on
+CPU and on real TPU).
 
 Backward math (masked batch mean over N = sum(rowmask); M modalities):
   total = M*kl - sum_m ll_m
@@ -38,7 +45,7 @@ Backward math (masked batch mean over N = sum(rowmask); M modalities):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,10 +58,11 @@ from .mlp import LANE, SUBLANE, _on_tpu, _round_up
 _HALF_LOG_2PI = 0.9189385332046727
 
 # per-core VMEM budgets for the single-block kernel (bytes): v4-class cores
-# have 16 MiB vector memory; v5e/v5p-class have 128 MiB. The estimate in
-# vmem_bytes over-counts slightly (Mosaic reuses buffers), so leave headroom.
+# have 16 MiB vector memory; v5e-class cores compile this kernel up to an
+# estimated ~48 MiB working set (measured on v5e: 41 MiB OK, 58 MiB fails in
+# Mosaic — scripts/bench_fused_width.py / RESULTS.md).
 VMEM_BUDGET_SMALL = 14 * 1024 * 1024
-VMEM_BUDGET_LARGE = 110 * 1024 * 1024
+VMEM_BUDGET_LARGE = 48 * 1024 * 1024
 
 
 def default_vmem_budget() -> int:
@@ -82,11 +90,12 @@ def _dlrelu_from_out(a):
     return jnp.where(a > 0, 1.0, 0.01)
 
 
-def _kernel(m_count: int, n_hidden: int, combine: str, *refs):
+def _kernel(m_count: int, n_hidden: int, combine: str, d_pad: int,
+            z_dim: int, dims: Tuple[int, ...], *refs):
     L = n_hidden
     M = m_count
-    (xc, x, c_tail, eps, rowmask, zmask, colmask, nvalid) = refs[:8]
-    pos = 8
+    (xc, c_tail, eps, rowmask, nvalid) = refs[:5]
+    pos = 5
     alpha = refs[pos]; pos += 1
     enc_w = [refs[pos + 2 * l] for l in range(L)]
     enc_b = [refs[pos + 2 * l + 1] for l in range(L)]
@@ -107,8 +116,11 @@ def _kernel(m_count: int, n_hidden: int, combine: str, *refs):
     d_vm, d_cm, d_lvo = refs[pos:pos + 3]
 
     n = nvalid[0, 0]
-    rm = rowmask[:]                      # [B, 1]
-    zm = zmask[:]                        # [1, Zp]
+    rm = rowmask[:]                      # [Bp, 1]
+    zp = eps.shape[1]
+    # masks are generated on the VPU from static dims (no HBM operands)
+    zm = (jax.lax.broadcasted_iota(jnp.int32, (1, zp), 1)
+          < z_dim).astype(jnp.float32)
 
     # ---------------- forward: encoders -----------------------------------
     acts, mus, lvs = [], [], []          # acts[m] = [a_0 .. a_L]
@@ -184,9 +196,11 @@ def _kernel(m_count: int, n_hidden: int, combine: str, *refs):
     ll_total = 0.0
     d_zc = jnp.zeros_like(zc)
     for m in range(M):
-        cmask = colmask[m]                 # [1, D]
+        cmask = (jax.lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
+                 < dims[m]).astype(jnp.float32)
         q = jnp.exp(-lvo[m])               # [1, D]
-        diff = x[m] - means[m]
+        x_m = xc[m][:, :d_pad]             # the x block of the packed input
+        diff = x_m - means[m]
         ll_elem = (-0.5 * diff * diff * q - 0.5 * lvo[m] - _HALF_LOG_2PI)
         ll_m = jnp.sum(ll_elem * cmask * rm) / n
         ll_total += ll_m
@@ -280,12 +294,16 @@ def _kernel(m_count: int, n_hidden: int, combine: str, *refs):
 
 
 class FusedTrainStep:
-    """Builds padded operands once and exposes
-    ``loss_and_grads(packed_params, x_packed, c, eps, rowmask)``.
+    """Padded-layout fused train step over the models/stacked.py parameter
+    pytree (any hidden depth).
 
-    Operates on the models/stacked.py packed parameter layout (any hidden
-    depth); returns (losses_dict, grads) where grads matches the packed
-    pytree (padding entries zero, like jax.grad of the stacked model).
+    Hot path (used by train/fused.py):
+      padded = step.pad_params(packed)               # once per fold
+      xc, c_tail, eps_p, rm, nv = ...pack_batch...   # once per fold
+      losses, padded_grads = step.loss_and_grads_padded(padded, ...)
+      packed = step.unpad_named(padded)              # once, after training
+
+    Compat path (parity tests): ``loss_and_grads`` pads/unpads per call.
     """
 
     def __init__(self, stacked_model, combine: str,
@@ -311,6 +329,7 @@ class FusedTrainStep:
         self.K = _round_up(self.D + m.c_dim, LANE)
         self.Zp = _round_up(m.latent_dim, LANE)
         self.ZC = _round_up(self.Zp + m.c_dim, LANE)
+        self._param_names = [k for k in self._grad_shapes() if k != "losses"]
 
     # ---- VMEM feasibility ----------------------------------------------------
     def vmem_bytes(self, batch: int) -> int:
@@ -319,9 +338,8 @@ class FusedTrainStep:
         M, L = self.M, self.L
         Bp = _round_up(batch, SUBLANE)
         n = 0
-        # batch blocks: xc, x, means+diff (~2x), eps, masks
-        n += M * Bp * self.K            # xc
-        n += M * Bp * self.D            # x
+        # batch blocks: xc, means+diff (~2x), eps/zc/masks
+        n += M * Bp * self.K            # xc (x is a slice of it)
         n += 2 * M * Bp * self.D        # means + diff live simultaneously
         n += Bp * (self.ZC + self.Zp + 2)
         # params + grads (2x)
@@ -343,8 +361,10 @@ class FusedTrainStep:
             budget = default_vmem_budget()
         return self.vmem_bytes(batch) <= budget
 
-    # ---- padding helpers ---------------------------------------------------
-    def _pad_params(self, p) -> list:
+    # ---- padded parameter layout ---------------------------------------------
+    def pad_params(self, p) -> Dict[str, jnp.ndarray]:
+        """Packed pytree -> named dict of lane-aligned arrays (the kernel's
+        native layout; do this ONCE per fold, train on it, unpad after)."""
         M, L = self.M, self.L
 
         def pad3(a, rows, cols):
@@ -355,6 +375,7 @@ class FusedTrainStep:
             return jnp.pad(a, ((0, 0), (0, cols - a.shape[1])))[:, None, :]
 
         e, d = p["enc"], p["dec"]
+        out = {"alpha": p["alpha"].reshape(M, 1).astype(jnp.float32)}
         # encoder W0 rows: [x-features | covariates] -> [x(D) | cov | pad]
         w0 = e["layers"][0]["w"]
         xw = w0[:, : self.model.d_max]
@@ -363,12 +384,17 @@ class FusedTrainStep:
             jnp.pad(xw, ((0, 0), (0, self.D - xw.shape[1]), (0, 0))),
             cw,
         ], axis=1)
-        w0 = jnp.pad(w0, ((0, 0), (0, self.K - w0.shape[1]),
-                          (0, self.H[0] - w0.shape[2])))
-        enc_ops = [w0, padb(e["layers"][0]["b"], self.H[0])]
+        out["enc_w0"] = jnp.pad(w0, ((0, 0), (0, self.K - w0.shape[1]),
+                                     (0, self.H[0] - w0.shape[2])))
+        out["enc_b0"] = padb(e["layers"][0]["b"], self.H[0])
         for l in range(1, L):
-            enc_ops += [pad3(e["layers"][l]["w"], self.H[l - 1], self.H[l]),
-                        padb(e["layers"][l]["b"], self.H[l])]
+            out[f"enc_w{l}"] = pad3(e["layers"][l]["w"],
+                                    self.H[l - 1], self.H[l])
+            out[f"enc_b{l}"] = padb(e["layers"][l]["b"], self.H[l])
+        out["wmu"] = pad3(e["wmu"], self.H[-1], self.Zp)
+        out["bmu"] = padb(e["bmu"], self.Zp)
+        out["wlv"] = pad3(e["wlv"], self.H[-1], self.Zp)
+        out["blv"] = padb(e["blv"], self.Zp)
         # decoder V0 rows: [latent | covariates] -> [latent(Zp) | cov | pad]
         v0 = d["layers"][0]["w"]
         zv = v0[:, : self.Z]
@@ -377,21 +403,17 @@ class FusedTrainStep:
             jnp.pad(zv, ((0, 0), (0, self.Zp - zv.shape[1]), (0, 0))),
             cv,
         ], axis=1)
-        v0 = jnp.pad(v0, ((0, 0), (0, self.ZC - v0.shape[1]),
-                          (0, self.Hr[0] - v0.shape[2])))
-        dec_ops = [v0, padb(d["layers"][0]["b"], self.Hr[0])]
+        out["dec_w0"] = jnp.pad(v0, ((0, 0), (0, self.ZC - v0.shape[1]),
+                                     (0, self.Hr[0] - v0.shape[2])))
+        out["dec_b0"] = padb(d["layers"][0]["b"], self.Hr[0])
         for l in range(1, L):
-            dec_ops += [pad3(d["layers"][l]["w"], self.Hr[l - 1], self.Hr[l]),
-                        padb(d["layers"][l]["b"], self.Hr[l])]
-        return (
-            [p["alpha"].reshape(self.M, 1).astype(jnp.float32)]
-            + enc_ops
-            + [pad3(e["wmu"], self.H[-1], self.Zp), padb(e["bmu"], self.Zp),
-               pad3(e["wlv"], self.H[-1], self.Zp), padb(e["blv"], self.Zp)]
-            + dec_ops
-            + [pad3(d["wm"], self.Hr[-1], self.D), padb(d["bm"], self.D),
-               padb(d["lvo"], self.D)]
-        )
+            out[f"dec_w{l}"] = pad3(d["layers"][l]["w"],
+                                    self.Hr[l - 1], self.Hr[l])
+            out[f"dec_b{l}"] = padb(d["layers"][l]["b"], self.Hr[l])
+        out["vm"] = pad3(d["wm"], self.Hr[-1], self.D)
+        out["cm"] = padb(d["bm"], self.D)
+        out["lvo"] = padb(d["lvo"], self.D)
+        return out
 
     def _grad_shapes(self) -> dict:
         M, L = self.M, self.L
@@ -415,7 +437,8 @@ class FusedTrainStep:
         shapes["lvo"] = (M, 1, self.D)
         return shapes
 
-    def _unpad_grads(self, g: dict) -> dict:
+    def unpad_named(self, g: Dict[str, jnp.ndarray]) -> dict:
+        """Named padded dict (params or grads) -> the packed pytree."""
         m = self.model
         dm, z, c, L = m.d_max, self.Z, self.C, self.L
         h = m.hidden_dim
@@ -455,9 +478,11 @@ class FusedTrainStep:
             },
         }
 
-    def loss_and_grads(self, packed_params, x_packed, c, eps, rowmask):
-        """x_packed [M, B, d_max]; c [B, c_dim]; eps [B, latent_dim];
-        rowmask [B]."""
+    # ---- batch packing ---------------------------------------------------------
+    def pack_batch(self, x_packed, c, rowmask):
+        """Lane-align one batch once: x_packed [M, B, d_max], c [B, c_dim],
+        rowmask [B] -> (xc [M, Bp, K], c_tail [Bp, ZC-Zp], rm [Bp, 1],
+        nvalid [1, 1])."""
         M, B = self.M, x_packed.shape[1]
         Bp = _round_up(B, SUBLANE)
 
@@ -471,26 +496,28 @@ class FusedTrainStep:
                            ((0, Bp - a.shape[0]), (0, cols - a.shape[1])))
 
         x_pad = padmb(x_packed, self.D)
-        cb = jnp.broadcast_to(c[None].astype(jnp.float32),
-                              (M,) + c.shape)
-        xc = jnp.concatenate([x_pad[:, :, : self.D],
-                              padmb(cb, self.K - self.D)], axis=2)
+        cb = jnp.broadcast_to(c[None].astype(jnp.float32), (M,) + c.shape)
+        xc = jnp.concatenate([x_pad, padmb(cb, self.K - self.D)], axis=2)
         c_tail = padbc(c, self.ZC - self.Zp)
-        eps_p = padbc(eps, self.Zp)
         rm = jnp.pad(rowmask.astype(jnp.float32), (0, Bp - B))[:, None]
-        zmask = (jax.lax.broadcasted_iota(jnp.int32, (1, self.Zp), 1)
-                 < self.Z).astype(jnp.float32)
-        colmask = (jax.lax.broadcasted_iota(
-            jnp.int32, (M, 1, self.D), 2)
-            < jnp.asarray(self.model.input_dim_list)[:, None, None]
-        ).astype(jnp.float32)
         nvalid = jnp.maximum(jnp.sum(rowmask.astype(jnp.float32)),
                              1.0).reshape(1, 1)
+        return xc, c_tail, rm, nvalid
 
-        params_ops = self._pad_params(packed_params)
-        operands = [xc, x_pad, c_tail, eps_p, rm, zmask, colmask,
-                    nvalid] + params_ops
+    def pad_eps(self, eps):
+        """[B, latent_dim] -> [Bp, Zp] (the PRNG stream stays the XLA
+        trainer's: draw [B, Z] first, pad after)."""
+        Bp = _round_up(eps.shape[0], SUBLANE)
+        return jnp.pad(eps.astype(jnp.float32),
+                       ((0, Bp - eps.shape[0]), (0, self.Zp - eps.shape[1])))
 
+    # ---- the fused call ----------------------------------------------------------
+    def loss_and_grads_padded(self, padded: Dict[str, jnp.ndarray],
+                              xc, c_tail, eps_p, rm, nvalid):
+        """All operands in kernel layout; returns (losses, padded_grads) with
+        padded_grads matching the pad_params dict (padding entries zero)."""
+        operands = ([xc, c_tail, eps_p, rm, nvalid]
+                    + [padded[k] for k in self._param_names])
         shapes = self._grad_shapes()
         out_shape = [jax.ShapeDtypeStruct(s, jnp.float32)
                      for s in shapes.values()]
@@ -500,13 +527,16 @@ class FusedTrainStep:
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(shapes) - 2)
         )
         in_specs = (
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]   # nvalid
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]   # alpha
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(params_ops) - 1)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * (len(self._param_names) - 1)
         )
         outs = pl.pallas_call(
-            functools.partial(_kernel, M, self.L, self.combine),
+            functools.partial(_kernel, self.M, self.L, self.combine,
+                              self.D, self.Z,
+                              tuple(self.model.input_dim_list)),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
@@ -516,4 +546,14 @@ class FusedTrainStep:
         losses = {"total": named["losses"][0, 0],
                   "kl": named["losses"][0, 1],
                   "ll": named["losses"][0, 2]}
-        return losses, self._unpad_grads(named)
+        del named["losses"]
+        return losses, named
+
+    def loss_and_grads(self, packed_params, x_packed, c, eps, rowmask):
+        """Compat wrapper (pads params and batch per call): x_packed
+        [M, B, d_max]; c [B, c_dim]; eps [B, latent_dim]; rowmask [B]."""
+        padded = self.pad_params(packed_params)
+        xc, c_tail, rm, nvalid = self.pack_batch(x_packed, c, rowmask)
+        losses, named = self.loss_and_grads_padded(
+            padded, xc, c_tail, self.pad_eps(eps), rm, nvalid)
+        return losses, self.unpad_named(named)

@@ -3,10 +3,14 @@
 Same contract as train/trainer.py's FoldTrainer (reference hot loop
 multimodal_kfold_train_cvae_supervised.py:177-199) but every optimizer step's
 forward+backward runs inside ONE pallas_call (kernels/train_step.py) on the
-packed-modality layout (models/stacked.py). optax adam + the valid-batch skip
-are identical to the XLA trainer, and the reparameterization PRNG stream is
-the same (jax.random.normal(sub, [B, Z])), so trajectories are comparable
-step-for-step.
+packed-modality layout (models/stacked.py), and the ENTIRE training scan runs
+on the kernel's lane-padded parameter layout: padding happens once per fold
+(params + batches), optax adam state lives on the padded arrays (zero-padded
+entries have zero gradients, so Adam keeps them at exactly zero), and the
+per-modality pytree is only rebuilt once after the scan. optax adam + the
+valid-batch skip are identical to the XLA trainer, and the reparameterization
+PRNG stream is the same (jax.random.normal(sub, [B, Z])), so trajectories are
+comparable step-for-step.
 
 Scope: variant 'cvae' (cVAE_multimodal), fusion in {poe,gpoe,moe,mopoe},
 fp32, any hidden depth. `supported()` pre-checks this plus the VMEM
@@ -22,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..kernels.mlp import SUBLANE, _round_up
 from ..kernels.train_step import FusedTrainStep
 from ..models.stacked import StackedMultimodalCVAE
 from .trainer import TrainConfig, build_optimizer
@@ -50,27 +55,39 @@ def supported(model, config: TrainConfig, batch_size: int,
     return True, ""
 
 
-def make_packed_batches(stacked: StackedMultimodalCVAE,
+def make_packed_batches(step: FusedTrainStep,
                         data_list: Sequence[np.ndarray],
                         cov: np.ndarray, batch_size: int) -> dict:
-    """Per-modality sample arrays -> padded packed batch tensors:
-    x [NB, M, B, d_max], c [NB, B, c_dim], mask [NB, B], valid [NB]."""
+    """Per-modality sample arrays -> kernel-layout batch tensors, padded ONCE:
+    xc [NB, M, Bp, K] (x block | covariates | lane pad), c_tail [NB, Bp, .],
+    rm [NB, Bp, 1], nvalid [NB, 1, 1], valid [NB]."""
+    m = step.model
     n = data_list[0].shape[0]
     nb = max(1, -(-n // batch_size))
     padded = nb * batch_size
-    x = np.zeros((stacked.modalities, padded, stacked.d_max), dtype=np.float32)
-    for m, d in enumerate(data_list):
-        x[m, :n, : d.shape[1]] = d
-    c = np.zeros((padded, cov.shape[1]), dtype=np.float32)
-    c[:n] = cov
-    mask = np.zeros((padded,), dtype=np.float32)
-    mask[:n] = 1.0
+    bp = _round_up(batch_size, SUBLANE)
+
+    xc = np.zeros((nb, m.modalities, bp, step.K), dtype=np.float32)
+    c_tail = np.zeros((nb, bp, step.ZC - step.Zp), dtype=np.float32)
+    rm = np.zeros((nb, bp, 1), dtype=np.float32)
+    counts = np.zeros((nb,), dtype=np.float32)
+    for b in range(nb):
+        lo, hi = b * batch_size, min(n, (b + 1) * batch_size)
+        rows = hi - lo
+        if rows <= 0:
+            continue
+        for mi, d in enumerate(data_list):
+            xc[b, mi, :rows, : d.shape[1]] = d[lo:hi]
+            xc[b, mi, :rows, step.D: step.D + cov.shape[1]] = cov[lo:hi]
+        c_tail[b, :rows, : cov.shape[1]] = cov[lo:hi]
+        rm[b, :rows, 0] = 1.0
+        counts[b] = rows
     return {
-        "x": np.swapaxes(x.reshape(stacked.modalities, nb, batch_size,
-                                   stacked.d_max), 0, 1).copy(),
-        "c": c.reshape(nb, batch_size, -1),
-        "mask": mask.reshape(nb, batch_size),
-        "valid": (mask.reshape(nb, batch_size).sum(axis=1) > 0),
+        "xc": xc,
+        "c_tail": c_tail,
+        "rm": rm,
+        "nvalid": np.maximum(counts, 1.0).reshape(nb, 1, 1),
+        "valid": counts > 0,
     }
 
 
@@ -93,15 +110,19 @@ class FusedFoldTrainer:
         optimizer = self.optimizer
         fused = self.step
         latent_dim = self.stacked.latent_dim
+        batch_size = self.config.batch_size
         epochs = self.config.epochs
 
         def one_step(carry, batch):
             params, opt_state, key = carry
             new_key, sub = jax.random.split(key)
-            eps = jax.random.normal(sub, (batch["x"].shape[1], latent_dim),
+            # same draw as the XLA trainer's reparameterize([B, Z]), then
+            # lane-pad (cheap, stays in registers/VMEM-scale buffers)
+            eps = jax.random.normal(sub, (batch_size, latent_dim),
                                     jnp.float32)
-            losses, grads = fused.loss_and_grads(
-                params, batch["x"], batch["c"], eps, batch["mask"])
+            losses, grads = fused.loss_and_grads_padded(
+                params, batch["xc"], batch["c_tail"], fused.pad_eps(eps),
+                batch["rm"], batch["nvalid"])
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             valid = batch["valid"]
@@ -110,7 +131,7 @@ class FusedFoldTrainer:
             return (where(new_params, params), where(new_opt_state, opt_state),
                     where(new_key, key)), losses
 
-        def train(packed_params, batches, key):
+        def train(padded_params, batches, key):
             def epoch(carry, _):
                 params, opt_state, key = carry
                 # mirror the XLA trainer's per-epoch shuffle-key split (even
@@ -121,9 +142,9 @@ class FusedFoldTrainer:
                 first = jax.tree_util.tree_map(lambda a: a[0], aux)
                 return carry, first
 
-            opt_state = optimizer.init(packed_params)
+            opt_state = optimizer.init(padded_params)
             (params, _, _), logs = jax.lax.scan(
-                epoch, (packed_params, opt_state, key), None, length=epochs)
+                epoch, (padded_params, opt_state, key), None, length=epochs)
             return params, logs
 
         return train
@@ -133,10 +154,12 @@ class FusedFoldTrainer:
         the inference path are unchanged)."""
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
-        packed = self.stacked.pack_params(per_modality_params)
-        batches = make_packed_batches(self.stacked, data_list, cov,
+        padded = self.step.pad_params(
+            self.stacked.pack_params(per_modality_params))
+        batches = make_packed_batches(self.step, data_list, cov,
                                       self.config.batch_size)
-        out, logs = self._train(packed, jax.device_put(batches), key)
+        out, logs = self._train(padded, jax.device_put(batches), key)
         host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        return (self.stacked.unpack_params(host),
+        packed = self.step.unpad_named(host)
+        return (self.stacked.unpack_params(packed),
                 jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))

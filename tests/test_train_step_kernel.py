@@ -125,5 +125,8 @@ def test_vmem_feasibility_estimate():
     assert step.fits_vmem(64, VMEM_BUDGET_SMALL)
     ppmi = StackedMultimodalCVAE([3485, 3485, 3485], [110, 110], 10, 29, 3)
     pstep = FusedTrainStep(ppmi, "gpoe", interpret=True)
+    # batch 256 exceeds even the v5e-calibrated budget (Mosaic fails there,
+    # measured); batch 128 compiles and runs on v5e
     assert not pstep.fits_vmem(256, VMEM_BUDGET_SMALL)
-    assert pstep.fits_vmem(256, VMEM_BUDGET_LARGE)
+    assert not pstep.fits_vmem(256, VMEM_BUDGET_LARGE)
+    assert pstep.fits_vmem(128, VMEM_BUDGET_LARGE)
