@@ -124,9 +124,14 @@ def main(args, project_root=None):
     keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
 
     fold_parallel = getattr(args, 'fold_parallel', False)
+    checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
+    resume = getattr(args, 'resume', False)
 
     fused_trainer = None
-    if getattr(args, 'fused_train_step', False):
+    if getattr(args, 'fused_train_step', False) and checkpoint_every:
+        print('fused train step unavailable (--checkpoint_every: resumable '
+              'training runs on the XLA path); using the XLA path')
+    elif getattr(args, 'fused_train_step', False):
         # fully-fused Pallas fwd+bwd train step (kernels/train_step.py), with
         # automatic fallback to the XLA path when shapes/config are out of the
         # kernel's scope or Mosaic cannot compile it on this core
@@ -173,8 +178,14 @@ def main(args, project_root=None):
         batches = stack_fold_batches([f[0] for f in folds],
                                      [f[1] for f in folds],
                                      train_config.batch_size)
-        out_params, logs = mft.run(stacked, jax.device_put(batches),
-                                   jnp.stack(keys))
+        if checkpoint_every:
+            out_params, logs = mft.run_resumable(
+                stacked, jax.device_put(batches), jnp.stack(keys),
+                state_dir=model_dir, checkpoint_every=checkpoint_every,
+                resume=resume)
+        else:
+            out_params, logs = mft.run(stacked, jax.device_put(batches),
+                                       jnp.stack(keys))
         # one bulk device->host fetch, then numpy slicing: per-fold device
         # indexing would issue an eager (compile + RTT) op per leaf per fold
         host_params = jax.tree_util.tree_map(np.asarray,
@@ -189,8 +200,14 @@ def main(args, project_root=None):
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
             print('train model')
-            params, logs = trainer.run(params_list[fold], data_list, cov_list,
-                                       key=keys[fold])
+            if checkpoint_every:
+                params, logs = trainer.run_resumable(
+                    params_list[fold], data_list, cov_list, keys[fold],
+                    state_dir=model_dir / f'{fold:03d}',
+                    checkpoint_every=checkpoint_every, resume=resume)
+            else:
+                params, logs = trainer.run(params_list[fold], data_list,
+                                           cov_list, key=keys[fold])
             per_fold_params.append(params)
             per_fold_logs.append(logs)
 
@@ -227,6 +244,16 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['fp32', 'bf16'],
                         help='bf16 runs the MXU matmuls in bfloat16 with '
                              'fp32 master params and loss reductions.')
+    parser.add_argument('--checkpoint_every', dest='checkpoint_every',
+                        type=int, default=0,
+                        help='write a resumable train-state checkpoint '
+                             '(params + optimizer state + PRNG + epoch '
+                             'cursor) every N epochs; 0 disables.')
+    parser.add_argument('--resume', dest='resume', action='store_true',
+                        help='resume a killed run from its train-state '
+                             'checkpoint (requires --checkpoint_every); '
+                             'the resumed trajectory is bit-identical to an '
+                             'uninterrupted run.')
     parser.add_argument('--fused_train_step', dest='fused_train_step',
                         action='store_true',
                         help='run each optimizer step as ONE fused Pallas '

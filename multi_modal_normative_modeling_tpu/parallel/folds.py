@@ -87,10 +87,13 @@ class MultiFoldTrainer:
             from ..train.trainer import default_loss_fn
 
             loss_fn = default_loss_fn(model, config)
+        self.optimizer = optimizer
         train = build_train_fn(loss_fn, optimizer, config.epochs,
                                config.shuffle, state_update=state_update)
+        self._raw_train = train
         self._vtrain = jax.vmap(train)
         self._jitted = None
+        self._chunk_cache: dict = {}
 
     def run(self, stacked_params, stacked_batches, keys) -> Tuple[dict, dict]:
         """keys: [F, 2] PRNG keys (one stream per fold)."""
@@ -106,3 +109,55 @@ class MultiFoldTrainer:
             self._jitted = jax.jit(self._vtrain)
         params, logs = self._jitted(stacked_params, stacked_batches, keys)
         return params, logs
+
+    def _chunk_fn(self, n_epochs: int):
+        if n_epochs not in self._chunk_cache:
+            import functools
+
+            self._chunk_cache[n_epochs] = jax.jit(jax.vmap(functools.partial(
+                self._raw_train.chunk, n_epochs)))
+        return self._chunk_cache[n_epochs]
+
+    def run_resumable(self, stacked_params, stacked_batches, keys, state_dir,
+                      checkpoint_every: int, resume: bool = True):
+        """Fold-parallel chunked training with atomic whole-run train-state
+        checkpoints (stacked params + stacked optax state + per-fold PRNG
+        keys + epoch cursor). Bit-identical to the single-scan run."""
+        from ..train.checkpoints import (
+            load_train_state,
+            save_train_state,
+            train_state_exists,
+        )
+
+        total = self.config.epochs
+        start, logs_acc, opt_state = 0, None, None
+        params = stacked_params
+        if resume and train_state_exists(state_dir):
+            shape = jax.eval_shape(jax.vmap(self.optimizer.init), params)
+            template = {
+                "params": params,
+                "opt_state": jax.tree_util.tree_map(
+                    lambda s: np.zeros(s.shape, s.dtype), shape),
+                "key": keys,
+            }
+            state, start, logs_acc = load_train_state(state_dir, template)
+            params, opt_state, keys = (state["params"], state["opt_state"],
+                                       state["key"])
+        if opt_state is None:
+            opt_state = jax.jit(jax.vmap(self.optimizer.init))(params)
+        while start < total:
+            n = min(checkpoint_every, total - start)
+            params, opt_state, keys, logs = self._chunk_fn(n)(
+                params, opt_state, keys, stacked_batches)
+            host_logs = jax.tree_util.tree_map(np.asarray,
+                                               jax.device_get(logs))
+            # vmapped chunk logs come back [F, n]; accumulate on the epoch axis
+            logs_acc = host_logs if logs_acc is None else {
+                k: np.concatenate([logs_acc[k], host_logs[k]], axis=1)
+                for k in host_logs
+            }
+            start += n
+            save_train_state(state_dir, jax.device_get(params),
+                             jax.device_get(opt_state),
+                             jax.device_get(keys), start, logs_acc)
+        return params, (logs_acc if logs_acc is not None else {})

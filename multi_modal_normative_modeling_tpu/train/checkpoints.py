@@ -82,3 +82,55 @@ def checkpoint_exists(directory, name: str = "cVAE_model") -> bool:
     directory = Path(directory)
     return ((directory / f"{name}.ckpt").exists()
             or (directory / f"{name}.orbax").exists())
+
+
+# ---- mid-run train state (params + optimizer state + PRNG + epoch cursor) ----
+# Beyond reference parity (the reference pickles params only, train:211-212):
+# on this framework cold compiles cost 60-350 s through the remote-compile
+# tunnel, so a killed sweep must be resumable. Writes are atomic
+# (tmp + os.replace) so a kill mid-save leaves the previous state intact.
+
+def save_train_state(directory, params, opt_state, key, epoch: int,
+                     logs=None, name: str = "train_state") -> Path:
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    host = jax.tree_util.tree_map(
+        np.asarray, {"params": params, "opt_state": opt_state, "key": key})
+    blob = serialization.to_bytes(host)
+    tmp = directory / f".{name}.ckpt.tmp"
+    tmp.write_bytes(blob)
+    import os
+
+    os.replace(tmp, directory / f"{name}.ckpt")
+    if logs is not None:
+        blob = serialization.to_bytes(
+            jax.tree_util.tree_map(np.asarray, dict(logs)))
+        tmp = directory / f".{name}_logs.ckpt.tmp"
+        tmp.write_bytes(blob)
+        os.replace(tmp, directory / f"{name}_logs.ckpt")
+    tmp = directory / f".{name}.json.tmp"
+    tmp.write_text(json.dumps({"epoch": int(epoch)}))
+    os.replace(tmp, directory / f"{name}.json")
+    return directory / f"{name}.ckpt"
+
+
+def load_train_state(directory, template: dict, name: str = "train_state"):
+    """Returns ({'params','opt_state','key'}, epoch, logs-or-None).
+    ``template`` must hold same-structure 'params'/'opt_state'/'key'."""
+    directory = Path(directory)
+    epoch = json.loads((directory / f"{name}.json").read_text())["epoch"]
+    blob = (directory / f"{name}.ckpt").read_bytes()
+    state = serialization.from_bytes(
+        {"params": template["params"], "opt_state": template["opt_state"],
+         "key": template["key"]}, blob)
+    logs = None
+    logs_path = directory / f"{name}_logs.ckpt"
+    if logs_path.exists():
+        logs = serialization.msgpack_restore(logs_path.read_bytes())
+    return state, epoch, logs
+
+
+def train_state_exists(directory, name: str = "train_state") -> bool:
+    directory = Path(directory)
+    return ((directory / f"{name}.ckpt").exists()
+            and (directory / f"{name}.json").exists())

@@ -208,11 +208,7 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
         out["valid"] = shuffled["mask"].sum(axis=1) > 0
         return out
 
-    def train(params, batches, key, hyper=None):
-        if with_hyper:
-            hyper_box.clear()
-            hyper_box.append(hyper)
-
+    def make_epoch(batches):
         def epoch(carry, _):
             params, opt_state, key = carry
             key, shuffle_key = jax.random.split(key)
@@ -226,12 +222,29 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
             first = jax.tree_util.tree_map(lambda a: a[0], logs)
             return (params, opt_state, key), first
 
+        return epoch
+
+    def train(params, batches, key, hyper=None):
+        if with_hyper:
+            hyper_box.clear()
+            hyper_box.append(hyper)
         opt_state = optimizer.init(params)
         (params, _, _), logs = jax.lax.scan(
-            epoch, (params, opt_state, key), None, length=epochs
+            make_epoch(batches), (params, opt_state, key), None, length=epochs
         )
         return params, logs
 
+    def train_chunk(n_epochs, params, opt_state, key, batches):
+        """Resumable slice: runs ``n_epochs`` (static) epochs from an explicit
+        (params, opt_state, key) carry and returns the carry for
+        checkpointing. Chunking is numerically identical to one long scan —
+        the per-epoch op sequence is unchanged (tests/test_resume.py)."""
+        (params, opt_state, key), logs = jax.lax.scan(
+            make_epoch(batches), (params, opt_state, key), None,
+            length=n_epochs)
+        return params, opt_state, key, logs
+
+    train.chunk = train_chunk
     return train
 
 
@@ -252,10 +265,25 @@ class FoldTrainer:
         self.optimizer = build_optimizer(config, n_samples)
         if loss_fn is None:
             loss_fn = default_loss_fn(model, config)
-        self._train = jax.jit(build_train_fn(
+        self._raw_train = build_train_fn(
             loss_fn, self.optimizer, config.epochs, config.shuffle,
             state_update=state_update,
-        ))
+        )
+        self._train = jax.jit(self._raw_train)
+        self._chunk_cache: dict = {}
+
+    def chunk_fn(self, n_epochs: int):
+        """Jitted resumable slice of ``n_epochs`` epochs (cached per size):
+        (params, opt_state, key, batches) -> (params, opt_state, key, logs)."""
+        if n_epochs not in self._chunk_cache:
+            import functools
+
+            self._chunk_cache[n_epochs] = jax.jit(functools.partial(
+                self._raw_train.chunk, n_epochs))
+        return self._chunk_cache[n_epochs]
+
+    def init_opt_state(self, params):
+        return jax.jit(self.optimizer.init)(params)
 
     def run(self, params, data_list, cov_list, key=None,
             extras: Optional[dict] = None) -> Tuple[dict, dict]:
@@ -268,6 +296,56 @@ class FoldTrainer:
 
     def run_batches(self, params, batches, key):
         return self._train(params, batches, key)
+
+    def run_resumable(self, params, data_list, cov_list, key, state_dir,
+                      checkpoint_every: int, resume: bool = True,
+                      extras: Optional[dict] = None) -> Tuple[dict, dict]:
+        """Train in checkpointed chunks: every ``checkpoint_every`` epochs the
+        full train state (params + optax state + PRNG key + epoch cursor +
+        loss history) is written atomically to ``state_dir``; with
+        ``resume=True`` an existing state is picked up where it left off.
+        Chunked execution is bit-identical to the single-scan run."""
+        from .checkpoints import (
+            load_train_state,
+            save_train_state,
+            train_state_exists,
+        )
+
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        batches = jax.device_put(
+            make_batches(data_list, cov_list, self.config.batch_size, extras))
+        total = self.config.epochs
+        start, logs_acc, opt_state = 0, None, None
+        if resume and train_state_exists(state_dir):
+            template = {"params": params,
+                        "opt_state": jax.eval_shape(self.optimizer.init,
+                                                    params),
+                        "key": key}
+            # eval_shape gives the structure; from_bytes fills real arrays
+            template["opt_state"] = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), template["opt_state"])
+            state, start, logs_acc = load_train_state(state_dir, template)
+            params, opt_state, key = (state["params"], state["opt_state"],
+                                      state["key"])
+        if opt_state is None:
+            opt_state = self.init_opt_state(params)
+        while start < total:
+            n = min(checkpoint_every, total - start)
+            params, opt_state, key, logs = self.chunk_fn(n)(
+                params, opt_state, key, batches)
+            host_logs = jax.tree_util.tree_map(np.asarray,
+                                               jax.device_get(logs))
+            logs_acc = host_logs if logs_acc is None else {
+                k: np.concatenate([logs_acc[k], host_logs[k]])
+                for k in host_logs
+            }
+            start += n
+            save_train_state(state_dir, jax.device_get(params),
+                             jax.device_get(opt_state), jax.device_get(key),
+                             start, logs_acc)
+        return (jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
+                logs_acc if logs_acc is not None else {})
 
 
 def train_single_fold(model, params, data_list: Sequence[np.ndarray],
