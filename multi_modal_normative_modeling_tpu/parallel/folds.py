@@ -98,12 +98,25 @@ class MultiFoldTrainer:
     def run(self, stacked_params, stacked_batches, keys) -> Tuple[dict, dict]:
         """keys: [F, 2] PRNG keys (one stream per fold)."""
         if self.mesh is not None:
+            shardings = fold_data_shardings(
+                self.mesh, stacked_params, stacked_batches, keys)
             if self._jitted is None:
-                p_sh, b_sh, k_sh = fold_data_shardings(
-                    self.mesh, stacked_params, stacked_batches, keys
-                )
-                self._jitted = jax.jit(
-                    self._vtrain, in_shardings=(p_sh, b_sh, k_sh)
+                self._jitted = jax.jit(self._vtrain, in_shardings=shardings)
+            if jax.process_count() > 1:
+                # multi-host: numpy inputs can't be auto-sharded across
+                # processes; build global arrays (host values are identical
+                # on every process, so each process donates its local shards)
+                def globalize(tree, sh_tree):
+                    return jax.tree_util.tree_map(
+                        lambda a, s: jax.make_array_from_callback(
+                            np.shape(a), s,
+                            lambda idx, _a=a: np.asarray(_a)[idx]),
+                        tree, sh_tree)
+
+                stacked_params, stacked_batches, keys = (
+                    globalize(stacked_params, shardings[0]),
+                    globalize(stacked_batches, shardings[1]),
+                    globalize(keys, shardings[2]),
                 )
         elif self._jitted is None:
             self._jitted = jax.jit(self._vtrain)
