@@ -1,4 +1,9 @@
-.PHONY: test bench flagship ppmi-bench lint report
+.PHONY: test bench flagship ppmi-bench lint report warmup
+
+# pre-compile the flagship sweep's training program shapes (persistent cache)
+warmup:
+	python multimodal_kfold_train_cvae_supervised.py -R ADNI -P UCA-gPoE \
+	  -E 200 -K 10 --fold_parallel --warmup_only
 
 test:
 	python -m pytest tests/ -x -q

@@ -128,9 +128,10 @@ def main(args, project_root=None):
     resume = getattr(args, 'resume', False)
 
     fused_trainer = None
-    if getattr(args, 'fused_train_step', False) and checkpoint_every:
-        print('fused train step unavailable (--checkpoint_every: resumable '
-              'training runs on the XLA path); using the XLA path')
+    if getattr(args, 'fused_train_step', False) and (
+            checkpoint_every or getattr(args, 'warmup_only', False)):
+        print('fused train step unavailable (--checkpoint_every/--warmup_only '
+              'run on the XLA path); using the XLA path')
     elif getattr(args, 'fused_train_step', False):
         # fully-fused Pallas fwd+bwd train step (kernels/train_step.py), with
         # automatic fallback to the XLA path when shapes/config are out of the
@@ -178,6 +179,13 @@ def main(args, project_root=None):
         batches = stack_fold_batches([f[0] for f in folds],
                                      [f[1] for f in folds],
                                      train_config.batch_size)
+        if getattr(args, 'warmup_only', False):
+            secs = mft.compile(stacked, jax.device_put(batches),
+                               jnp.stack(keys))
+            print(f'warmup: fold-parallel train program compiled in '
+                  f'{secs:.1f}s (persistent cache populated)')
+            run_log.event('warmup_done', seconds=secs)
+            return
         if checkpoint_every:
             out_params, logs = mft.run_resumable(
                 stacked, jax.device_put(batches), jnp.stack(keys),
@@ -197,6 +205,17 @@ def main(args, project_root=None):
         ]
     elif fused_trainer is None:
         trainer = FoldTrainer(model, train_config, folds[0][0][0].shape[0])
+        if getattr(args, 'warmup_only', False):
+            from ..train.trainer import make_batches
+
+            data_list, cov_list = folds[0]
+            batches = jax.device_put(make_batches(
+                data_list, cov_list, train_config.batch_size))
+            secs = trainer.compile(params_list[0], batches, keys[0])
+            print(f'warmup: whole-fold train program compiled in '
+                  f'{secs:.1f}s (persistent cache populated)')
+            run_log.event('warmup_done', seconds=secs)
+            return
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
             print('train model')
@@ -244,6 +263,12 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['fp32', 'bf16'],
                         help='bf16 runs the MXU matmuls in bfloat16 with '
                              'fp32 master params and loss reductions.')
+    parser.add_argument('--warmup_only', dest='warmup_only',
+                        action='store_true',
+                        help='compile the training program for this exact '
+                             'config (shapes, epochs, fold layout) WITHOUT '
+                             'running it, pre-seeding the persistent '
+                             'compilation cache before a sweep.')
     parser.add_argument('--checkpoint_every', dest='checkpoint_every',
                         type=int, default=0,
                         help='write a resumable train-state checkpoint '

@@ -123,6 +123,21 @@ class MultiFoldTrainer:
         params, logs = self._jitted(stacked_params, stacked_batches, keys)
         return params, logs
 
+    def compile(self, stacked_params, stacked_batches, keys) -> float:
+        """Lower + compile the fold-parallel program without running it
+        (populates jax's persistent compilation cache); returns seconds."""
+        import time
+
+        if self.mesh is not None and self._jitted is None:
+            shardings = fold_data_shardings(
+                self.mesh, stacked_params, stacked_batches, keys)
+            self._jitted = jax.jit(self._vtrain, in_shardings=shardings)
+        elif self._jitted is None:
+            self._jitted = jax.jit(self._vtrain)
+        t0 = time.perf_counter()
+        self._jitted.lower(stacked_params, stacked_batches, keys).compile()
+        return time.perf_counter() - t0
+
     def _chunk_fn(self, n_epochs: int):
         if n_epochs not in self._chunk_cache:
             import functools

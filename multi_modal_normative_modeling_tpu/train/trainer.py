@@ -297,6 +297,15 @@ class FoldTrainer:
     def run_batches(self, params, batches, key):
         return self._train(params, batches, key)
 
+    def compile(self, params, batches, key) -> float:
+        """Lower + compile the whole-fold program without running it
+        (populates jax's persistent compilation cache); returns seconds."""
+        import time
+
+        t0 = time.perf_counter()
+        self._train.lower(params, batches, key).compile()
+        return time.perf_counter() - t0
+
     def run_resumable(self, params, data_list, cov_list, key, state_dir,
                       checkpoint_every: int, resume: bool = True,
                       extras: Optional[dict] = None) -> Tuple[dict, dict]:
