@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""Measure the REFERENCE's actual end-to-end wall-clock (torch CPU) on a
+synthetic ADNI cohort and record it into BASELINE.json["measured"].
+
+Runs the reference's own scripts (train -> test -> group analysis) unmodified
+from a throwaway working directory: the reference sources are copied there AT
+RUNTIME (never into this repo), with a tiny `nilearn` stub package providing
+`fetch_atlas_aal` from the vendored AAL-116 label list (the real package is
+absent from this image and performs a network fetch at import time,
+reference utils.py:450-452).
+
+bench.py's vs_baseline uses BASELINE.json["measured"] when present instead of
+its in-process hot-loop re-creation.
+
+Usage: python scripts/baseline_probe.py [--epochs 10] [--n-splits 10]
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path(os.environ.get("MMNM_REFERENCE", "/root/reference"))
+
+REF_FILES = [
+    "utils.py",
+    "utils_vae.py",
+    "cVAE.py",
+    "multimodal_kfold_train_cvae_supervised.py",
+    "multimodal_kfold_test_cvae_supervised.py",
+    "multimodal_kfold_cvae_group_analysis_1x1.py",
+]
+
+NILEARN_STUB = '''\
+"""Offline stub for the reference's import-time `fetch_atlas_aal` call
+(utils.py:450-452): returns the vendored AAL-116 label list."""
+import json
+from types import SimpleNamespace
+
+def fetch_atlas_aal():
+    labels = json.load(open({labels_path!r}))["aal116"]
+    return SimpleNamespace(labels=list(labels),
+                           indices=[str(i) for i in range(len(labels))])
+'''
+
+
+STATSMODELS_STUB = '''\
+"""Offline stub for the reference's statsmodels import (absent from this
+image): OLS/Logit with .fit().pvalues backed by the native scipy
+implementation (same test statistics; see
+multi_modal_normative_modeling_tpu/infer/deviation.py)."""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+from multi_modal_normative_modeling_tpu.infer.deviation import (
+    _logit_pvalues, _ols_pvalues)
+
+
+class _Fit:
+    def __init__(self, pvalues):
+        self.pvalues = np.asarray(pvalues)
+
+
+class OLS:
+    def __init__(self, y, X):
+        self.y, self.X = np.asarray(y, float), np.asarray(X, float)
+
+    def fit(self, **kw):
+        return _Fit(_ols_pvalues(self.y, self.X))
+
+
+class Logit:
+    def __init__(self, y, X):
+        self.y, self.X = np.asarray(y, float), np.asarray(X, float)
+
+    def fit(self, **kw):
+        return _Fit(_logit_pvalues(self.y, self.X))
+'''
+
+
+def _write_statsmodels_stub(work: Path):
+    pkg = work / "statsmodels"
+    (pkg / "discrete").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "api.py").write_text(STATSMODELS_STUB.format(repo=str(REPO)))
+    (pkg / "discrete" / "__init__.py").write_text("")
+    (pkg / "discrete" / "discrete_model.py").write_text(
+        "from statsmodels.api import Logit, OLS  # noqa: F401\n")
+
+
+def _run(cmd, cwd, tag):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(cwd)
+    # reference pickles whole torch modules; torch>=2.6 defaults
+    # weights_only=True on load, which would break the reference's own test
+    # script — restore its original behavior for the probe
+    env["TORCH_FORCE_NO_WEIGHTS_ONLY_LOAD"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    t0 = time.perf_counter()
+    out = subprocess.run([sys.executable] + cmd, cwd=cwd, env=env,
+                         capture_output=True, text=True)
+    seconds = time.perf_counter() - t0
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-4000:] + out.stderr[-4000:])
+        raise RuntimeError(f"reference {tag} failed (rc={out.returncode})")
+    print(f"reference {tag}: {seconds:.1f}s")
+    return seconds
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=10,
+                    help="training epochs for the probe (per-epoch cost is "
+                         "constant; the recorded figure is per fold-epoch)")
+    ap.add_argument("--n-splits", type=int, default=10)
+    ap.add_argument("--procedure", default="UCA-gPoE")
+    ap.add_argument("--n-hc", type=int, default=400)
+    ap.add_argument("--n-ad", type=int, default=150)
+    ap.add_argument("--n-mci", type=int, default=150)
+    args = ap.parse_args()
+
+    if not REFERENCE.exists():
+        raise SystemExit(f"reference not found at {REFERENCE}")
+    sys.path.insert(0, str(REPO))
+    from multi_modal_normative_modeling_tpu.cli.early_fusion import (
+        build_early_fusion,
+    )
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+
+    work = Path(tempfile.mkdtemp(prefix="mmnm_baseline_probe_"))
+    print(f"workdir {work}")
+    try:
+        for name in REF_FILES:
+            shutil.copy(REFERENCE / name, work / name)
+        stub_dir = work / "nilearn"
+        (stub_dir / "datasets").mkdir(parents=True)
+        labels_path = str(REPO / "multi_modal_normative_modeling_tpu" /
+                          "data" / "roi_labels.json")
+        (stub_dir / "__init__.py").write_text("")
+        (stub_dir / "datasets" / "__init__.py").write_text(
+            NILEARN_STUB.format(labels_path=labels_path))
+        _write_statsmodels_stub(work)
+
+        make_synthetic_resource(work, "ADNI", n_hc=args.n_hc,
+                                n_disease={0: args.n_ad, 1: args.n_mci},
+                                effect=0.8)
+        if args.procedure.startswith("UCA"):
+            build_early_fusion(work, "ADNI")
+
+        flags = ["-R", "ADNI", "-P", args.procedure,
+                 "-K", str(args.n_splits), "-H", "110", "110", "10"]
+        train_s = _run(["multimodal_kfold_train_cvae_supervised.py",
+                        "-E", str(args.epochs), "-TrainingClass", "nm"]
+                       + flags, work, "train")
+        test_s = _run(["multimodal_kfold_test_cvae_supervised.py"] + flags,
+                      work, "test")
+        analysis_s = _run(["multimodal_kfold_cvae_group_analysis_1x1.py"]
+                          + flags, work, "group_analysis")
+
+        # train folds mix classes (SURVEY Q4: the HC filter is commented out
+        # in the reference): ~ (k-1)/k of the whole cohort per fold
+        total = args.n_hc + args.n_ad + args.n_mci
+        n_train_rows = round(total * (args.n_splits - 1) / args.n_splits)
+        per_fold_epoch = train_s / (args.n_splits * args.epochs)
+        measured = {
+            "machine": "container CPU (torch eager, reference scripts)",
+            "cohort": {"n_hc": args.n_hc, "n_ad": args.n_ad,
+                       "n_mci": args.n_mci, "procedure": args.procedure,
+                       "n_splits": args.n_splits, "epochs": args.epochs},
+            "train_seconds": round(train_s, 2),
+            "train_seconds_per_fold_epoch": round(per_fold_epoch, 4),
+            "test_seconds": round(test_s, 2),
+            "analysis_seconds": round(analysis_s, 2),
+            "flagship_train_estimate_seconds": round(
+                per_fold_epoch * args.n_splits * 200, 1),
+            "approx_train_rows_per_fold": n_train_rows,
+        }
+        baseline_path = REPO / "BASELINE.json"
+        doc = json.loads(baseline_path.read_text())
+        doc["measured"] = measured
+        baseline_path.write_text(json.dumps(doc, indent=2))
+        print(json.dumps(measured, indent=1))
+        print(f"recorded into {baseline_path}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
