@@ -1,0 +1,105 @@
+"""Self-contained demo project for the notebooks (tsne.ipynb,
+table_visualization.ipynb, visualization/ROI.ipynb): builds a synthetic ADNI
+cohort and runs the full supervised pipeline (train -> test -> group
+analysis) once, so every notebook executes end-to-end offline against real
+pipeline artifacts. The reference notebooks assume the private cohorts are on
+disk; here the cohort is synthesized (data/synthetic.py) with an injected
+disease effect so the figures carry real signal.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def _args(epochs: int, n_splits: int, procedure: str) -> argparse.Namespace:
+    return argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[32, 32, 8],
+        procedure=procedure, combine=procedure.split("-")[1],
+        epochs=epochs, n_splits=n_splits, oversample_percentage=1,
+        model="cVAE_multimodal", single_modality=None,
+        base_learning_rate=0.0001, max_learning_rate=0.005,
+        training_class="nm", lr_schedule="constant",
+    )
+
+
+def ensure_demo_project(root="outputs/notebook_demo", epochs: int = 60,
+                        n_splits: int = 3, procedure: str = "SE-gPoE",
+                        force: bool = False) -> Path:
+    """Create (once) a synthetic ADNI project with completed train/test/
+    analysis artifacts; returns the project root."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+    from .cli import group_analysis, test_supervised, train_supervised
+    from .data.synthetic import make_synthetic_resource
+
+    root = Path(root)
+    args = _args(epochs, n_splits, procedure)
+    if force or not (root / "data" / "ADNI" / "y.csv").exists():
+        root.mkdir(parents=True, exist_ok=True)
+        make_synthetic_resource(root, "ADNI", n_hc=90,
+                                n_disease={0: 40, 1: 40}, effect=0.8)
+    model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
+    if force or not (model_dir / "000" / "cVAE_model.ckpt").exists():
+        train_supervised.main(args, project_root=root)
+    dev_dir = (root / "deviation" / "supervised_cvae" / "ADNI" / procedure /
+               "path_model")
+    if force or not dev_dir.exists():
+        test_supervised.main(args, project_root=root)
+    if force or not (root / "result_baseline" / "result_multimodal.txt"
+                     ).exists():
+        group_analysis.main(args, project_root=root)
+    return root
+
+
+def load_fold_model(project_root, fold: int = 0):
+    """(model, params, config) from a demo-project fold checkpoint."""
+    import jax
+
+    from .cli.common import build_model_from_config
+    from .train import load_checkpoint
+
+    fold_dir = (Path(project_root) / "outputs" / "kfold_analysis" /
+                "supervised_cvae" / f"{fold:03d}")
+    import json
+
+    config = json.loads((fold_dir / "cVAE_model.json").read_text())
+    model = build_model_from_config(config)
+    template = model.init_params(jax.random.PRNGKey(0))
+    params, config = load_checkpoint(fold_dir, template_params=template)
+    return model, params, config
+
+
+def cohort_latents(project_root, model, params, combine: str = "gpoe"):
+    """Fused latent means for the WHOLE cohort (scaled on the full cohort)
+    plus diagnosis labels — feeds the latent t-SNE (tsne.ipynb)."""
+    import pandas as pd
+    from sklearn.preprocessing import RobustScaler
+
+    from . import registry
+    from .data.preprocess import one_hot_covariates
+
+    project_root = Path(project_root)
+    y = pd.read_csv(project_root / "data" / "ADNI" / "y.csv")
+    names = [n for n in registry.BASE_MODALITIES["ADNI"]]
+    xes, cs = [], []
+    merged = None
+    for name in names:
+        frame = pd.read_csv(project_root / "data" / "ADNI" / f"{name}.csv")
+        merged = pd.merge(frame, y, on="IID")
+        cols = registry.get_column_name("ADNI", name)
+        xes.append(RobustScaler().fit_transform(
+            merged[cols].values).astype(np.float32))
+        cs.append(one_hot_covariates(merged[["DIA", "PTGENDER", "AGE"]]))
+    mus, _ = model.latent_stats(params, xes, cs, combine)
+    return np.asarray(mus), merged["DIA"].values

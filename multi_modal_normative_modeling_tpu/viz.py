@@ -72,6 +72,74 @@ def roi_deviation_map(roi_error_csv, hc_label: int, out_path,
     plt.close()
 
 
+def aal90_centroids() -> dict:
+    """label -> (x, y, z) approximate MNI centroid for all 90 AAL regions
+    (vendored, data/aal90_mni_centroids.json; right hemisphere mirrored in x).
+    Visualization geometry only — the reference's ROI notebook loads the real
+    atlas through nilearn at runtime (no offline equivalent in this image)."""
+    import json
+
+    path = Path(__file__).parent / "data" / "aal90_mni_centroids.json"
+    base = {k: v for k, v in json.loads(path.read_text()).items()
+            if not k.startswith("_")}
+    out = {}
+    for name, (x, y, z) in base.items():
+        out[f"{name}_L"] = (float(x), float(y), float(z))
+        out[f"{name}_R"] = (-float(x), float(y), float(z))
+    return out
+
+
+def glass_brain_scatter(roi_values: dict, out_path, title: str = "",
+                        cmap: str = "coolwarm", label: str = "Cohen's d",
+                        annotate_top: int = 6) -> None:
+    """Per-ROI brain map (equivalent of the reference's
+    visualization/enhanced_roi_visualization.png, which renders per-ROI
+    deviation onto the AAL atlas via nilearn): three glass-brain projections
+    (axial, sagittal, coronal) with one marker per region at its vendored
+    approximate centroid, color = value, size ~ |value|.
+
+    ``roi_values``: mapping AAL label (e.g. 'Hippocampus_L') -> scalar.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import cm as mpl_cm
+    from matplotlib.colors import Normalize
+    from matplotlib.patches import Ellipse
+
+    cents = aal90_centroids()
+    labels = [k for k in roi_values if k in cents]
+    xyz = np.array([cents[k] for k in labels])
+    vals = np.array([float(roi_values[k]) for k in labels])
+    vmax = max(1e-9, np.abs(vals).max())
+    norm = Normalize(vmin=-vmax, vmax=vmax)
+    sizes = 40 + 260 * (np.abs(vals) / vmax)
+
+    views = [("axial (top)", 0, 1, (170, 205)),
+             ("sagittal (left)", 1, 2, (205, 155)),
+             ("coronal (front)", 0, 2, (170, 155))]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5.2))
+    top_idx = np.argsort(-np.abs(vals))[:annotate_top]
+    for ax, (name, i, j, (w, h)) in zip(axes, views):
+        ax.add_patch(Ellipse((xyz[:, i].mean(), xyz[:, j].mean() + 4), w, h,
+                             fill=False, color="0.6", lw=1.5))
+        sc = ax.scatter(xyz[:, i], xyz[:, j], c=vals, s=sizes, cmap=cmap,
+                        norm=norm, alpha=0.85, edgecolors="0.4",
+                        linewidths=0.4)
+        for t in top_idx:
+            ax.annotate(labels[t], (xyz[t, i], xyz[t, j]), fontsize=7,
+                        xytext=(3, 3), textcoords="offset points")
+        ax.set_title(name)
+        ax.set_aspect("equal")
+        ax.axis("off")
+    fig.colorbar(mpl_cm.ScalarMappable(norm=norm, cmap=cmap), ax=axes,
+                 shrink=0.8, label=label)
+    if title:
+        fig.suptitle(title)
+    fig.savefig(out_path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+
+
 def auc_summary_table(result_dirs: Sequence, out_csv=None) -> pd.DataFrame:
     """Collect cvae_auc_and_std.csv files into one experiment table
     (table_visualization.ipynb equivalent)."""
