@@ -148,6 +148,18 @@ def main(args, project_root=None):
             print(f'fused train step unavailable ({reason}); '
                   'using the XLA path')
 
+    packed_xla = False
+    if getattr(args, 'packed_xla', False) and fused_trainer is None and not (
+            checkpoint_every or getattr(args, 'warmup_only', False)):
+        # packed-modality XLA path: each layer is one batched einsum over all
+        # modalities (~22% faster per step at flagship widths; RESULTS.md)
+        from ..train.packed import packed_supported
+
+        packed_xla, reason = packed_supported(model, train_config)
+        if not packed_xla:
+            print(f'packed XLA path unavailable ({reason}); '
+                  'using the per-modality path')
+
     if fused_trainer is not None:
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
@@ -163,7 +175,25 @@ def main(args, project_root=None):
             per_fold_params.append(params)
             per_fold_logs.append(logs)
 
-    if fused_trainer is None and fold_parallel:
+    if fused_trainer is None and packed_xla and fold_parallel:
+        from ..train.packed import PackedMultiFoldTrainer
+
+        print('train model (all folds fold-parallel, packed modalities)')
+        max_n = max(f[0][0].shape[0] for f in folds)
+        pmft = PackedMultiFoldTrainer(model, train_config, max_n)
+        per_fold_params, per_fold_logs = pmft.run(params_list, folds, keys)
+    elif fused_trainer is None and packed_xla:
+        from ..train.packed import PackedFoldTrainer
+
+        print('train model (packed modalities)')
+        ptr = PackedFoldTrainer(model, train_config, folds[0][0][0].shape[0])
+        per_fold_params, per_fold_logs = [], []
+        for fold, (data_list, cov_list) in enumerate(folds):
+            params, logs = ptr.run(params_list[fold], data_list, cov_list[0],
+                                   key=keys[fold])
+            per_fold_params.append(params)
+            per_fold_logs.append(logs)
+    elif fused_trainer is None and fold_parallel:
         # all folds train concurrently: stacked params, one vmapped program
         from ..parallel import (
             MultiFoldTrainer,
@@ -263,6 +293,14 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['fp32', 'bf16'],
                         help='bf16 runs the MXU matmuls in bfloat16 with '
                              'fp32 master params and loss reductions.')
+    parser.add_argument('--packed_xla', dest='packed_xla',
+                        action='store_true',
+                        help='pack all modalities into batched einsums per '
+                             'layer (XLA; ~22%% faster per step for '
+                             'sequential/single-fold runs at flagship '
+                             'widths, but slower under --fold_parallel '
+                             'where the pad-to-widest waste dominates); '
+                             'numerics match to float tolerance.')
     parser.add_argument('--warmup_only', dest='warmup_only',
                         action='store_true',
                         help='compile the training program for this exact '

@@ -1,0 +1,161 @@
+"""Packed-modality XLA trainer: every layer is ONE batched einsum across all
+modalities (models/stacked.py), trained by the standard optax scan.
+
+Measured on v5e (scripts/bench_fused_width.py / RESULTS.md): ~22% faster per
+step than the per-modality XLA path at the flagship shapes SINGLE-fold
+(106 vs 130 us/step — the step there is launch/chain-latency bound and
+packing M modalities into [M, B, D] einsums cuts the number of serialized
+ops), but ~21% SLOWER when vmapped over 5 folds (454 vs 358 us/step): inputs
+pad to d_max, so the three 90-dim modalities burn 3x their FLOPs at 270
+columns — waste that hides under chain latency at 1 fold and costs real time
+once fold-parallelism fills the chip. At PPMI width the per-modality path is
+~10% faster. Hence opt-in (--packed_xla), recommended only for sequential /
+single-fold runs with similar modality widths.
+
+Numerics match the per-modality model to float tolerance
+(tests/test_stacked.py proves forward/loss/grad equivalence;
+tests/test_packed_cli.py proves trajectory equivalence) — bit-exact parity
+stays with the default path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.stacked import StackedMultimodalCVAE
+from .trainer import TrainConfig, build_optimizer, build_train_fn
+
+
+def packed_supported(model, config: TrainConfig) -> Tuple[bool, str]:
+    if getattr(model, "variant", None) != "cvae":
+        return False, (f"model variant {getattr(model, 'variant', None)!r} "
+                       "(packed supports 'cvae')")
+    if config.combine.lower() not in ("poe", "gpoe", "moe", "mopoe"):
+        return False, f"fusion {config.combine!r}"
+    if config.precision != "fp32":
+        return False, f"precision {config.precision!r}"
+    return True, ""
+
+
+def make_packed_fold_batches(stacked: StackedMultimodalCVAE,
+                             data_list: Sequence[np.ndarray],
+                             cov: np.ndarray, batch_size: int) -> dict:
+    """Per-modality arrays -> {x [NB, M, B, d_max], c [NB, B, C],
+    mask [NB, B], valid [NB]} (packed once on the host)."""
+    n = data_list[0].shape[0]
+    nb = max(1, -(-n // batch_size))
+    padded = nb * batch_size
+    x = np.zeros((stacked.modalities, padded, stacked.d_max),
+                 dtype=np.float32)
+    for m, d in enumerate(data_list):
+        x[m, :n, : d.shape[1]] = d
+    c = np.zeros((padded, cov.shape[1]), dtype=np.float32)
+    c[:n] = cov
+    mask = np.zeros((padded,), dtype=np.float32)
+    mask[:n] = 1.0
+    return {
+        "x": np.swapaxes(
+            x.reshape(stacked.modalities, nb, batch_size, stacked.d_max),
+            0, 1).copy(),
+        "c": c.reshape(nb, batch_size, -1),
+        "mask": mask.reshape(nb, batch_size),
+        "valid": (mask.reshape(nb, batch_size).sum(axis=1) > 0),
+    }
+
+
+def _packed_loss_fn(stacked: StackedMultimodalCVAE, combine: str):
+    def loss_fn(p, batch, k):
+        fwd = stacked.forward(p, batch["x"], batch["c"], k, combine)
+        losses = stacked.loss(p, batch["x"], fwd, batch["mask"])
+        return losses["total"], losses
+
+    return loss_fn
+
+
+class PackedFoldTrainer:
+    """Whole-fold trainer on the packed layout; PRNG stream identical to the
+    per-modality FoldTrainer's (reparameterize draws [B, Z] from the same
+    split sequence), so trajectories agree to float tolerance."""
+
+    def __init__(self, model, config: TrainConfig, n_samples: int):
+        self.stacked = StackedMultimodalCVAE(
+            model.input_dim_list, model.hidden_dim, model.latent_dim,
+            model.c_dim, model.modalities, model.non_linear)
+        self.config = config
+        self.optimizer = build_optimizer(config, n_samples)
+        self._raw_train = build_train_fn(
+            _packed_loss_fn(self.stacked, config.combine), self.optimizer,
+            config.epochs, config.shuffle)
+        self._train = jax.jit(self._raw_train)
+
+    def run(self, per_modality_params, data_list, cov, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        packed = self.stacked.pack_params(per_modality_params)
+        batches = make_packed_fold_batches(self.stacked, data_list, cov,
+                                           self.config.batch_size)
+        out, logs = self._train(packed, jax.device_put(batches), key)
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
+        return (self.stacked.unpack_params(host),
+                jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
+
+
+class PackedMultiFoldTrainer:
+    """vmap(packed whole-fold trainer) over a stacked fold axis: operands are
+    [F, NB, M, B, d_max] — the largest, most uniform batched einsums this
+    workload can produce."""
+
+    def __init__(self, model, config: TrainConfig, n_samples: int, mesh=None):
+        self.stacked = StackedMultimodalCVAE(
+            model.input_dim_list, model.hidden_dim, model.latent_dim,
+            model.c_dim, model.modalities, model.non_linear)
+        self.config = config
+        self.mesh = mesh
+        optimizer = build_optimizer(config, n_samples)
+        train = build_train_fn(
+            _packed_loss_fn(self.stacked, config.combine), optimizer,
+            config.epochs, config.shuffle)
+        self._jitted = jax.jit(jax.vmap(train))
+
+    def pack_folds(self, folds, cov_index: int = 0) -> Tuple[dict, dict]:
+        """folds: list of (data_list, cov_list); returns (None, batches) with
+        every fold padded to the largest fold's batch grid."""
+        per_fold = []
+        max_nb = 0
+        for data_list, cov_list in folds:
+            b = make_packed_fold_batches(self.stacked, data_list,
+                                         cov_list[cov_index],
+                                         self.config.batch_size)
+            max_nb = max(max_nb, b["mask"].shape[0])
+            per_fold.append(b)
+        padded = []
+        for b in per_fold:
+            cur = b["mask"].shape[0]
+            if cur < max_nb:
+                b = jax.tree_util.tree_map(
+                    lambda a: np.pad(a, [(0, max_nb - cur)]
+                                     + [(0, 0)] * (a.ndim - 1)), b)
+            padded.append(b)
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
+
+    def run(self, params_list, folds, keys):
+        stacked_params = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves),
+            *[self.stacked.pack_params(p) for p in params_list])
+        batches = self.pack_folds(folds)
+        out, logs = self._jitted(stacked_params, jax.device_put(batches),
+                                 jnp.stack(list(keys)))
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
+        host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
+        n_folds = len(params_list)
+        per_fold_params = [
+            self.stacked.unpack_params(
+                jax.tree_util.tree_map(lambda leaf: leaf[f], host))
+            for f in range(n_folds)
+        ]
+        per_fold_logs = [{k: v[f] for k, v in host_logs.items()}
+                         for f in range(n_folds)]
+        return per_fold_params, per_fold_logs
