@@ -80,17 +80,27 @@ _CSV_LOCK = __import__("threading").Lock()
 _FASTCSV_MIN_COLS = 256
 
 _log = __import__("logging").getLogger("mmnm.data")
-# why the native fast path disengaged, per absolute path (user-visible signal
-# + skips re-attempting the native parse for files known to need pandas)
+# why the native fast path disengaged, per path -> (mtime_ns, reason): a
+# user-visible signal + skips re-attempting the native parse for files known
+# to need pandas. Keyed by mtime like _CSV_CACHE, so a rewritten (fixed) file
+# gets the fast path back.
 fast_path_reasons: dict = {}
 
 
+def _mtime(path) -> int:
+    try:
+        return Path(path).stat().st_mtime_ns
+    except OSError:
+        return -1
+
+
 def _fast_path_off(path, reason: str, level=None) -> None:
-    path = str(path)
-    if fast_path_reasons.get(path) != reason:
-        fast_path_reasons[path] = reason
+    key = str(path)
+    entry = (_mtime(path), reason)
+    if fast_path_reasons.get(key) != entry:
+        fast_path_reasons[key] = entry
         (level or _log.info)("fastcsv fast path disabled for %s: %s",
-                             path, reason)
+                             key, reason)
 
 
 def _read_modality_fast(path) -> "pd.DataFrame | None":
@@ -99,8 +109,11 @@ def _read_modality_fast(path) -> "pd.DataFrame | None":
     'mmnm.data'). Values are correctly rounded (std::from_chars); pandas'
     default parser may differ by 1 ulp. Quoted fields are supported
     (RFC4180, no embedded newlines)."""
-    if str(path) in fast_path_reasons:
-        return None  # known to need pandas; don't re-parse natively
+    memo = fast_path_reasons.get(str(path))
+    if memo is not None:
+        if memo[0] == _mtime(path):
+            return None  # known to need pandas; don't re-parse natively
+        del fast_path_reasons[str(path)]  # file changed: retry natively
     try:
         from ..native.fastcsv import FastCSV, fastcsv_available
     except Exception:

@@ -149,16 +149,20 @@ def main(args, project_root=None):
                   'using the XLA path')
 
     packed_xla = False
-    if getattr(args, 'packed_xla', False) and fused_trainer is None and not (
-            checkpoint_every or getattr(args, 'warmup_only', False)):
-        # packed-modality XLA path: each layer is one batched einsum over all
-        # modalities (~22% faster per step at flagship widths; RESULTS.md)
-        from ..train.packed import packed_supported
-
-        packed_xla, reason = packed_supported(model, train_config)
-        if not packed_xla:
-            print(f'packed XLA path unavailable ({reason}); '
+    if getattr(args, 'packed_xla', False) and fused_trainer is None:
+        if checkpoint_every:
+            print('packed XLA path unavailable (--checkpoint_every: '
+                  'resumable training runs on the per-modality path); '
                   'using the per-modality path')
+        else:
+            # packed-modality XLA path: each layer is one batched einsum over
+            # all modalities (~22% faster per step single-fold; RESULTS.md)
+            from ..train.packed import packed_supported
+
+            packed_xla, reason = packed_supported(model, train_config)
+            if not packed_xla:
+                print(f'packed XLA path unavailable ({reason}); '
+                      'using the per-modality path')
 
     if fused_trainer is not None:
         per_fold_params, per_fold_logs = [], []
@@ -178,15 +182,29 @@ def main(args, project_root=None):
     if fused_trainer is None and packed_xla and fold_parallel:
         from ..train.packed import PackedMultiFoldTrainer
 
-        print('train model (all folds fold-parallel, packed modalities)')
         max_n = max(f[0][0].shape[0] for f in folds)
         pmft = PackedMultiFoldTrainer(model, train_config, max_n)
+        if getattr(args, 'warmup_only', False):
+            secs = pmft.compile(params_list, folds, keys)
+            print(f'warmup: packed fold-parallel train program compiled in '
+                  f'{secs:.1f}s (persistent cache populated)')
+            run_log.event('warmup_done', seconds=secs)
+            return
+        print('train model (all folds fold-parallel, packed modalities)')
         per_fold_params, per_fold_logs = pmft.run(params_list, folds, keys)
     elif fused_trainer is None and packed_xla:
         from ..train.packed import PackedFoldTrainer
 
-        print('train model (packed modalities)')
         ptr = PackedFoldTrainer(model, train_config, folds[0][0][0].shape[0])
+        if getattr(args, 'warmup_only', False):
+            data_list, cov_list = folds[0]
+            secs = ptr.compile(params_list[0], data_list, cov_list[0],
+                               key=keys[0])
+            print(f'warmup: packed train program compiled in '
+                  f'{secs:.1f}s (persistent cache populated)')
+            run_log.event('warmup_done', seconds=secs)
+            return
+        print('train model (packed modalities)')
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
             params, logs = ptr.run(params_list[fold], data_list, cov_list[0],

@@ -92,14 +92,17 @@ def cohort_latents(project_root, model, params, combine: str = "gpoe"):
     project_root = Path(project_root)
     y = pd.read_csv(project_root / "data" / "ADNI" / "y.csv")
     names = [n for n in registry.BASE_MODALITIES["ADNI"]]
+    # one shared subject order: reindex every modality against y's IIDs so
+    # rows align across modalities regardless of per-CSV ordering
+    iids = y["IID"]
     xes, cs = [], []
-    merged = None
     for name in names:
-        frame = pd.read_csv(project_root / "data" / "ADNI" / f"{name}.csv")
-        merged = pd.merge(frame, y, on="IID")
+        frame = pd.read_csv(project_root / "data" / "ADNI" / f"{name}.csv"
+                            ).set_index("IID").loc[iids]
+        merged = frame.join(y.set_index("IID"))
         cols = registry.get_column_name("ADNI", name)
         xes.append(RobustScaler().fit_transform(
             merged[cols].values).astype(np.float32))
         cs.append(one_hot_covariates(merged[["DIA", "PTGENDER", "AGE"]]))
     mus, _ = model.latent_stats(params, xes, cs, combine)
-    return np.asarray(mus), merged["DIA"].values
+    return np.asarray(mus), y["DIA"].values

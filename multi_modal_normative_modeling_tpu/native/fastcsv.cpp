@@ -105,13 +105,21 @@ std::string_view row_view(const File& f, size_t row) {
 }
 
 double parse_cell(std::string_view cell) {
-    while (!cell.empty() && std::isspace(static_cast<unsigned char>(cell.front())))
-        cell.remove_prefix(1);
-    while (!cell.empty() && std::isspace(static_cast<unsigned char>(cell.back())))
-        cell.remove_suffix(1);
-    // quoted numeric cell: strip the quotes (numbers never embed "")
-    if (cell.size() >= 2 && cell.front() == '"' && cell.back() == '"')
+    auto trim = [](std::string_view& c) {
+        while (!c.empty() && std::isspace(static_cast<unsigned char>(c.front())))
+            c.remove_prefix(1);
+        while (!c.empty() && std::isspace(static_cast<unsigned char>(c.back())))
+            c.remove_suffix(1);
+    };
+    trim(cell);
+    // quoted numeric cell: strip the quotes (numbers never embed ""), then
+    // trim again — '" 1.5 "' must parse like pandas does
+    if (cell.size() >= 2 && cell.front() == '"' && cell.back() == '"') {
         cell = cell.substr(1, cell.size() - 2);
+        trim(cell);
+    }
+    // from_chars rejects a leading '+' that pandas accepts
+    if (!cell.empty() && cell.front() == '+') cell.remove_prefix(1);
     double value;
     auto result = std::from_chars(cell.data(), cell.data() + cell.size(), value);
     if (result.ec != std::errc() || result.ptr != cell.data() + cell.size())

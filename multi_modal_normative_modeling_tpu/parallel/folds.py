@@ -23,7 +23,9 @@ from ..train.trainer import (
     build_train_fn,
     make_batches,
 )
-from .mesh import fold_data_shardings
+from jax.sharding import NamedSharding
+
+from .mesh import _spec_for_leaf, fold_data_shardings
 
 
 def stack_params(params_list: Sequence) -> dict:
@@ -106,17 +108,10 @@ class MultiFoldTrainer:
                 # multi-host: numpy inputs can't be auto-sharded across
                 # processes; build global arrays (host values are identical
                 # on every process, so each process donates its local shards)
-                def globalize(tree, sh_tree):
-                    return jax.tree_util.tree_map(
-                        lambda a, s: jax.make_array_from_callback(
-                            np.shape(a), s,
-                            lambda idx, _a=a: np.asarray(_a)[idx]),
-                        tree, sh_tree)
-
                 stacked_params, stacked_batches, keys = (
-                    globalize(stacked_params, shardings[0]),
-                    globalize(stacked_batches, shardings[1]),
-                    globalize(keys, shardings[2]),
+                    self._globalize(stacked_params, shardings[0]),
+                    self._globalize(stacked_batches, shardings[1]),
+                    self._globalize(keys, shardings[2]),
                 )
         elif self._jitted is None:
             self._jitted = jax.jit(self._vtrain)
@@ -138,54 +133,81 @@ class MultiFoldTrainer:
         self._jitted.lower(stacked_params, stacked_batches, keys).compile()
         return time.perf_counter() - t0
 
-    def _chunk_fn(self, n_epochs: int):
+    def _globalize(self, tree, sh_tree):
+        """Host numpy pytree -> global sharded arrays (multi-process: every
+        process holds the same host values and donates its local shards).
+        Leaves that are already device arrays (e.g. a previous chunk's
+        outputs) pass through untouched."""
+
+        def conv(a, s):
+            if isinstance(a, jax.Array):
+                return a
+            return jax.make_array_from_callback(
+                np.shape(a), s, lambda idx, _a=a: np.asarray(_a)[idx])
+
+        return jax.tree_util.tree_map(conv, tree, sh_tree)
+
+    def _chunk_fn(self, n_epochs: int, example_args=None):
+        """Jitted vmapped chunk; with a mesh, in_shardings mirror run()'s
+        (params/opt_state over 'fold', batches over ('fold', 'data'))."""
         if n_epochs not in self._chunk_cache:
             import functools
 
-            self._chunk_cache[n_epochs] = jax.jit(jax.vmap(functools.partial(
-                self._raw_train.chunk, n_epochs)))
+            chunk = jax.vmap(functools.partial(self._raw_train.chunk,
+                                               n_epochs))
+            if self.mesh is not None and example_args is not None:
+                params, opt_state, keys, batches = example_args
+                p_sh, b_sh, k_sh = fold_data_shardings(
+                    self.mesh, params, batches, keys)
+                o_sh = jax.tree_util.tree_map(
+                    lambda leaf: NamedSharding(
+                        self.mesh, _spec_for_leaf(np.ndim(leaf), "param")),
+                    opt_state)
+                self._chunk_cache[n_epochs] = jax.jit(
+                    chunk, in_shardings=(p_sh, o_sh, k_sh, b_sh))
+            else:
+                self._chunk_cache[n_epochs] = jax.jit(chunk)
         return self._chunk_cache[n_epochs]
 
     def run_resumable(self, stacked_params, stacked_batches, keys, state_dir,
                       checkpoint_every: int, resume: bool = True):
         """Fold-parallel chunked training with atomic whole-run train-state
         checkpoints (stacked params + stacked optax state + per-fold PRNG
-        keys + epoch cursor). Bit-identical to the single-scan run."""
-        from ..train.checkpoints import (
-            load_train_state,
-            save_train_state,
-            train_state_exists,
-        )
+        keys + epoch cursor). Bit-identical to the single-scan run; honors
+        the trainer's mesh like run()."""
+        from ..train.checkpoints import run_chunked
 
-        total = self.config.epochs
-        start, logs_acc, opt_state = 0, None, None
-        params = stacked_params
-        if resume and train_state_exists(state_dir):
-            shape = jax.eval_shape(jax.vmap(self.optimizer.init), params)
-            template = {
-                "params": params,
-                "opt_state": jax.tree_util.tree_map(
-                    lambda s: np.zeros(s.shape, s.dtype), shape),
-                "key": keys,
-            }
-            state, start, logs_acc = load_train_state(state_dir, template)
-            params, opt_state, keys = (state["params"], state["opt_state"],
-                                       state["key"])
-        if opt_state is None:
-            opt_state = jax.jit(jax.vmap(self.optimizer.init))(params)
-        while start < total:
-            n = min(checkpoint_every, total - start)
-            params, opt_state, keys, logs = self._chunk_fn(n)(
-                params, opt_state, keys, stacked_batches)
-            host_logs = jax.tree_util.tree_map(np.asarray,
-                                               jax.device_get(logs))
-            # vmapped chunk logs come back [F, n]; accumulate on the epoch axis
-            logs_acc = host_logs if logs_acc is None else {
-                k: np.concatenate([logs_acc[k], host_logs[k]], axis=1)
-                for k in host_logs
-            }
-            start += n
-            save_train_state(state_dir, jax.device_get(params),
-                             jax.device_get(opt_state),
-                             jax.device_get(keys), start, logs_acc)
-        return params, (logs_acc if logs_acc is not None else {})
+        init_opt = jax.jit(jax.vmap(self.optimizer.init))
+
+        def template_fn():
+            shape = jax.eval_shape(jax.vmap(self.optimizer.init),
+                                   stacked_params)
+            return {"params": stacked_params, "key": keys,
+                    "opt_state": jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype), shape)}
+
+        batches = stacked_batches
+        multiproc = jax.process_count() > 1
+
+        def run_chunk(n, p, opt_state, k):
+            nonlocal batches
+            if opt_state is None:
+                opt_state = init_opt(p)
+            fn = self._chunk_fn(n, example_args=(p, opt_state, k, batches))
+            if self.mesh is not None and multiproc:
+                p_sh, b_sh, k_sh = fold_data_shardings(self.mesh, p, batches,
+                                                       k)
+                o_sh = jax.tree_util.tree_map(
+                    lambda leaf: NamedSharding(
+                        self.mesh, _spec_for_leaf(np.ndim(leaf), "param")),
+                    opt_state)
+                p = self._globalize(p, p_sh)
+                opt_state = self._globalize(opt_state, o_sh)
+                k = self._globalize(k, k_sh)
+                batches = self._globalize(batches, b_sh)
+            return fn(p, opt_state, k, batches)
+
+        # vmapped chunk logs come back [F, n]; accumulate on the epoch axis
+        return run_chunked(state_dir, self.config.epochs, checkpoint_every,
+                           resume, stacked_params, None, keys, run_chunk,
+                           template_fn, logs_concat_axis=1)

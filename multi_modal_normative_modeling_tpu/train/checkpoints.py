@@ -87,30 +87,28 @@ def checkpoint_exists(directory, name: str = "cVAE_model") -> bool:
 # ---- mid-run train state (params + optimizer state + PRNG + epoch cursor) ----
 # Beyond reference parity (the reference pickles params only, train:211-212):
 # on this framework cold compiles cost 60-350 s through the remote-compile
-# tunnel, so a killed sweep must be resumable. Writes are atomic
-# (tmp + os.replace) so a kill mid-save leaves the previous state intact.
+# tunnel, so a killed sweep must be resumable. The epoch cursor, loss history
+# and tensors are serialized into ONE blob written atomically (tmp +
+# os.replace), so a kill at any instant leaves a fully-consistent previous
+# state — cursor and tensors can never disagree.
 
 def save_train_state(directory, params, opt_state, key, epoch: int,
                      logs=None, name: str = "train_state") -> Path:
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     host = jax.tree_util.tree_map(
-        np.asarray, {"params": params, "opt_state": opt_state, "key": key})
+        np.asarray, {"params": params, "opt_state": opt_state, "key": key,
+                     "epoch": np.int64(epoch),
+                     "logs": dict(logs) if logs is not None else {}})
     blob = serialization.to_bytes(host)
     tmp = directory / f".{name}.ckpt.tmp"
     tmp.write_bytes(blob)
     import os
 
     os.replace(tmp, directory / f"{name}.ckpt")
-    if logs is not None:
-        blob = serialization.to_bytes(
-            jax.tree_util.tree_map(np.asarray, dict(logs)))
-        tmp = directory / f".{name}_logs.ckpt.tmp"
-        tmp.write_bytes(blob)
-        os.replace(tmp, directory / f"{name}_logs.ckpt")
-    tmp = directory / f".{name}.json.tmp"
-    tmp.write_text(json.dumps({"epoch": int(epoch)}))
-    os.replace(tmp, directory / f"{name}.json")
+    # informational sidecar only (the cursor of record lives in the blob)
+    (directory / f"{name}.json").write_text(
+        json.dumps({"epoch": int(epoch)}))
     return directory / f"{name}.ckpt"
 
 
@@ -118,19 +116,48 @@ def load_train_state(directory, template: dict, name: str = "train_state"):
     """Returns ({'params','opt_state','key'}, epoch, logs-or-None).
     ``template`` must hold same-structure 'params'/'opt_state'/'key'."""
     directory = Path(directory)
-    epoch = json.loads((directory / f"{name}.json").read_text())["epoch"]
     blob = (directory / f"{name}.ckpt").read_bytes()
-    state = serialization.from_bytes(
+    # logs length varies with the epoch cursor -> restore it untyped
+    raw = serialization.msgpack_restore(blob)
+    state = serialization.from_state_dict(
         {"params": template["params"], "opt_state": template["opt_state"],
-         "key": template["key"]}, blob)
-    logs = None
-    logs_path = directory / f"{name}_logs.ckpt"
-    if logs_path.exists():
-        logs = serialization.msgpack_restore(logs_path.read_bytes())
+         "key": template["key"]},
+        {k: raw[k] for k in ("params", "opt_state", "key")})
+    epoch = int(np.asarray(raw["epoch"]))
+    logs = raw.get("logs") or None
     return state, epoch, logs
 
 
 def train_state_exists(directory, name: str = "train_state") -> bool:
-    directory = Path(directory)
-    return ((directory / f"{name}.ckpt").exists()
-            and (directory / f"{name}.json").exists())
+    return (Path(directory) / f"{name}.ckpt").exists()
+
+
+def run_chunked(state_dir, total_epochs: int, checkpoint_every: int,
+                resume: bool, params, opt_state, key, run_chunk,
+                template_fn, logs_concat_axis: int = 0):
+    """Shared chunked-training loop behind FoldTrainer.run_resumable and
+    MultiFoldTrainer.run_resumable: resume from disk if present, run
+    ``run_chunk(n, params, opt_state, key) -> (params, opt_state, key,
+    logs)`` until ``total_epochs``, checkpointing atomically after every
+    chunk. ``template_fn()`` builds the typed restore template lazily;
+    ``opt_state`` may be None (initialized by the caller's template)."""
+    start, logs_acc = 0, None
+    if resume and train_state_exists(state_dir):
+        template = template_fn()
+        state, start, logs_acc = load_train_state(state_dir, template)
+        params, opt_state, key = (state["params"], state["opt_state"],
+                                  state["key"])
+    while start < total_epochs:
+        n = min(checkpoint_every, total_epochs - start)
+        params, opt_state, key, logs = run_chunk(n, params, opt_state, key)
+        host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
+        logs_acc = host_logs if logs_acc is None else {
+            k: np.concatenate([logs_acc[k], host_logs[k]],
+                              axis=logs_concat_axis)
+            for k in host_logs
+        }
+        start += n
+        save_train_state(state_dir, jax.device_get(params),
+                         jax.device_get(opt_state), jax.device_get(key),
+                         start, logs_acc)
+    return params, (logs_acc if logs_acc is not None else {})

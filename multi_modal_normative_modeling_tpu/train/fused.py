@@ -42,6 +42,8 @@ def supported(model, config: TrainConfig, batch_size: int,
         return False, f"fusion {config.combine!r}"
     if config.precision != "fp32":
         return False, f"precision {config.precision!r} (fused kernel is fp32)"
+    if config.shuffle:
+        return False, "shuffle=True (fused path trains in fixed batch order)"
     if fold_parallel:
         return False, "--fold_parallel (fused path trains folds sequentially)"
     stacked = StackedMultimodalCVAE(

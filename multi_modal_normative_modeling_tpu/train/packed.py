@@ -37,6 +37,11 @@ def packed_supported(model, config: TrainConfig) -> Tuple[bool, str]:
         return False, f"fusion {config.combine!r}"
     if config.precision != "fp32":
         return False, f"precision {config.precision!r}"
+    if config.shuffle:
+        # the trainer's per-epoch reshuffle assumes the per-modality
+        # [NB, B, ...] layout; the packed [NB, M, B, D] layout would permute
+        # the modality axis
+        return False, "shuffle=True (packed layout has no reshuffle path)"
     return True, ""
 
 
@@ -81,6 +86,7 @@ class PackedFoldTrainer:
     split sequence), so trajectories agree to float tolerance."""
 
     def __init__(self, model, config: TrainConfig, n_samples: int):
+        assert not config.shuffle, "packed trainers train in fixed batch order"
         self.stacked = StackedMultimodalCVAE(
             model.input_dim_list, model.hidden_dim, model.latent_dim,
             model.c_dim, model.modalities, model.non_linear)
@@ -88,7 +94,7 @@ class PackedFoldTrainer:
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             _packed_loss_fn(self.stacked, config.combine), self.optimizer,
-            config.epochs, config.shuffle)
+            config.epochs, shuffle=False)
         self._train = jax.jit(self._raw_train)
 
     def run(self, per_modality_params, data_list, cov, key=None):
@@ -102,6 +108,19 @@ class PackedFoldTrainer:
         return (self.stacked.unpack_params(host),
                 jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
 
+    def compile(self, per_modality_params, data_list, cov, key=None) -> float:
+        """Lower + compile the packed program without running it; seconds."""
+        import time
+
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        packed = self.stacked.pack_params(per_modality_params)
+        batches = jax.device_put(make_packed_fold_batches(
+            self.stacked, data_list, cov, self.config.batch_size))
+        t0 = time.perf_counter()
+        self._train.lower(packed, batches, key).compile()
+        return time.perf_counter() - t0
+
 
 class PackedMultiFoldTrainer:
     """vmap(packed whole-fold trainer) over a stacked fold axis: operands are
@@ -109,6 +128,7 @@ class PackedMultiFoldTrainer:
     workload can produce."""
 
     def __init__(self, model, config: TrainConfig, n_samples: int, mesh=None):
+        assert not config.shuffle, "packed trainers train in fixed batch order"
         self.stacked = StackedMultimodalCVAE(
             model.input_dim_list, model.hidden_dim, model.latent_dim,
             model.c_dim, model.modalities, model.non_linear)
@@ -117,7 +137,7 @@ class PackedMultiFoldTrainer:
         optimizer = build_optimizer(config, n_samples)
         train = build_train_fn(
             _packed_loss_fn(self.stacked, config.combine), optimizer,
-            config.epochs, config.shuffle)
+            config.epochs, shuffle=False)
         self._jitted = jax.jit(jax.vmap(train))
 
     def pack_folds(self, folds, cov_index: int = 0) -> Tuple[dict, dict]:
@@ -140,6 +160,19 @@ class PackedMultiFoldTrainer:
                                      + [(0, 0)] * (a.ndim - 1)), b)
             padded.append(b)
         return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
+
+    def compile(self, params_list, folds, keys) -> float:
+        """Lower + compile the fold-parallel packed program; seconds."""
+        import time
+
+        stacked_params = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves),
+            *[self.stacked.pack_params(p) for p in params_list])
+        batches = jax.device_put(self.pack_folds(folds))
+        t0 = time.perf_counter()
+        self._jitted.lower(stacked_params, batches,
+                           jnp.stack(list(keys))).compile()
+        return time.perf_counter() - t0
 
     def run(self, params_list, folds, keys):
         stacked_params = jax.tree_util.tree_map(

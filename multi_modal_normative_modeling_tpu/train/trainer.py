@@ -314,47 +314,29 @@ class FoldTrainer:
         loss history) is written atomically to ``state_dir``; with
         ``resume=True`` an existing state is picked up where it left off.
         Chunked execution is bit-identical to the single-scan run."""
-        from .checkpoints import (
-            load_train_state,
-            save_train_state,
-            train_state_exists,
-        )
+        from .checkpoints import run_chunked
 
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
         batches = jax.device_put(
             make_batches(data_list, cov_list, self.config.batch_size, extras))
-        total = self.config.epochs
-        start, logs_acc, opt_state = 0, None, None
-        if resume and train_state_exists(state_dir):
-            template = {"params": params,
-                        "opt_state": jax.eval_shape(self.optimizer.init,
-                                                    params),
-                        "key": key}
-            # eval_shape gives the structure; from_bytes fills real arrays
-            template["opt_state"] = jax.tree_util.tree_map(
-                lambda s: np.zeros(s.shape, s.dtype), template["opt_state"])
-            state, start, logs_acc = load_train_state(state_dir, template)
-            params, opt_state, key = (state["params"], state["opt_state"],
-                                      state["key"])
-        if opt_state is None:
-            opt_state = self.init_opt_state(params)
-        while start < total:
-            n = min(checkpoint_every, total - start)
-            params, opt_state, key, logs = self.chunk_fn(n)(
-                params, opt_state, key, batches)
-            host_logs = jax.tree_util.tree_map(np.asarray,
-                                               jax.device_get(logs))
-            logs_acc = host_logs if logs_acc is None else {
-                k: np.concatenate([logs_acc[k], host_logs[k]])
-                for k in host_logs
-            }
-            start += n
-            save_train_state(state_dir, jax.device_get(params),
-                             jax.device_get(opt_state), jax.device_get(key),
-                             start, logs_acc)
+
+        def template_fn():
+            shapes = jax.eval_shape(self.optimizer.init, params)
+            return {"params": params, "key": key,
+                    "opt_state": jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+
+        def run_chunk(n, p, opt_state, k):
+            if opt_state is None:
+                opt_state = self.init_opt_state(p)
+            return self.chunk_fn(n)(p, opt_state, k, batches)
+
+        params, logs = run_chunked(state_dir, self.config.epochs,
+                                   checkpoint_every, resume, params, None,
+                                   key, run_chunk, template_fn)
         return (jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
-                logs_acc if logs_acc is not None else {})
+                logs)
 
 
 def train_single_fold(model, params, data_list: Sequence[np.ndarray],

@@ -109,6 +109,11 @@ def glass_brain_scatter(roi_values: dict, out_path, title: str = "",
 
     cents = aal90_centroids()
     labels = [k for k in roi_values if k in cents]
+    if not labels:
+        raise ValueError(
+            "glass_brain_scatter: no roi_values keys match the vendored "
+            "AAL-90 centroid labels (e.g. 'Hippocampus_L'); got keys like "
+            f"{list(roi_values)[:3]}")
     xyz = np.array([cents[k] for k in labels])
     vals = np.array([float(roi_values[k]) for k in labels])
     vmax = max(1e-9, np.abs(vals).max())

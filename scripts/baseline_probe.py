@@ -122,6 +122,10 @@ def main():
     ap.add_argument("--n-hc", type=int, default=400)
     ap.add_argument("--n-ad", type=int, default=150)
     ap.add_argument("--n-mci", type=int, default=150)
+    ap.add_argument("--quality", action="store_true",
+                    help="also run THIS framework's pipeline on the exact "
+                         "same cohort and record both deviation AUCs "
+                         "(quality parity vs the reference's own code)")
     args = ap.parse_args()
 
     if not REFERENCE.exists():
@@ -182,6 +186,45 @@ def main():
                 per_fold_epoch * args.n_splits * 200, 1),
             "approx_train_rows_per_fold": n_train_rows,
         }
+        import numpy as np
+
+        ref_aucs = np.loadtxt(work / "cvae_auc_and_std.csv", delimiter=",")
+        measured["reference_auc_mean"] = round(float(ref_aucs[:-1].mean()), 4)
+        measured["reference_auc_std"] = round(float(ref_aucs[-1]), 4)
+
+        if args.quality:
+            # our pipeline on the IDENTICAL cohort (independent training, so
+            # AUCs agree statistically, not bitwise)
+            ours = work / "ours"
+            ours.mkdir()
+            shutil.copytree(work / "data", ours / "data")
+            env = dict(os.environ)
+            env["PYTHONPATH"] = str(REPO)
+            t0 = time.perf_counter()
+            for script, extra in [
+                ("multimodal_kfold_train_cvae_supervised.py",
+                 ["-E", str(args.epochs), "-TrainingClass", "nm",
+                  "--fold_parallel"]),
+                ("multimodal_kfold_test_cvae_supervised.py", []),
+                ("multimodal_kfold_cvae_group_analysis_1x1.py", []),
+            ]:
+                out = subprocess.run(
+                    [sys.executable, str(REPO / script)] + extra + flags,
+                    cwd=ours, env=env, capture_output=True, text=True)
+                if out.returncode != 0:
+                    sys.stderr.write(out.stdout[-3000:] + out.stderr[-3000:])
+                    raise RuntimeError(f"our {script} failed")
+            ours_seconds = time.perf_counter() - t0
+            our_aucs = np.loadtxt(ours / "cvae_auc_and_std.csv",
+                                  delimiter=",")
+            measured["ours_auc_mean"] = round(float(our_aucs[:-1].mean()), 4)
+            measured["ours_auc_std"] = round(float(our_aucs[-1]), 4)
+            measured["ours_end_to_end_seconds"] = round(ours_seconds, 2)
+            print(f"quality parity on the same cohort: reference AUC "
+                  f"{measured['reference_auc_mean']} vs ours "
+                  f"{measured['ours_auc_mean']} "
+                  f"(ours end-to-end {ours_seconds:.1f}s)")
+
         baseline_path = REPO / "BASELINE.json"
         doc = json.loads(baseline_path.read_text())
         doc["measured"] = measured

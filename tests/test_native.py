@@ -121,6 +121,48 @@ def test_fast_path_disengage_reason_logged(tmp_path, caplog):
     common.fast_path_reasons.clear()
 
 
+def test_quoted_numeric_edge_cases(tmp_path):
+    """Quoted cells with inner padding or a leading '+' parse like pandas."""
+    path = tmp_path / "edge.csv"
+    path.write_text('IID,a,b,c\ns1," 1.5 ","+3.25",+2\ns2,"-4e-2"," +0.5",7\n')
+    ref = pd.read_csv(path)
+    f = FastCSV(path)
+    np.testing.assert_allclose(f.read_columns(["a", "b", "c"]),
+                               ref[["a", "b", "c"]].values)
+    f.close()
+
+
+def test_fast_path_memo_invalidated_on_rewrite(tmp_path, caplog):
+    """A file once branded 'needs pandas' regains the native fast path after
+    being rewritten clean (memo keyed by mtime like the CSV cache)."""
+    import logging
+    import os
+
+    from multi_modal_normative_modeling_tpu.cli import common
+
+    n, d = 20, 300
+    rng = np.random.default_rng(2)
+    frame = pd.DataFrame(rng.normal(size=(n, d)),
+                         columns=[f"c{i}" for i in range(d)])
+    frame.insert(0, "IID", [f"s{i}" for i in range(n)])
+    dirty = frame.copy()
+    dirty.loc[2, "c5"] = np.nan
+    path = tmp_path / "rewrite.csv"
+    dirty.to_csv(path, index=False)
+    with caplog.at_level(logging.INFO, logger="mmnm.data"):
+        common.read_csv_cached(path)
+    assert str(path) in common.fast_path_reasons
+    # rewrite clean with a newer mtime
+    frame.to_csv(path, index=False)
+    os.utime(path, ns=(path.stat().st_atime_ns,
+                       path.stat().st_mtime_ns + 10_000_000))
+    out = common.read_csv_cached(path)
+    assert str(path) not in common.fast_path_reasons  # fast path re-engaged
+    np.testing.assert_allclose(out[frame.columns[1:]].values,
+                               frame[frame.columns[1:]].values, rtol=1e-15)
+    common.fast_path_reasons.clear()
+
+
 def test_fast_path_engages_on_clean_wide_table(tmp_path):
     from multi_modal_normative_modeling_tpu.cli import common
 

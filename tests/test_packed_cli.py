@@ -82,8 +82,55 @@ def test_packed_supported_pre_checks():
     ok, reason = packed_supported(model, TrainConfig(combine="gpoe",
                                                      precision="bf16"))
     assert not ok and "precision" in reason
+    ok, reason = packed_supported(model, TrainConfig(combine="gpoe",
+                                                     shuffle=True))
+    assert not ok and "shuffle" in reason
     dmvae = build_model("DMVAE", DIMS, [10, 8], 6, C, len(DIMS))
     assert not packed_supported(dmvae, TrainConfig(combine="poe"))[0]
+    # fused path rejects shuffle too (fixed batch order)
+    from multi_modal_normative_modeling_tpu.train.fused import supported
+
+    ok, reason = supported(model, TrainConfig(combine="gpoe", shuffle=True),
+                           256)
+    assert not ok and "shuffle" in reason
+
+
+def test_cli_packed_with_checkpoint_every_prints_reason(tmp_path, capsys):
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=30, n_disease={0: 10, 1: 10})
+    args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[12, 12, 4],
+        procedure="SE-gPoE", combine="gPoE", epochs=4, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", packed_xla=True, checkpoint_every=2,
+    )
+    train_supervised.main(args, project_root=root)
+    out = capsys.readouterr().out
+    assert "packed XLA path unavailable" in out
+    model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
+    assert (model_dir / "000" / "cVAE_model.ckpt").exists()
+
+
+def test_cli_packed_warmup_compiles_packed_program(tmp_path, capsys):
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=30, n_disease={0: 10, 1: 10})
+    args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[12, 12, 4],
+        procedure="SE-gPoE", combine="gPoE", epochs=4, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", packed_xla=True, fold_parallel=True,
+        warmup_only=True,
+    )
+    train_supervised.main(args, project_root=root)
+    out = capsys.readouterr().out
+    assert "packed fold-parallel train program compiled" in out
+    # warmup compiles, never trains
+    model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
+    assert not (model_dir / "000" / "cVAE_model.ckpt").exists()
 
 
 def test_cli_packed_pipeline(tmp_path, capsys):

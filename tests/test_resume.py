@@ -138,6 +138,65 @@ def test_fold_parallel_resumable_matches(tmp_path):
                                   np.asarray(logs_ref["total"]))
 
 
+def test_epoch_cursor_lives_in_the_atomic_blob(tmp_path):
+    """A kill between file writes can never desync cursor and tensors: the
+    cursor of record is serialized INSIDE the single atomically-replaced
+    blob; the JSON sidecar is informational only."""
+    import json
+
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        load_train_state,
+        save_train_state,
+    )
+
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    opt = {"count": np.int32(3)}
+    save_train_state(tmp_path, params, opt, key, epoch=7,
+                     logs={"total": np.arange(7.0)})
+    # corrupt the sidecar: load must still report the blob's cursor
+    (tmp_path / "train_state.json").write_text(json.dumps({"epoch": 999}))
+    template = {"params": params, "opt_state": {"count": np.int32(0)},
+                "key": key}
+    state, epoch, logs = load_train_state(tmp_path, template)
+    assert epoch == 7
+    assert int(state["opt_state"]["count"]) == 3
+    np.testing.assert_array_equal(logs["total"], np.arange(7.0))
+
+
+def test_fold_parallel_resumable_with_mesh(tmp_path):
+    """run_resumable honors the trainer's mesh like run() (sharded chunks,
+    identical results)."""
+    import jax.numpy as jnp
+
+    from multi_modal_normative_modeling_tpu.parallel import (
+        MultiFoldTrainer,
+        make_mesh,
+        stack_fold_batches,
+        stack_params,
+    )
+
+    model = _model()
+    config = TrainConfig(epochs=6, batch_size=8, combine="gpoe")
+    folds = [_problem(seed=s) for s in (5, 6)]
+    params_list = [model.init_params(jax.random.PRNGKey(0))] * 2
+    keys = jnp.stack([jax.random.PRNGKey(42)] * 2)
+    stacked = stack_params(params_list)
+    batches = jax.device_put(stack_fold_batches(
+        [f[0] for f in folds], [f[1] for f in folds], 8))
+    mesh = make_mesh(n_fold=2, n_data=2, devices=jax.devices()[:4])
+
+    p_ref, logs_ref = MultiFoldTrainer(model, config, 21, mesh=mesh).run(
+        stacked, batches, keys)
+    p_chk, logs_chk = MultiFoldTrainer(
+        model, config, 21, mesh=mesh).run_resumable(
+        stacked, batches, keys, state_dir=tmp_path, checkpoint_every=3)
+    _assert_trees_equal(p_chk, p_ref)
+    np.testing.assert_array_equal(logs_chk["total"],
+                                  np.asarray(logs_ref["total"]))
+
+
 def _cli_args(**overrides):
     base = dict(
         dataset_resourse="ADNI", hz_para_list=[12, 12, 4],
