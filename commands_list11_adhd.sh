@@ -1,6 +1,17 @@
 #!/bin/bash
 # ADHD sweep: single-modality and separate-encoder fusion variants over
 # epochs, learning-rate grid and architecture shapes, plus baseline models.
+#
+# TPU-first equivalent of the main grid below (120 points) as 20 fold-parallel
+# training runs — the epochs axis is snapshotted from one run to max(E) and
+# the lr axis deduped (the reference's LR assignment is a no-op, SURVEY.md Q1):
+#
+#   python -m multi_modal_normative_modeling_tpu.cli.sweep_supervised \
+#     -R ADHD -K 10 \
+#     --procedures SM-sMRI SM-fMRI SE-MoE SE-PoE SE-gPoE \
+#     --epochs_list 50 500 1000 \
+#     --lr_grid '1e-4:5e-3,1e-5:5e-3' \
+#     --hz_grid '110 110 10;230 230 20;110 110 110 10;460 460 40'
 set -e
 
 K=10

@@ -258,6 +258,58 @@ def fuse_preps(base_preps: List[dict], base_names: List[str],
     return fused
 
 
+def prepare_folds(args, project_root: Path, kfold_dir: Path, model_dir: Path,
+                  dataset_names: List[str], participants_path):
+    """Per-fold train-split prep for the supervised trainer (host side,
+    threaded over fold x modality). Creates the per-fold model dirs and
+    returns ``(folds, input_dim_list, c_dim)`` where ``folds`` is a list of
+    ``(data_list, cov_list)`` per fold.
+
+    With ``args.in_memory_fusion`` on a UCA procedure, the early-fusion
+    modality is built by concatenating the scaled base blocks (fuse_preps)
+    instead of reading its CSV.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_folds = args.n_splits
+    fold_ids = []
+    for fold in range(n_folds):
+        train_ids_path, _ = fold_paths(kfold_dir, fold)
+        (model_dir / f'{fold:03d}').mkdir(exist_ok=True, parents=True)
+        fold_ids.append(train_ids_path)
+
+    in_memory_fusion = (getattr(args, 'in_memory_fusion', False)
+                        and args.procedure.startswith('UCA'))
+    load_names = dataset_names[:-1] if in_memory_fusion else dataset_names
+
+    def prep_one(job):
+        train_ids_path, dataset_name = job
+        return prepare_modality(
+            project_root, args.dataset_resourse, dataset_name,
+            participants_path, train_ids_path,
+        )
+
+    jobs = [(ids, name) for ids in fold_ids for name in load_names]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        preps = list(pool.map(prep_one, jobs))
+
+    folds = []
+    input_dim_list = None
+    c_dim = None
+    n_loaded = len(load_names)
+    for f in range(n_folds):
+        fold_preps = list(preps[f * n_loaded:(f + 1) * n_loaded])
+        if in_memory_fusion:
+            fold_preps.append(fuse_preps(
+                fold_preps, load_names, args.dataset_resourse))
+        folds.append(([p['train_data'] for p in fold_preps],
+                      [p['train_cov'] for p in fold_preps]))
+        if input_dim_list is None:
+            input_dim_list = [p['train_data'].shape[1] for p in fold_preps]
+            c_dim = fold_preps[0]['train_cov'].shape[1]
+    return folds, input_dim_list, c_dim
+
+
 def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
               loss_fn=None, state_update=None, per_fold_extras=None):
     """Train every fold — sequentially with a shared compiled trainer, or all

@@ -1,0 +1,284 @@
+"""Whole-grid supervised sweep engine.
+
+The reference's flagship sweep (commands_list11_adhd.sh:7-84) is a bash loop
+re-launching train -> test -> group-analysis once per grid point: procedures
+x epoch counts x (base,max) learning-rate pairs x 16 hidden shapes. Each
+launch retrains from scratch on one device.
+
+This engine runs the same grid with the compute deduplicated the TPU-first
+way, producing the same per-point artifacts (per-fold checkpoints, deviation
+CSVs, result_baseline blocks):
+
+* every grid point trains all CV folds concurrently (one vmapped device
+  program, parallel/folds.py);
+* the epochs axis collapses: ONE training run to max(E) with snapshots taken
+  at each requested E (MultiFoldTrainer.run_milestones). Chunked scans are
+  bit-identical to a single scan, and an E-epoch prefix of a longer run is
+  bit-identical to an E-epoch run, so every snapshot equals the standalone
+  run at that epoch count (tests/test_sweep_supervised.py);
+* under the reference's EFFECTIVE learning-rate behavior (SURVEY.md Q1: the
+  cyclic LR assignment is a no-op on torch Adam, so every (base,max) pair
+  trains at the constant 1e-4) the lr axis is computed once and the
+  duplicate points are recorded as deduped in the summary. With
+  --lr_schedule cyclic the pairs genuinely differ and each is trained;
+* fold-id files and per-fold data prep are shared across all grid points of
+  a procedure (the CSV cache already dedupes reads across procedures).
+
+Summary: outputs/sweep_supervised_results.json, one record per grid point.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .. import registry
+from ..data.loading import generate_kfold_ids
+from ..parallel import MultiFoldTrainer, stack_fold_batches, stack_params
+from ..parallel.folds import unstack_params
+from ..train import TrainConfig, save_checkpoint
+from ..utils.logging import Logger, RunLog, plot_losses
+from . import common, group_analysis, test_supervised
+
+
+def parse_hz_grid(spec: str):
+    """'110 110 10;1024 512 256 32;20 10' -> [[110,110,10], ...]."""
+    shapes = []
+    for part in spec.split(';'):
+        part = part.strip()
+        if part:
+            shapes.append([int(tok) for tok in part.replace(',', ' ').split()])
+    if not shapes:
+        raise ValueError(f'empty hz grid: {spec!r}')
+    return shapes
+
+
+def parse_lr_grid(spec: str):
+    """'1e-4:5e-3,1e-5:5e-4' -> [(1e-4, 5e-3), (1e-5, 5e-4)]."""
+    pairs = []
+    for part in spec.split(','):
+        part = part.strip()
+        if part:
+            base, _, mx = part.partition(':')
+            pairs.append((float(base), float(mx or base)))
+    if not pairs:
+        raise ValueError(f'empty lr grid: {spec!r}')
+    return pairs
+
+
+def _point_args(args, procedure: str, hz, epochs: int, base_lr: float,
+                max_lr: float) -> argparse.Namespace:
+    """Full per-grid-point namespace (what one reference launch would parse);
+    feeds the test/analysis stages and the result_baseline block headers."""
+    if getattr(args, 'combine', None):
+        combine = args.combine
+    else:
+        combine = procedure.split('-')[1] if '-' in procedure else procedure
+    return argparse.Namespace(
+        dataset_resourse=args.dataset_resourse,
+        hz_para_list=list(hz),
+        procedure=procedure,
+        combine=combine,
+        epochs=int(epochs),
+        n_splits=args.n_splits,
+        oversample_percentage=args.oversample_percentage,
+        model=args.model,
+        single_modality=None,
+        base_learning_rate=base_lr,
+        max_learning_rate=max_lr,
+        training_class=args.training_class,
+        lr_schedule=args.lr_schedule,
+        precision=getattr(args, 'precision', 'fp32'),
+        in_memory_fusion=getattr(args, 'in_memory_fusion', False),
+        emit_latent=False,
+        fused_inference=False,
+        threshold_method='roc',
+    )
+
+
+def main(args, project_root=None):
+    project_root = Path(project_root) if project_root else Path.cwd()
+    model_name = 'supervised_cvae'
+
+    output_dir = project_root / 'outputs'
+    output_dir.mkdir(exist_ok=True)
+    kfold_dir = output_dir / 'kfold_analysis'
+    kfold_dir.mkdir(exist_ok=True)
+    model_dir = kfold_dir / model_name
+    model_dir.mkdir(exist_ok=True)
+
+    procedures = args.procedures
+    epochs_list = sorted(set(int(e) for e in args.epochs_list))
+    if epochs_list[0] < 1:
+        raise ValueError(f'epoch counts must be >= 1: {args.epochs_list}')
+    hz_grid = parse_hz_grid(args.hz_grid)
+    lr_grid = parse_lr_grid(args.lr_grid)
+    max_epochs = epochs_list[-1]
+
+    if args.lr_schedule == 'cyclic':
+        lr_points, lr_deduped = lr_grid, []
+    else:
+        # SURVEY.md Q1: constant effective LR — every (base,max) pair trains
+        # identically; compute the first, record the rest as deduped.
+        lr_points, lr_deduped = lr_grid[:1], lr_grid[1:]
+
+    n_points = (len(procedures) * len(hz_grid) * len(epochs_list)
+                * len(lr_grid))
+    n_runs = len(procedures) * len(hz_grid) * len(lr_points)
+    print(f'sweep grid: {len(procedures)} procedures x {len(hz_grid)} shapes'
+          f' x {len(epochs_list)} epoch counts x {len(lr_grid)} lr pairs '
+          f'= {n_points} points -> {n_runs} training runs '
+          f'(fold-parallel, epoch milestones'
+          f'{", lr axis deduped" if lr_deduped else ""})')
+
+    run_log = RunLog(model_dir / 'run_log.jsonl')
+    run_log.event('sweep_start', points=n_points, runs=n_runs,
+                  args={k: v for k, v in vars(args).items()})
+
+    np.random.seed(42)
+
+    # fold-id files depend only on (resource, training_class, K, oversample)
+    participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
+    ids_df = pd.read_csv(participants_path)
+    hc_label = registry.get_hc_label(args.dataset_resourse)
+    training_label = hc_label if args.training_class == 'nm' else 0
+    training_class_group = ids_df[ids_df['DIA'] == training_label]
+    other_group = ids_df[ids_df['DIA'] != training_label]
+    generate_kfold_ids(training_class_group, other_group,
+                       oversample_percentage=args.oversample_percentage,
+                       n_splits=args.n_splits, project_root=project_root)
+
+    records = []
+    n_folds = args.n_splits
+    for procedure in procedures:
+        dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                                   procedure)
+        prep_args = _point_args(args, procedure, hz_grid[0], max_epochs,
+                                *lr_grid[0])
+        folds, input_dim_list, c_dim = common.prepare_folds(
+            prep_args, project_root, kfold_dir, model_dir, dataset_names,
+            participants_path)
+        max_n = max(f[0][0].shape[0] for f in folds)
+        batches = jax.device_put(stack_fold_batches(
+            [f[0] for f in folds], [f[1] for f in folds], 256))
+
+        for hz in hz_grid:
+            for base_lr, max_lr in lr_points:
+                pa = _point_args(args, procedure, hz, max_epochs,
+                                 base_lr, max_lr)
+                config_dict = common.model_config_dict(
+                    pa, input_dim_list, c_dim, len(dataset_names))
+                model = common.build_model_from_config(config_dict)
+                train_config = TrainConfig(
+                    epochs=max_epochs, batch_size=256, learning_rate=1e-4,
+                    combine=pa.combine, lr_schedule=args.lr_schedule,
+                    base_lr=base_lr, max_lr=max_lr, shuffle=False, seed=42,
+                    precision=pa.precision,
+                )
+                # same per-fold seeding as the standalone trainer
+                # (reference re-seeds 42 per fold, train:119)
+                stacked = stack_params(
+                    [model.init_params(jax.random.PRNGKey(42))
+                     for _ in range(n_folds)])
+                keys = jnp.stack(
+                    [jax.random.PRNGKey(42) for _ in range(n_folds)])
+                mft = MultiFoldTrainer(model, train_config, max_n)
+
+                for epochs, host_params, logs in mft.run_milestones(
+                        stacked, batches, keys, epochs_list):
+                    point = _point_args(args, procedure, hz, epochs,
+                                        base_lr, max_lr)
+                    per_fold = unstack_params(host_params, n_folds)
+                    for fold in range(n_folds):
+                        fold_dir = model_dir / f'{fold:03d}'
+                        logger = Logger()
+                        logger.extend({k: v[fold] for k, v in logs.items()})
+                        plot_losses(logger, fold_dir, 'training')
+                        save_checkpoint(fold_dir, per_fold[fold], config_dict)
+                    test_supervised.main(point, project_root=project_root)
+                    stats = group_analysis.main(point,
+                                                project_root=project_root)
+                    stats = {k: [float(x) for x in v]
+                             for k, v in stats.items()}
+                    rec = dict(procedure=procedure, hz_para_list=list(hz),
+                               epochs=epochs, base_learning_rate=base_lr,
+                               max_learning_rate=max_lr, stats=stats)
+                    records.append(rec)
+                    run_log.event('point_done', **rec)
+                    print(f'[sweep] {procedure} hz={hz} E={epochs} '
+                          f'lr=({base_lr:g},{max_lr:g}) '
+                          f'auc={stats["auc"]}')
+                    for dbase, dmax in lr_deduped:
+                        records.append(dict(
+                            procedure=procedure, hz_para_list=list(hz),
+                            epochs=epochs, base_learning_rate=dbase,
+                            max_learning_rate=dmax, stats=stats,
+                            deduped_from=dict(base_learning_rate=base_lr,
+                                              max_learning_rate=max_lr),
+                        ))
+                if lr_deduped:
+                    print(f'[sweep] {procedure} hz={hz}: '
+                          f'{len(lr_deduped)} lr pairs deduped (constant '
+                          f'effective LR — SURVEY.md Q1); pass '
+                          f'--lr_schedule cyclic to train them')
+
+    summary_path = output_dir / 'sweep_supervised_results.json'
+    summary_path.write_text(json.dumps(records, indent=1))
+    run_log.event('sweep_end', points=len(records), summary=str(summary_path))
+    print(f'sweep summary: {summary_path} ({len(records)} grid points)')
+    return records
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__.split('\n')[0])
+    parser.add_argument('-R', '--dataset_resourse', dest='dataset_resourse',
+                        default='ADNI', type=str)
+    parser.add_argument('-K', '--n_splits', dest='n_splits', type=int,
+                        default=10)
+    parser.add_argument('-O', '--oversample_percentage',
+                        dest='oversample_percentage', type=float, default=1)
+    parser.add_argument('-Model', '--model', dest='model',
+                        default='cVAE_multimodal', type=str)
+    parser.add_argument('-TrainingClass', '--training_class',
+                        dest='training_class', default='nm', type=str)
+    parser.add_argument('-C', '--combine', dest='combine', default=None,
+                        type=str,
+                        help='override the per-procedure fusion (defaults to '
+                             'procedure.split("-")[1], the reference rule).')
+    parser.add_argument('--procedures', dest='procedures', nargs='+',
+                        default=['UCA-gPoE'],
+                        help='procedure grid axis (e.g. SM-sMRI SM-fMRI '
+                             'SE-MoE SE-PoE SE-gPoE).')
+    parser.add_argument('--epochs_list', dest='epochs_list', nargs='+',
+                        type=int, default=[200],
+                        help='epoch-count grid axis; collapsed into one '
+                             'training run to max(E) with snapshots.')
+    parser.add_argument('--hz_grid', dest='hz_grid',
+                        default='110 110 10',
+                        help="semicolon-separated hidden shapes, e.g. "
+                             "'110 110 10;1024 512 256 32;20 10'.")
+    parser.add_argument('--lr_grid', dest='lr_grid', default='1e-4:5e-3',
+                        help="comma-separated base:max pairs, e.g. "
+                             "'1e-5:5e-5,1e-4:5e-3'. Deduped unless "
+                             "--lr_schedule cyclic (SURVEY.md Q1).")
+    parser.add_argument('--lr_schedule', dest='lr_schedule',
+                        default='constant', choices=['constant', 'cyclic'])
+    parser.add_argument('--precision', dest='precision', default='fp32',
+                        choices=['fp32', 'bf16'])
+    parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
+                        action='store_true')
+    return parser
+
+
+def run(argv=None, project_root=None):
+    args = build_parser().parse_args(argv)
+    return main(args, project_root=project_root)
+
+
+if __name__ == '__main__':
+    run()

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
-from sklearn.model_selection import KFold
 
 from .. import registry
 from ..data.loading import generate_kfold_ids
@@ -26,7 +25,6 @@ from . import common
 
 def main(args, project_root=None):
     project_root = Path(project_root) if project_root else Path.cwd()
-    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
     model_name = 'supervised_cvae'
 
     output_dir = project_root / 'outputs'
@@ -63,48 +61,15 @@ def main(args, project_root=None):
     run_log = RunLog(model_dir / 'run_log.jsonl')
     run_log.event('train_start', args=vars(args))
 
-    # ---- per-fold data prep (host side, threaded over fold x modality) -----
-    from concurrent.futures import ThreadPoolExecutor
-
-    fold_ids = []
-    for fold, _ in enumerate(kf.split(training_class_group)):
-        train_ids_path, _ = common.fold_paths(kfold_dir, fold)
-        (model_dir / f'{fold:03d}').mkdir(exist_ok=True)
-        fold_ids.append(train_ids_path)
-    n_folds = len(fold_ids)
-
-    # --in_memory_fusion: build the UCA early-fusion modality by
-    # concatenating the scaled base blocks instead of reading its CSV
-    # (identical up to the CSV round-trip ulp; see common.fuse_preps)
-    in_memory_fusion = (getattr(args, 'in_memory_fusion', False)
-                        and args.procedure.startswith('UCA'))
-    load_names = dataset_names[:-1] if in_memory_fusion else dataset_names
-
-    def prep_one(job):
-        train_ids_path, dataset_name = job
-        return common.prepare_modality(
-            project_root, args.dataset_resourse, dataset_name,
-            participants_path, train_ids_path,
-        )
-
-    jobs = [(ids, name) for ids in fold_ids for name in load_names]
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        preps = list(pool.map(prep_one, jobs))
-
-    folds = []
-    config_dict = None
-    n_loaded = len(load_names)
-    for f in range(n_folds):
-        fold_preps = list(preps[f * n_loaded:(f + 1) * n_loaded])
-        if in_memory_fusion:
-            fold_preps.append(common.fuse_preps(
-                fold_preps, load_names, args.dataset_resourse))
-        folds.append(([p['train_data'] for p in fold_preps],
-                      [p['train_cov'] for p in fold_preps]))
-        if config_dict is None:
-            config_dict = common.model_config_dict(
-                args, [p['train_data'].shape[1] for p in fold_preps],
-                fold_preps[0]['train_cov'].shape[1], modalities)
+    # ---- per-fold data prep (host side, threaded over fold x modality;
+    # --in_memory_fusion builds the UCA early-fusion modality from the scaled
+    # base blocks instead of its CSV — identical up to the round-trip ulp) ---
+    n_folds = args.n_splits
+    folds, input_dim_list, c_dim = common.prepare_folds(
+        args, project_root, kfold_dir, model_dir, dataset_names,
+        participants_path)
+    config_dict = common.model_config_dict(args, input_dim_list, c_dim,
+                                           modalities)
 
     model = common.build_model_from_config(config_dict)
     train_config = TrainConfig(

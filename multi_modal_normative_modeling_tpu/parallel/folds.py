@@ -169,6 +169,42 @@ class MultiFoldTrainer:
                 self._chunk_cache[n_epochs] = jax.jit(chunk)
         return self._chunk_cache[n_epochs]
 
+    def run_milestones(self, stacked_params, stacked_batches, keys,
+                       milestones):
+        """Train to each milestone epoch (ascending) in turn, yielding
+        ``(epoch, host_params, host_logs)`` after each — one training run to
+        max(milestones) serves every requested epoch count.
+
+        Chunked scans are bit-identical to a single scan of the same length
+        (tests/test_resume.py), and an E-epoch prefix of a longer run is
+        bit-identical to an E-epoch run: the per-epoch PRNG/optimizer streams
+        don't depend on the total scan length. This collapses the epochs axis
+        of a hyperparameter grid (cli/sweep_supervised.py).
+        """
+        init_opt = jax.jit(jax.vmap(self.optimizer.init))
+        params, key = stacked_params, keys
+        opt_state = init_opt(params)
+        logs_acc, cur = None, 0
+        for m in milestones:
+            if m < cur:
+                raise ValueError(f"milestones must ascend, got {milestones}")
+            if m > cur:
+                fn = self._chunk_fn(
+                    m - cur,
+                    example_args=(params, opt_state, key, stacked_batches))
+                params, opt_state, key, logs = fn(params, opt_state, key,
+                                                  stacked_batches)
+                host_logs = jax.tree_util.tree_map(
+                    np.asarray, jax.device_get(logs))
+                logs_acc = host_logs if logs_acc is None else {
+                    k: np.concatenate([logs_acc[k], host_logs[k]], axis=1)
+                    for k in host_logs
+                }
+                cur = m
+            host_params = jax.tree_util.tree_map(
+                np.asarray, jax.device_get(params))
+            yield m, host_params, logs_acc
+
     def run_resumable(self, stacked_params, stacked_batches, keys, state_dir,
                       checkpoint_every: int, resume: bool = True):
         """Fold-parallel chunked training with atomic whole-run train-state
