@@ -9,6 +9,7 @@ modality) plus the concatenated all-fold copies.
 from __future__ import annotations
 
 import argparse
+import json
 from pathlib import Path
 
 import jax
@@ -20,6 +21,41 @@ from .. import registry
 from ..infer.emitters import DeviationEmitter
 from ..train import checkpoint_exists, load_checkpoint
 from . import common
+
+# process-level cache of the jitted inference program + params template,
+# keyed by (model config, combine, fused): sweep engines call main() once per
+# grid milestone and would otherwise re-trace identical programs every time
+_INFER_CACHE: dict = {}
+
+
+def _infer_program(config: dict, combine: str, use_fused: bool):
+    key = (json.dumps(config, sort_keys=True), combine, bool(use_fused))
+    if key not in _INFER_CACHE:
+        model = common.build_model_from_config(config)
+        fused = use_fused and hasattr(model, 'pred_recon_fused')
+
+        @jax.jit
+        def infer_fn(params, xes, cs, key):
+            if fused:
+                # Pallas kernels: fused encoder chains + decode-and-
+                # deviate, one HBM round trip per modality (kernels/)
+                recons, devs = model.pred_recon_fused(
+                    params, list(xes), list(cs), key, combine)
+                return recons, devs
+            recons = model.pred_recon(params, list(xes), list(cs), key,
+                                      combine)
+            devs = [
+                model.reconstruction_deviation(xes[m], recons[m])
+                for m in range(len(xes))
+            ]
+            return recons, devs
+
+        # numpy template: restored params stay host-side and transfer
+        # asynchronously at the jit call instead of leaf-by-leaf
+        template = jax.tree_util.tree_map(
+            np.asarray, model.init_params(jax.random.PRNGKey(0)))
+        _INFER_CACHE[key] = (model, infer_fn, template)
+    return _INFER_CACHE[key]
 
 
 def main(args, project_root=None):
@@ -91,34 +127,12 @@ def main(args, project_root=None):
         print('load trained model')
         _, config = load_checkpoint(fold_model_dir)
         if model is None:
-            model = common.build_model_from_config(config)
-            # one jitted inference program reused across folds (eager
-            # dispatch over the remote-TPU link costs a round trip per op)
-            combine = args.combine
-            use_fused = (getattr(args, 'fused_inference', False)
-                         and hasattr(model, 'pred_recon_fused'))
-
-            @jax.jit
-            def infer_fn(params, xes, cs, key):
-                if use_fused:
-                    # Pallas kernels: fused encoder chains + decode-and-
-                    # deviate, one HBM round trip per modality (kernels/)
-                    recons, devs = model.pred_recon_fused(
-                        params, list(xes), list(cs), key, combine)
-                    return recons, devs
-                recons = model.pred_recon(params, list(xes), list(cs), key,
-                                          combine)
-                devs = [
-                    model.reconstruction_deviation(xes[m], recons[m])
-                    for m in range(len(xes))
-                ]
-                return recons, devs
-
-        if template is None:
-            # numpy template: restored params stay host-side and transfer
-            # asynchronously at the jit call instead of leaf-by-leaf
-            template = jax.tree_util.tree_map(
-                np.asarray, model.init_params(jax.random.PRNGKey(0)))
+            # one jitted inference program reused across folds AND across
+            # main() calls (eager dispatch over the remote-TPU link costs a
+            # round trip per op; sweep engines re-enter per grid milestone)
+            model, infer_fn, template = _infer_program(
+                config, args.combine,
+                getattr(args, 'fused_inference', False))
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
 
         # bucket-pad rows so every fold hits the same compiled shape (fold

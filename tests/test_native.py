@@ -132,6 +132,36 @@ def test_quoted_numeric_edge_cases(tmp_path):
     f.close()
 
 
+def test_embedded_newline_falls_back_to_pandas(tmp_path, caplog):
+    """An embedded newline inside a quoted field (RFC4180) breaks the native
+    loader's newline-delimited row index — but every split fragment is
+    missing or corrupts a requested numeric column, so the NaN check always
+    catches it and the read falls back to pandas with a logged reason."""
+    import logging
+
+    from multi_modal_normative_modeling_tpu.cli import common
+
+    n, d = 12, 300
+    rng = np.random.default_rng(3)
+    frame = pd.DataFrame(rng.normal(size=(n, d)),
+                         columns=[f"c{i}" for i in range(d)])
+    frame.insert(0, "IID", [f"s{i}" for i in range(n)])
+    frame.loc[4, "IID"] = "s\n4"  # quoted + embedded newline on write
+    path = tmp_path / "embedded_newline.csv"
+    frame.to_csv(path, index=False)
+    ref = pd.read_csv(path)
+    assert ref.shape == (n, d + 1)  # pandas parses the quoted newline
+
+    with caplog.at_level(logging.INFO, logger="mmnm.data"):
+        out = common.read_csv_cached(path)
+    msgs = [r.message for r in caplog.records
+            if "fast path disabled" in r.message]
+    assert len(msgs) == 1
+    pd.testing.assert_frame_equal(out, ref)
+    common.fast_path_reasons.clear()
+    common._CSV_CACHE.clear()
+
+
 def test_fast_path_memo_invalidated_on_rewrite(tmp_path, caplog):
     """A file once branded 'needs pandas' regains the native fast path after
     being rewritten clean (memo keyed by mtime like the CSV cache)."""
