@@ -173,8 +173,10 @@ def read_csv_cached(path) -> pd.DataFrame:
 
 
 def load_dataset_cached(demographic_path, ids_path, modality_path):
-    """load_dataset with the two big reads served from the CSV cache."""
-    from ..data.loading import load_demographic_data
+    """load_dataset with the two big reads served from the CSV cache and the
+    joins through the numpy row-map merge (bit-identical to pd.merge for the
+    pipeline's key shapes; data/loading.fast_inner_merge)."""
+    from ..data.loading import fast_inner_merge, load_demographic_data
 
     demographic_df = read_csv_cached(demographic_path).dropna()
     ids_df = pd.read_csv(ids_path, usecols=['IID'])
@@ -185,26 +187,26 @@ def load_dataset_cached(demographic_path, ids_path, modality_path):
     else:
         ids_df = ids_df.copy()
         ids_df['participant_id'] = ids_df['IID']
-        demographic = pd.merge(ids_df, demographic_df, on='IID')
+        demographic = fast_inner_merge(ids_df, demographic_df, on='IID')
     modality_df = read_csv_cached(modality_path)
-    return pd.merge(modality_df, demographic, on='IID')
+    return fast_inner_merge(modality_df, demographic, on='IID')
 
 
 def prepare_modality(project_root: Path, resource: str, dataset_name: str,
                      participants_path, train_ids_path,
                      test_ids_path=None) -> dict:
     """Load + scale one modality for a fold, reference test/train semantics:
-    RobustScaler fit on the fold's train rows, applied to both splits;
+    RobustScaler fit on the fold's train rows, applied to both splits
+    (vectorized bit-identical fast path, data/preprocess.py);
     qcut one-hot covariates fit independently per split (SURVEY.md Q5)."""
-    from sklearn.preprocessing import RobustScaler
+    from ..data.preprocess import fit_robust_scaler
 
     columns_name = registry.get_column_name(resource, dataset_name)
     modality_path = Path(project_root) / 'data' / resource / f'{dataset_name}.csv'
     train_df = load_dataset_cached(participants_path, train_ids_path,
                                    modality_path)
 
-    scaler = RobustScaler()
-    train_data = scaler.fit_transform(train_df[columns_name].values)
+    train_data, scaler = fit_robust_scaler(train_df[columns_name].values)
     out = {
         'columns': columns_name,
         'train_df': train_df,

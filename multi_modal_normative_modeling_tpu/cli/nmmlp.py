@@ -77,7 +77,7 @@ def train(args, project_root: Path):
         data_list, cov_list = [], []
         input_dim_list = []
         for dataset_name in dataset_names:
-            from sklearn.preprocessing import RobustScaler
+            from ..data.preprocess import fit_robust_scaler
 
             columns_name = registry.get_column_name(args.dataset_resourse,
                                                     dataset_name)
@@ -87,9 +87,9 @@ def train(args, project_root: Path):
                                     modality_path)
             # normative training: HC rows only (nmmlp:314)
             train_df = train_df.loc[train_df['DIA'] == hc_label]
-            data = RobustScaler().fit_transform(
+            data = fit_robust_scaler(
                 train_df[columns_name].values
-            ).astype(np.float32)
+            )[0].astype(np.float32)
             cov = one_hot_covariates(train_df[['DIA', 'PTGENDER', 'AGE']])
             data_list.append(data)
             cov_list.append(cov)
@@ -147,7 +147,7 @@ def test(args, project_root: Path):
         test_data_list, clinical_df_list, columns_list = [], [], []
         test_cov = None
         for dataset_name in dataset_names:
-            from sklearn.preprocessing import RobustScaler
+            from ..data.preprocess import fit_robust_scaler
 
             columns_name = registry.get_column_name(args.dataset_resourse,
                                                     dataset_name)
@@ -158,8 +158,7 @@ def test(args, project_root: Path):
             train_df = train_df.loc[train_df['DIA'] == hc_label]
             test_df = load_dataset(participants_path, test_ids_path,
                                    modality_path)
-            scaler = RobustScaler()
-            scaler.fit(train_df[columns_name].values)
+            _, scaler = fit_robust_scaler(train_df[columns_name].values)
             # float64 for CSV formatting parity; downcast at the jit boundary
             test_data_list.append(
                 scaler.transform(test_df[columns_name].values)

@@ -38,10 +38,9 @@ from . import common
 
 def process_dataset(dataset_df, columns_name, hc_label):
     """Scale + one-hot covariates + binary labels (nmpmcont:75-123)."""
-    from sklearn.preprocessing import RobustScaler
+    from ..data.preprocess import fit_robust_scaler
 
-    scaler = RobustScaler()
-    data = scaler.fit_transform(dataset_df[columns_name].values)
+    data, scaler = fit_robust_scaler(dataset_df[columns_name].values)
     covariates = one_hot_covariates(dataset_df[["DIA", "PTGENDER", "AGE"]])
     labels = binary_labels(dataset_df["DIA"], hc_label)
     return data.astype(np.float32), covariates, labels, scaler

@@ -34,7 +34,7 @@ def evaluate_regression(y_true, y_pred) -> dict:
 
 
 def train_and_test(args, project_root=None):
-    from sklearn.preprocessing import RobustScaler
+    from ..data.preprocess import fit_robust_scaler
 
     project_root = Path(project_root) if project_root else Path.cwd()
     np.random.seed(42)
@@ -75,10 +75,9 @@ def train_and_test(args, project_root=None):
                 modality_df[modality_df['IID'].isin(test_ids)], demo_df,
                 on='IID')
 
-            scaler = RobustScaler()
-            train_data_list.append(
-                scaler.fit_transform(train_df[columns_name].values)
-                .astype(np.float32))
+            train_scaled, scaler = fit_robust_scaler(
+                train_df[columns_name].values)
+            train_data_list.append(train_scaled.astype(np.float32))
             test_data_list.append(
                 scaler.transform(test_df[columns_name].values)
                 .astype(np.float32))
@@ -180,8 +179,8 @@ def train_and_test(args, project_root=None):
             full_df = pd.merge(
                 modality_df[modality_df['IID'].isin(all_ids)], demo_df,
                 on='IID')
-            x = RobustScaler().fit_transform(
-                full_df[columns_name].values).astype(np.float32)
+            x = fit_robust_scaler(
+                full_df[columns_name].values)[0].astype(np.float32)
             c = full_df[['AGE', 'PTGENDER']].values.astype(np.float32)
             deviation = np.asarray(model.roiwise_deviation(
                 params, x, c, jax.random.PRNGKey(800 + fold), modal_idx,

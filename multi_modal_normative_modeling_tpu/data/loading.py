@@ -22,6 +22,47 @@ import numpy as np
 import pandas as pd
 
 
+def fast_inner_merge(left: pd.DataFrame, right: pd.DataFrame,
+                     on: str = "IID") -> pd.DataFrame:
+    """``pd.merge(left, right, on=on)`` replacement for the pipeline's hot
+    joins, bit-identical when one side's keys are unique (both pipeline
+    cases: modality/demographic tables have unique IIDs; fold-id lists are
+    oversampled with duplicates). Builds the row maps with numpy instead of
+    pandas' per-call hash-join + string index engines, which dominate
+    per-fold data prep (see tests/test_data_layer.py::
+    test_fast_inner_merge_matches_pandas). Falls back to pd.merge whenever
+    its assumptions don't hold (shared non-key columns, neither side
+    unique)."""
+    if (on not in left.columns or on not in right.columns
+            or len(left.columns.intersection(right.columns)) != 1):
+        return pd.merge(left, right, on=on)
+
+    lk = left[on].to_numpy()
+    rk = right[on].to_numpy()
+    rpos = {k: j for j, k in enumerate(rk)}
+    if len(rpos) == len(rk):
+        # unique right keys: result = left rows with a match, in left order
+        ridx = np.fromiter((rpos.get(k, -1) for k in lk), dtype=np.intp,
+                           count=len(lk))
+        lrows = np.flatnonzero(ridx >= 0)
+        rrows = ridx[lrows]
+    else:
+        lpos = {k: j for j, k in enumerate(lk)}
+        if len(lpos) != len(lk):
+            return pd.merge(left, right, on=on)  # M:N join: pandas semantics
+        # unique left keys: each right row attaches to its left row; result
+        # ordered by left key, right occurrence order within a key (stable)
+        lidx = np.fromiter((lpos.get(k, -1) for k in rk), dtype=np.intp,
+                           count=len(rk))
+        rrows = np.flatnonzero(lidx >= 0)
+        order = np.argsort(lidx[rrows], kind="stable")
+        rrows = rrows[order]
+        lrows = lidx[rrows]
+    out_left = left.take(lrows).reset_index(drop=True)
+    out_right = right.drop(columns=[on]).take(rrows).reset_index(drop=True)
+    return pd.concat([out_left, out_right], axis=1)
+
+
 def load_demographic_data(demographic_path, ids_path) -> pd.DataFrame:
     """Load the demographic table restricted to the ids in ``ids_path``.
 
@@ -61,7 +102,7 @@ def load_demographic_data(demographic_path, ids_path) -> pd.DataFrame:
 
     ids_df = ids_df.copy()
     ids_df["participant_id"] = ids_df["IID"]
-    return pd.merge(ids_df, demographic_df, on="IID")
+    return fast_inner_merge(ids_df, demographic_df, on="IID")
 
 
 def load_dataset(demographic_path, ids_path, modality_path) -> pd.DataFrame:
@@ -73,7 +114,7 @@ def load_dataset(demographic_path, ids_path, modality_path) -> pd.DataFrame:
     """
     demographic_data = load_demographic_data(demographic_path, ids_path)
     modality_df = pd.read_csv(modality_path)
-    return pd.merge(modality_df, demographic_data, on="IID")
+    return fast_inner_merge(modality_df, demographic_data, on="IID")
 
 
 def _write_fold_ids(kfold_dir: Path, split_frame: pd.DataFrame,

@@ -79,28 +79,32 @@ def write_frame(path, frame: pd.DataFrame, n_threads: int = 16) -> bool:
     str_blobs = (ctypes.c_char_p * n_cols)()
     keepalive = []
 
-    for i, name in enumerate(frame.columns):
-        series = frame[name]
+    for i, (name, series) in enumerate(frame.items()):
         kind = series.dtype
         if kind == np.float64:
-            arr = np.ascontiguousarray(series.values)
+            arr = np.ascontiguousarray(series.to_numpy())
             col_types[i] = 0
             col_data[i] = arr.ctypes.data_as(ctypes.c_void_p)
         elif kind == np.float32:
-            arr = np.ascontiguousarray(series.values)
+            arr = np.ascontiguousarray(series.to_numpy())
             col_types[i] = 1
             col_data[i] = arr.ctypes.data_as(ctypes.c_void_p)
         elif kind == np.int64:
-            arr = np.ascontiguousarray(series.values)
+            arr = np.ascontiguousarray(series.to_numpy())
             col_types[i] = 2
             col_data[i] = arr.ctypes.data_as(ctypes.c_void_p)
         elif kind == object or pd.api.types.is_string_dtype(series.dtype):
             values = series.tolist()
-            if not all(isinstance(v, str) for v in values):
-                return False
-            if any("," in v or "\n" in v or '"' in v for v in values):
+            try:
+                joined = "\n".join(values)
+            except TypeError:
+                return False  # non-str cells: pandas path
+            # C-level scans of the single blob instead of per-value checks;
+            # an embedded '\n' shows up as an extra separator in the count
+            if ("," in joined or '"' in joined or "\r" in joined
+                    or joined.count("\n") != len(values) - 1):
                 return False  # needs quoting: pandas path
-            blob = ("\n".join(values) + "\n").encode()
+            blob = (joined + "\n").encode()
             col_types[i] = 3
             str_blobs[i] = blob
             keepalive.append(blob)

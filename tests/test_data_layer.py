@@ -128,6 +128,99 @@ def test_robust_scaler_params_match_sklearn():
     np.testing.assert_allclose(params.inverse_transform(ref), x, rtol=1e-10)
 
 
+def test_fast_robust_scaler_matches_sklearn_bitwise():
+    """The vectorized NaN-free fast path must be BIT-identical to sklearn's
+    per-column nanpercentile loop — including constant and near-constant
+    columns (_handle_zeros_in_scale) and odd/even row counts."""
+    from sklearn.preprocessing import RobustScaler
+
+    rng = np.random.default_rng(7)
+    for n in (9, 10, 257, 700):
+        x = rng.normal(size=(n, 11)) * rng.lognormal(size=11)
+        x[:, 3] = 5.0                      # constant column -> scale 1.0
+        x[:, 5] = 1e-300                   # tiny constant
+        x[:, 7] = np.round(x[:, 7])        # heavy ties
+        scaled, params = fit_robust_scaler(x)
+        sk = RobustScaler()
+        ref = sk.fit_transform(x)
+        np.testing.assert_array_equal(params.center, sk.center_)
+        np.testing.assert_array_equal(params.scale, sk.scale_)
+        np.testing.assert_array_equal(scaled, ref)
+    # NaN input falls back to sklearn
+    x = rng.normal(size=(20, 3))
+    x[2, 1] = np.nan
+    scaled, params = fit_robust_scaler(x)
+    sk = RobustScaler()
+    np.testing.assert_array_equal(scaled, sk.fit_transform(x))
+
+
+def test_qcut_rank_one_hot_matches_pandas():
+    """The argsort + cached-code-table fast path must be bit-identical to
+    pd.qcut(values.rank(method='first'), q) — including ties (first-appearance
+    order) and every q the pipelines use."""
+    rng = np.random.default_rng(11)
+    for n, q in ((30, 27), (701, 27), (64, 2), (64, 27), (10, 5)):
+        for vals in (
+            rng.normal(size=n),
+            np.round(rng.normal(size=n)),            # many ties
+            np.repeat(rng.normal(size=max(1, n // 4)), 4)[:n],  # tie blocks
+        ):
+            series = pd.Series(vals)
+            ref_bins = pd.qcut(series.rank(method="first"), q=q,
+                               labels=list(range(q)))
+            ref = np.eye(q)[np.asarray(ref_bins, dtype=int)]
+            np.testing.assert_array_equal(qcut_rank_one_hot(series, q), ref)
+
+
+def test_fast_inner_merge_matches_pandas():
+    """The numpy row-map merge must equal pd.merge frame-for-frame in both
+    pipeline cases (unique-right: ids x demographic; unique-left:
+    modality x duplicated-demographic) and fall back cleanly otherwise."""
+    from multi_modal_normative_modeling_tpu.data.loading import (
+        fast_inner_merge,
+    )
+
+    rng = np.random.default_rng(5)
+    iids = [f"s{i:03d}" for i in range(40)]
+    demo = pd.DataFrame({
+        "IID": iids,
+        "DIA": rng.integers(0, 3, size=40),
+        "AGE": rng.integers(55, 90, size=40).astype(float),
+        "PTGENDER": rng.integers(1, 3, size=40),
+    })
+    # oversampled-with-replacement fold ids, some missing from demo
+    ids = pd.DataFrame({
+        "IID": list(rng.choice(iids[:30], size=50, replace=True)) + ["ghost"]
+    })
+    ids["participant_id"] = ids["IID"]
+
+    # unique-right path
+    merged = fast_inner_merge(ids, demo, on="IID")
+    pd.testing.assert_frame_equal(merged, pd.merge(ids, demo, on="IID"))
+
+    # unique-left path: modality x (ids x demo) with duplicated IIDs
+    modality = pd.DataFrame(rng.normal(size=(40, 5)),
+                            columns=[f"roi{i}" for i in range(5)])
+    modality.insert(2, "IID", list(reversed(iids)))  # key mid-frame
+    out = fast_inner_merge(modality, merged, on="IID")
+    ref = pd.merge(modality, merged, on="IID")
+    pd.testing.assert_frame_equal(out, ref)
+    assert list(out.columns)[:3] == ["roi0", "roi1", "IID"]
+
+    # shared non-key column -> pandas fallback (suffix semantics)
+    demo2 = demo.copy()
+    demo2["roi0"] = 0.0
+    pd.testing.assert_frame_equal(fast_inner_merge(modality, demo2, on="IID"),
+                                  pd.merge(modality, demo2, on="IID"))
+
+    # neither side unique -> pandas fallback (M:N cartesian semantics)
+    left_dup = pd.DataFrame({"IID": ["a", "a", "b"], "x": [1, 2, 3]})
+    right_dup = pd.DataFrame({"IID": ["a", "b", "a"], "y": [10, 20, 30]})
+    pd.testing.assert_frame_equal(
+        fast_inner_merge(left_dup, right_dup, on="IID"),
+        pd.merge(left_dup, right_dup, on="IID"))
+
+
 def test_load_dataset_row_order_follows_modality_csv(tmp_path):
     data_dir = make_synthetic_resource(tmp_path, "ADNI", n_hc=10,
                                        n_disease={0: 5})
