@@ -29,13 +29,21 @@ _INFER_CACHE: dict = {}
 
 
 def _infer_program(config: dict, combine: str, use_fused: bool):
+    """Returns (model, vinfer, template) where ``vinfer`` runs ALL folds'
+    inference as one vmapped device program over stacked per-fold params —
+    the inference mirror of the fold-parallel trainer (rows are independent
+    through the whole model, so per-fold outputs are identical to sequential
+    calls; tests/test_pipeline_smoke.py schema/value checks cover it)."""
     key = (json.dumps(config, sort_keys=True), combine, bool(use_fused))
     if key not in _INFER_CACHE:
         model = common.build_model_from_config(config)
         fused = use_fused and hasattr(model, 'pred_recon_fused')
 
-        @jax.jit
-        def infer_fn(params, xes, cs, key):
+        def infer_one(params, xes, cs, seed):
+            # the fold's PRNG stream (PRNGKey(1000+fold), SURVEY.md Q2) is
+            # derived on-device from the integer seed: a host-side PRNGKey
+            # call is an eager op through the remote tunnel (RTT each)
+            key = jax.random.PRNGKey(seed)
             if fused:
                 # Pallas kernels: fused encoder chains + decode-and-
                 # deviate, one HBM round trip per modality (kernels/)
@@ -50,15 +58,32 @@ def _infer_program(config: dict, combine: str, use_fused: bool):
             ]
             return recons, devs
 
-        # numpy template: restored params stay host-side and transfer
-        # asynchronously at the jit call instead of leaf-by-leaf
+        vinfer = jax.jit(jax.vmap(infer_one))
+        # numpy template for checkpoint restore: shapes/dtypes only, built
+        # abstractly — running init_params eagerly costs ~0.4s per op
+        # through the remote-compile tunnel (~30s for the whole tree)
+        shapes = jax.eval_shape(model.init_params,
+                                jax.ShapeDtypeStruct((2,), np.uint32))
         template = jax.tree_util.tree_map(
-            np.asarray, model.init_params(jax.random.PRNGKey(0)))
-        _INFER_CACHE[key] = (model, infer_fn, template)
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
+        _INFER_CACHE[key] = (model, vinfer, template)
     return _INFER_CACHE[key]
 
 
 def main(args, project_root=None):
+    import os
+    import time
+
+    # MMNM_TEST_TIMING=1 prints wall-clock per stage phase (observability;
+    # the tunnel makes device phases hard to attribute from outside)
+    timing = os.environ.get('MMNM_TEST_TIMING')
+    marks = [time.perf_counter()]
+
+    def mark(label):
+        if timing:
+            marks.append(time.perf_counter())
+            print(f'[test timing] {label}: {marks[-1] - marks[-2]:.2f}s')
+
     project_root = Path(project_root) if project_root else Path.cwd()
     model_name = 'supervised_cvae'
     participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
@@ -84,7 +109,7 @@ def main(args, project_root=None):
 
     emitter = DeviationEmitter(dataset_names)
     model = None
-    infer_fn = None
+    vinfer = None
     template = None
 
     # prepare all (fold x modality) splits on a thread pool up front
@@ -106,7 +131,10 @@ def main(args, project_root=None):
             lambda j: common.prepare_modality(
                 project_root, args.dataset_resourse, j[0],
                 participants_path, j[1], j[2]), jobs))
+    mark('prep (fold x modality, threaded)')
 
+    # ---- phase 1: gather per-fold splits + restored params (host side) ----
+    pending = []
     for fold in range(n_folds):
         fold_model_dir = model_dir / f'{fold:03d}'
         preps = list(all_preps[fold * len(load_names):
@@ -114,62 +142,93 @@ def main(args, project_root=None):
         if in_memory_fusion:
             preps.append(common.fuse_preps(preps, load_names,
                                            args.dataset_resourse))
-        test_data_list = [p['test_data'] for p in preps]
-        clinical_df_list = [p['test_df'] for p in preps]
-        columns_list = [p['columns'] for p in preps]
-        test_cov = preps[-1]['test_cov']  # last modality wins (test:102)
-        train_data_list = [p['train_data'] for p in preps]
-        train_cov = preps[-1]['train_cov']
-
         if not checkpoint_exists(fold_model_dir):
             print('firstly train model')
             continue
         print('load trained model')
         _, config = load_checkpoint(fold_model_dir)
         if model is None:
-            # one jitted inference program reused across folds AND across
+            # one vmapped inference program shared across folds AND across
             # main() calls (eager dispatch over the remote-TPU link costs a
             # round trip per op; sweep engines re-enter per grid milestone)
-            model, infer_fn, template = _infer_program(
+            model, vinfer, template = _infer_program(
                 config, args.combine,
                 getattr(args, 'fused_inference', False))
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
+        pending.append({
+            'fold': fold,
+            'dir': fold_model_dir,
+            'params': params,
+            'test_data_list': [p['test_data'] for p in preps],
+            'clinical_df': preps[0]['test_df'],
+            'columns_list': [p['columns'] for p in preps],
+            'test_cov': preps[-1]['test_cov'],  # last modality wins (test:102)
+            'train_data_list': [p['train_data'] for p in preps],
+            'train_cov': preps[-1]['train_cov'],
+        })
 
-        # bucket-pad rows so every fold hits the same compiled shape (fold
-        # sizes differ by +-1; retracing costs ~30s per fold on the tunnel)
-        n_rows = test_data_list[0].shape[0]
-        padded_rows = -(-n_rows // 64) * 64
-        pad = lambda a: np.pad(np.asarray(a, dtype=np.float32),
-                               ((0, padded_rows - n_rows), (0, 0)))
-        cs = (pad(test_cov),) * len(dataset_names)
-        key = jax.random.PRNGKey(1000 + fold)
-        predictions, _ = infer_fn(
-            params, tuple(pad(x) for x in test_data_list), cs, key)
-        predictions = [np.asarray(p)[:n_rows] for p in predictions]
-        # float64 deviation from the float64 scaled data and float32
-        # predictions — matches the reference's numpy upcast (test:113,
-        # cVAE.py:1210) and the goldens' float formatting
-        deviations = [
-            np.sum((test_data_list[m] - predictions[m]) ** 2, axis=1)
-            / test_data_list[m].shape[1]
-            for m in range(len(dataset_names))
-        ]
+    mark('checkpoint restore + gather')
 
-        for m, dataset_name in enumerate(dataset_names):
-            emitter.emit_fold(
-                fold_model_dir, dataset_name, columns_list[m],
-                clinical_df_list[0][['participant_id', 'DIA', 'AGE',
-                                     'PTGENDER']],
-                test_data_list[m], predictions[m], deviations[m],
-            )
+    # ---- phase 2: ONE vmapped inference call over the stacked fold axis ---
+    if pending:
+        n_mod = len(dataset_names)
+        # bucket-pad rows so every (fold, run) hits the same compiled shape
+        # (fold sizes differ by +-1; retracing costs ~30s on the tunnel);
+        # rows are independent through the model, so pad rows change nothing
+        max_rows = max(j['test_data_list'][0].shape[0] for j in pending)
+        padded_rows = -(-max_rows // 64) * 64
 
-        if getattr(args, 'emit_latent', False) and hasattr(model,
-                                                           'latent_stats'):
-            _emit_latent(model, params, args.combine, fold_model_dir,
-                         clinical_df_list[0], train_data_list, train_cov,
-                         test_data_list, test_cov, len(dataset_names))
+        def pad(a):
+            a = np.asarray(a, dtype=np.float32)
+            return np.pad(a, ((0, padded_rows - a.shape[0]), (0, 0)))
 
+        xes = tuple(
+            np.stack([pad(j['test_data_list'][m]) for j in pending])
+            for m in range(n_mod))
+        cs_stack = np.stack([pad(j['test_cov']) for j in pending])
+        cs = (cs_stack,) * n_mod
+        # same per-fold PRNG streams as sequential inference (SURVEY.md Q2);
+        # plain integer seeds — keys are derived inside the jitted program
+        keys = np.array([1000 + j['fold'] for j in pending], dtype=np.uint32)
+        stacked_params = jax.tree_util.tree_map(
+            lambda *leaves: np.stack(leaves),
+            *[j['params'] for j in pending])
+        mark('stack + keys')
+        predictions, _ = vinfer(stacked_params, xes, cs, keys)
+        mark('vmapped inference dispatch')
+        # one bulk device->host fetch per modality, then numpy slicing
+        host_preds = [np.asarray(p) for p in predictions]
+        mark('device->host fetch')
+
+        # ---- phase 3: per-fold deviation math + CSV emission (threaded) ---
+        for i, job in enumerate(pending):
+            n_rows = job['test_data_list'][0].shape[0]
+            preds = [host_preds[m][i, :n_rows] for m in range(n_mod)]
+            # float64 deviation from the float64 scaled data and float32
+            # predictions — matches the reference's numpy upcast (test:113,
+            # cVAE.py:1210) and the goldens' float formatting
+            deviations = [
+                np.sum((job['test_data_list'][m] - preds[m]) ** 2, axis=1)
+                / job['test_data_list'][m].shape[1]
+                for m in range(n_mod)
+            ]
+            for m, dataset_name in enumerate(dataset_names):
+                emitter.emit_fold(
+                    job['dir'], dataset_name, job['columns_list'][m],
+                    job['clinical_df'][['participant_id', 'DIA', 'AGE',
+                                        'PTGENDER']],
+                    job['test_data_list'][m], preds[m], deviations[m],
+                )
+            if getattr(args, 'emit_latent', False) and hasattr(
+                    model, 'latent_stats'):
+                _emit_latent(model, job['params'], args.combine, job['dir'],
+                             job['clinical_df'], job['train_data_list'],
+                             job['train_cov'], job['test_data_list'],
+                             job['test_cov'], n_mod)
+
+    mark('deviation math + per-fold emit')
     emitter.emit_combined(deviation_dir)
+    mark('combined emit + write join')
 
 
 def _emit_latent(model, params, combine, fold_model_dir, clinical_df,

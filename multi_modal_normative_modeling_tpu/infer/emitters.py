@@ -34,10 +34,18 @@ def write_csv(path, frame: pd.DataFrame) -> None:
 
 
 class DeviationEmitter:
-    """Accumulates per-fold frames and writes per-fold + combined CSVs."""
+    """Accumulates per-fold frames and writes per-fold + combined CSVs.
 
-    def __init__(self, dataset_names: Sequence[str]):
+    Writes go through a small thread pool (the native writer releases the
+    GIL in its C loop), overlapping CSV emission with the next fold's frame
+    construction; ``emit_combined`` joins and re-raises any write error."""
+
+    def __init__(self, dataset_names: Sequence[str], write_threads: int = 4):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.dataset_names = list(dataset_names)
+        self._pool = ThreadPoolExecutor(max_workers=max(1, write_threads))
+        self._futures: list = []
         self._all: Dict[str, Dict[str, List[pd.DataFrame]]] = {
             kind: {name: [] for name in self.dataset_names}
             for kind in (
@@ -83,11 +91,13 @@ class DeviationEmitter:
             "deviation_as_feature_importance": importance,
         }
         for kind, frame in frames.items():
-            write_csv(out_dir / f"{kind}_{dataset_name}.csv", frame)
+            self._futures.append(self._pool.submit(
+                write_csv, out_dir / f"{kind}_{dataset_name}.csv", frame))
             self._all[kind][dataset_name].append(frame)
 
     def emit_combined(self, deviation_dir) -> None:
-        """Concatenate all folds per modality (test:156-178)."""
+        """Concatenate all folds per modality (test:156-178); joins all
+        pending per-fold writes first."""
         for dataset_name in self.dataset_names:
             out_dir = Path(deviation_dir) / dataset_name
             out_dir.mkdir(parents=True, exist_ok=True)
@@ -96,4 +106,10 @@ class DeviationEmitter:
                 if not frames:
                     continue
                 combined = pd.concat(frames, ignore_index=True)
-                write_csv(out_dir / f"{kind}_{dataset_name}.csv", combined)
+                self._futures.append(self._pool.submit(
+                    write_csv, out_dir / f"{kind}_{dataset_name}.csv",
+                    combined))
+        for future in self._futures:
+            future.result()
+        self._futures.clear()
+        self._pool.shutdown(wait=True)
