@@ -24,6 +24,19 @@ from . import common
 
 
 def main(args, project_root=None):
+    import os
+    import time
+
+    # MMNM_TRAIN_TIMING=1 prints wall-clock per stage phase (observability;
+    # the tunnel makes device phases hard to attribute from outside)
+    timing = os.environ.get('MMNM_TRAIN_TIMING')
+    marks = [time.perf_counter()]
+
+    def mark(label):
+        if timing:
+            marks.append(time.perf_counter())
+            print(f'[train timing] {label}: {marks[-1] - marks[-2]:.2f}s')
+
     project_root = Path(project_root) if project_root else Path.cwd()
     model_name = 'supervised_cvae'
 
@@ -70,6 +83,7 @@ def main(args, project_root=None):
         participants_path)
     config_dict = common.model_config_dict(args, input_dim_list, c_dim,
                                            modalities)
+    mark('host prep (fold x modality, threaded)')
 
     model = common.build_model_from_config(config_dict)
     train_config = TrainConfig(
@@ -84,9 +98,15 @@ def main(args, project_root=None):
         seed=42,
         precision=getattr(args, 'precision', 'fp32'),
     )
-    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
-                   for f in range(n_folds)]
-    keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
+    # The reference re-seeds 42 per fold (train:119), so every fold's init is
+    # IDENTICAL — init once and share the pytree across folds (each eager
+    # init op costs a round trip through the remote-TPU tunnel; no trainer
+    # donates these buffers, and stack_params copies into a new array).
+    init_params = model.init_params(jax.random.PRNGKey(42))
+    params_list = [init_params for _ in range(n_folds)]
+    key42 = jax.random.PRNGKey(42)
+    keys = [key42 for _ in range(n_folds)]  # reference parity
+    mark('model build + param init')
 
     fold_parallel = getattr(args, 'fold_parallel', False)
     checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
@@ -244,6 +264,7 @@ def main(args, project_root=None):
             per_fold_logs.append(logs)
 
     # ---- artifacts ---------------------------------------------------------
+    mark('train (device + fetch)')
     for fold in range(n_folds):
         fold_model_dir = model_dir / f'{fold:03d}'
         logs = per_fold_logs[fold]
@@ -257,6 +278,7 @@ def main(args, project_root=None):
         run_log.event('fold_done', fold=fold, **last)
         print('fold_model_dir:', fold_model_dir)
     run_log.event('train_end', folds=n_folds)
+    mark('artifacts (plots + checkpoints)')
 
 
 def build_parser() -> argparse.ArgumentParser:
