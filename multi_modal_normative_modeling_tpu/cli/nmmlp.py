@@ -103,9 +103,12 @@ def train(args, project_root: Path):
                          combine=args.combine, lr_schedule='cyclic',
                          base_lr=1e-6, max_lr=5e-5, shuffle=False, seed=42)
     n_folds = len(folds)
-    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
-                   for f in range(n_folds)]
-    keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
+    # the reference re-seeds 42 per fold, so every fold's init is identical:
+    # init once and share (eager init ops cost a tunnel round trip each)
+    init_params = model.init_params(jax.random.PRNGKey(42))
+    params_list = [init_params for _ in range(n_folds)]
+    key42 = jax.random.PRNGKey(42)
+    keys = [key42 for _ in range(n_folds)]  # reference parity
 
     print('Training model...')
     from .common import run_folds
@@ -138,6 +141,9 @@ def test(args, project_root: Path):
                                                args.procedure)
     kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
 
+    # ---- phase 1: per-fold host prep + checkpoint restore ------------------
+    model = None
+    pending = []
     for fold, _ in enumerate(kf.split(HC_group)):
         train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
         test_ids_path = kfold_dir / f'test_ids_{fold:03d}.csv'
@@ -172,25 +178,68 @@ def test(args, project_root: Path):
             return
         print('Loading trained model...')
         _, config = load_checkpoint(fold_model_dir)
-        model = _build_model(args, config['input_dim_list'], config['c_dim'],
-                             config['modalities'])
-        template = model.init_params(jax.random.PRNGKey(0))
+        if model is None:
+            model = _build_model(args, config['input_dim_list'],
+                                 config['c_dim'], config['modalities'])
+            # abstract shapes/dtypes only: eager init costs a round trip
+            # per op through the remote-TPU tunnel
+            shapes = jax.eval_shape(model.init_params,
+                                    jax.ShapeDtypeStruct((2,), np.uint32))
+            template = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), shapes)
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
+        pending.append({
+            'fold': fold, 'dir': fold_model_dir, 'params': params,
+            'test_data_list': test_data_list,
+            'clinical_df': clinical_df_list[0],
+            'columns_list': columns_list, 'test_cov': test_cov,
+        })
 
-        cs = [test_cov] * len(dataset_names)
-        predictions = model.pred_recon(
-            params, [np.asarray(x, dtype=np.float32) for x in test_data_list],
-            cs,
-            jax.random.PRNGKey(1000 + fold), args.combine,
-        )
-        predictions = [np.asarray(p) for p in predictions]
-        deviations = [
-            np.asarray(model.reconstruction_deviation(test_data_list[m],
-                                                      predictions[m]))
-            for m in range(len(dataset_names))
-        ]
+    if not pending:
+        return
 
-        participant_ids = clinical_df_list[0]['participant_id'].values
+    # ---- phase 2: ONE vmapped inference program over the stacked fold axis
+    # (rows are independent through the model, so pad rows + slicing gives
+    # per-fold outputs identical to sequential calls; deviations computed
+    # in-program with the same jnp formula as the eager path) ---------------
+    n_mod = len(dataset_names)
+    max_rows = max(j['test_data_list'][0].shape[0] for j in pending)
+    padded_rows = -(-max_rows // 64) * 64
+
+    def pad(a):
+        a = np.asarray(a, dtype=np.float32)
+        return np.pad(a, ((0, padded_rows - a.shape[0]), (0, 0)))
+
+    xes = tuple(np.stack([pad(j['test_data_list'][m]) for j in pending])
+                for m in range(n_mod))
+    cs = (np.stack([pad(j['test_cov']) for j in pending]),) * n_mod
+    seeds = np.array([1000 + j['fold'] for j in pending], dtype=np.uint32)
+    stacked_params = jax.tree_util.tree_map(
+        lambda *leaves: np.stack(leaves), *[j['params'] for j in pending])
+
+    def infer_one(params, xes, cs, seed):
+        preds = model.pred_recon(params, list(xes), list(cs),
+                                 jax.random.PRNGKey(seed), args.combine)
+        devs = [model.reconstruction_deviation(xes[m], preds[m])
+                for m in range(n_mod)]
+        return preds, devs
+
+    all_preds, all_devs = jax.jit(jax.vmap(infer_one))(
+        stacked_params, xes, cs, seeds)
+    # one bulk device->host fetch, then numpy slicing
+    all_preds = [np.asarray(p) for p in all_preds]
+    all_devs = [np.asarray(d) for d in all_devs]
+
+    # ---- phase 3: per-fold CSV emission ------------------------------------
+    for i, job in enumerate(pending):
+        fold, fold_model_dir = job['fold'], job['dir']
+        n_rows = job['test_data_list'][0].shape[0]
+        test_data_list = job['test_data_list']
+        columns_list = job['columns_list']
+        predictions = [all_preds[m][i, :n_rows] for m in range(n_mod)]
+        deviations = [all_devs[m][i, :n_rows] for m in range(n_mod)]
+
+        participant_ids = job['clinical_df']['participant_id'].values
         for idx, dataset_name in enumerate(dataset_names):
             out_dir = fold_model_dir / dataset_name
             out_dir.mkdir(exist_ok=True)
@@ -211,7 +260,7 @@ def test(args, project_root: Path):
         pd.DataFrame({
             'participant_id': participant_ids,
             'Diagnosis': diagnosis.ravel(),
-            'True_Label': (clinical_df_list[0]['DIA'] != hc_label
+            'True_Label': (job['clinical_df']['DIA'] != hc_label
                            ).astype(int).values,
         }).to_csv(fold_model_dir / 'diagnosis_results.csv', index=False)
         print(f'Fold {fold}:')

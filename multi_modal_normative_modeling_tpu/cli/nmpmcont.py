@@ -156,9 +156,12 @@ def main(args, project_root=None):
         return {**p, 'bn_state': aux['__bn_state__']}
 
     n_folds = len(fold_data)
-    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
-                   for f in range(n_folds)]
-    keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
+    # the reference re-seeds 42 per fold, so every fold's init is identical:
+    # init once and share (eager init ops cost a tunnel round trip each)
+    init_params = model.init_params(jax.random.PRNGKey(42))
+    params_list = [init_params for _ in range(n_folds)]
+    key42 = jax.random.PRNGKey(42)
+    keys = [key42 for _ in range(n_folds)]  # reference parity
 
     print('train model')
     from .common import run_folds
@@ -171,6 +174,27 @@ def main(args, project_root=None):
             {'labels': f['train_labels'].astype(np.float32)[:, None]}
             for f in fold_data
         ])
+
+    # ---- eval: ONE vmapped predict over the stacked fold axis (rows are
+    # independent through the model; pad test rows to a common bucket) -------
+    n_mod = len(fold_data[0]['test_data_list'])
+    max_rows = max(f['test_data_list'][0].shape[0] for f in fold_data)
+    padded_rows = -(-max_rows // 64) * 64
+
+    def pad(a):
+        a = np.asarray(a, dtype=np.float32)
+        return np.pad(a, ((0, padded_rows - a.shape[0]), (0, 0)))
+
+    stacked_params = jax.tree_util.tree_map(
+        lambda *leaves: np.stack([np.asarray(l) for l in leaves]),
+        *per_fold_params)
+    xes = tuple(np.stack([pad(f['test_data_list'][m]) for f in fold_data])
+                for m in range(n_mod))
+    cs = tuple(np.stack([pad(f['test_cov_list'][m]) for f in fold_data])
+               for m in range(n_mod))
+    all_logits = np.asarray(jax.jit(jax.vmap(
+        lambda p, x, c: model.predict(p, list(x), list(c))))(
+            stacked_params, xes, cs))
 
     for fold in range(n_folds):
         fold_model_dir = model_dir / f'{fold:03d}'
@@ -186,11 +210,8 @@ def main(args, project_root=None):
             'classifier_layers': list(args.layers),
         })
 
-        logits = model.predict(
-            params,
-            [np.asarray(x) for x in fold_data[fold]['test_data_list']],
-            [np.asarray(c) for c in fold_data[fold]['test_cov_list']])
-        preds = np.argmax(np.asarray(logits), axis=1)
+        n_rows = fold_data[fold]['test_data_list'][0].shape[0]
+        preds = np.argmax(all_logits[fold, :n_rows], axis=1)
         metrics = binary_prediction_metrics(fold_data[fold]['test_labels'],
                                             preds)
         print(f'Fold {fold} metrics:')

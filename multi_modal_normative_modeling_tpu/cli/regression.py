@@ -115,9 +115,12 @@ def train_and_test(args, project_root=None):
         return losses['total'], losses
 
     n_folds = len(fold_data)
-    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
-                   for f in range(n_folds)]
-    keys = [jax.random.PRNGKey(42) for _ in range(n_folds)]  # reference parity
+    # the reference re-seeds 42 per fold, so every fold's init is identical:
+    # init once and share (eager init ops cost a tunnel round trip each)
+    init_params = model.init_params(jax.random.PRNGKey(42))
+    params_list = [init_params for _ in range(n_folds)]
+    key42 = jax.random.PRNGKey(42)
+    keys = [key42 for _ in range(n_folds)]  # reference parity
     from .common import run_folds
 
     per_fold_params, per_fold_logs = run_folds(
@@ -125,22 +128,46 @@ def train_and_test(args, project_root=None):
         getattr(args, 'fold_parallel', False), loss_fn=loss_fn,
         per_fold_extras=[{'fi': f['train_fi'][:, None]} for f in fold_data])
 
-    # ---- phase 3: per-fold eval + artifacts ---------------------------------
+    # ---- phase 3: fold-stacked eval + artifacts -----------------------------
+    # The full-cohort blocks are IDENTICAL across folds (the reference re-reads
+    # and re-scales the modality CSV per fold, :163-179 — pure waste): read +
+    # scale once, then run every per-fold device program as ONE vmapped call
+    # over the stacked fold axis (per-fold PRNG streams preserved on-device).
+    stacked_params = jax.tree_util.tree_map(
+        lambda *leaves: np.stack([np.asarray(l) for l in leaves]),
+        *per_fold_params)
+    n_mod = len(dataset_names)
+
+    # FI predictions: pad test rows to a common bucket (fold sizes differ by
+    # +-1; rows are independent through the model)
+    max_rows = max(f['test_data_list'][0].shape[0] for f in fold_data)
+    padded_rows = -(-max_rows // 64) * 64
+
+    def pad(a):
+        a = np.asarray(a, dtype=np.float32)
+        return np.pad(a, ((0, padded_rows - a.shape[0]), (0, 0)))
+
+    xes = tuple(np.stack([pad(f['test_data_list'][m]) for f in fold_data])
+                for m in range(n_mod))
+    cs = (np.stack([pad(f['test_cov']) for f in fold_data]),) * n_mod
+    seeds = np.array([900 + f for f in range(n_folds)], dtype=np.uint32)
+
+    def fi_one(params, xes, cs, seed):
+        return model.pred_fi(params, list(xes), list(cs),
+                             jax.random.PRNGKey(seed), args.combine)
+
+    all_fi = np.asarray(jax.jit(jax.vmap(fi_one))(
+        stacked_params, xes, cs, seeds))
+
     for fold in range(n_folds):
         print(f'=== Fold {fold} ===')
-        params = per_fold_params[fold]
         logs = per_fold_logs[fold]
-        test_data_list = fold_data[fold]['test_data_list']
-        test_cov = fold_data[fold]['test_cov']
         test_fi = fold_data[fold]['test_fi']
         print(f"[Fold {fold}] final loss: {float(logs['total'][-1]):.4f}, "
               f"FI MSE: {float(logs['regression'][-1]):.4f}")
 
-        preds = np.asarray(model.pred_fi(
-            params, [np.asarray(x) for x in test_data_list],
-            [np.asarray(test_cov)] * len(dataset_names),
-            jax.random.PRNGKey(900 + fold), args.combine,
-        )).reshape(-1, 1)
+        n_rows = fold_data[fold]['test_data_list'][0].shape[0]
+        preds = all_fi[fold, :n_rows].reshape(-1, 1)
         trues = test_fi.reshape(-1, 1)
 
         np.save(output_dir / f'fold_{fold}_pred.npy', preds)
@@ -151,44 +178,50 @@ def train_and_test(args, project_root=None):
               f"MAE: {scores['MAE']:.4f}, R²: {scores['R2']:.4f}, "
               f"MAPE: {scores['MAPE']:.2f}%")
 
-        import matplotlib
-        matplotlib.use('Agg')
-        import matplotlib.pyplot as plt
-        plt.figure(figsize=(6, 6))
-        plt.scatter(trues, preds, alpha=0.5)
-        plt.plot([trues.min(), trues.max()], [trues.min(), trues.max()], 'r--')
-        plt.xlabel('True FI')
-        plt.ylabel('Predicted FI')
-        plt.title(f'Fold {fold} - FI Prediction')
-        plt.grid(True)
-        plt.savefig(output_dir / f'fold_{fold}_scatter.png')
-        plt.close()
+        from matplotlib.figure import Figure
+        fig = Figure(figsize=(6, 6))
+        ax = fig.add_subplot(1, 1, 1)
+        ax.scatter(trues, preds, alpha=0.5)
+        ax.plot([trues.min(), trues.max()], [trues.min(), trues.max()], 'r--')
+        ax.set_xlabel('True FI')
+        ax.set_ylabel('Predicted FI')
+        ax.set_title(f'Fold {fold} - FI Prediction')
+        ax.grid(True)
+        fig.savefig(output_dir / f'fold_{fold}_scatter.png')
 
-        # full-cohort ROI-wise deviation per modality, scaler refit on the
-        # whole cohort (reference quirk, :177-179)
-        all_ids = ids_df['IID'].tolist()
-        demo_df = pd.read_csv(participants_path)
-        for modal_idx, dataset_name in enumerate(dataset_names):
-            print(f'[Fold {fold}] Extracting ROI-wise deviation for '
-                  f'{dataset_name}...')
-            columns_name = registry.get_column_name(args.dataset_resourse,
-                                                    dataset_name)
-            modality_df = pd.read_csv(
-                project_root / 'data' / args.dataset_resourse /
-                f'{dataset_name}.csv')
-            full_df = pd.merge(
-                modality_df[modality_df['IID'].isin(all_ids)], demo_df,
-                on='IID')
-            x = fit_robust_scaler(
-                full_df[columns_name].values)[0].astype(np.float32)
-            c = full_df[['AGE', 'PTGENDER']].values.astype(np.float32)
-            deviation = np.asarray(model.roiwise_deviation(
-                params, x, c, jax.random.PRNGKey(800 + fold), modal_idx,
-            ))
+    # full-cohort ROI-wise deviation per modality, scaler refit on the
+    # whole cohort (reference quirk, :177-179)
+    all_ids = ids_df['IID'].tolist()
+    demo_df = pd.read_csv(participants_path)
+    seeds800 = np.array([800 + f for f in range(n_folds)], dtype=np.uint32)
+    for modal_idx, dataset_name in enumerate(dataset_names):
+        print(f'Extracting ROI-wise deviation for {dataset_name} '
+              f'(all {n_folds} folds)...')
+        columns_name = registry.get_column_name(args.dataset_resourse,
+                                                dataset_name)
+        modality_df = pd.read_csv(
+            project_root / 'data' / args.dataset_resourse /
+            f'{dataset_name}.csv')
+        full_df = pd.merge(
+            modality_df[modality_df['IID'].isin(all_ids)], demo_df,
+            on='IID')
+        x = fit_robust_scaler(
+            full_df[columns_name].values)[0].astype(np.float32)
+        c = full_df[['AGE', 'PTGENDER']].values.astype(np.float32)
+
+        def roi_one(params, seed, xx, cc, _mi=modal_idx):
+            return model.roiwise_deviation(params, xx, cc,
+                                           jax.random.PRNGKey(seed), _mi)
+
+        deviations = np.asarray(jax.jit(
+            jax.vmap(roi_one, in_axes=(0, 0, None, None)))(
+                stacked_params, seeds800, x, c))
+        iids = full_df['IID'].tolist()
+        for fold in range(n_folds):
             out = pd.DataFrame(
-                deviation,
-                columns=[f'ROI_{i}' for i in range(deviation.shape[1])])
-            out.insert(0, 'IID', full_df['IID'].tolist())
+                deviations[fold],
+                columns=[f'ROI_{i}' for i in range(deviations.shape[2])])
+            out.insert(0, 'IID', iids)
             write_csv(output_dir /
                       f'deviation_fold_{fold}_{dataset_name}_roiwise.csv', out)
 
