@@ -192,17 +192,50 @@ def load_dataset_cached(demographic_path, ids_path, modality_path):
     return fast_inner_merge(modality_df, demographic, on='IID')
 
 
+_PREP_CACHE: "OrderedDict" = __import__("collections").OrderedDict()
+_PREP_LOCK = __import__("threading").Lock()
+# byte budget for the fold-prep memo (LRU): per-fold entries hold whole
+# DataFrames, so at 10k-subject scale an unbounded cache would eat GBs
+_PREP_CACHE_BYTES = int(__import__("os").environ.get(
+    "MMNM_PREP_CACHE_MB", "1024")) * 1024 * 1024
+
+
+def _prep_nbytes(prep: dict) -> int:
+    total = 0
+    for v in prep.values():
+        if isinstance(v, pd.DataFrame):
+            total += int(v.memory_usage(deep=False).sum())
+        elif isinstance(v, np.ndarray):
+            total += v.nbytes
+    return total
+
+
 def prepare_modality(project_root: Path, resource: str, dataset_name: str,
                      participants_path, train_ids_path,
                      test_ids_path=None) -> dict:
     """Load + scale one modality for a fold, reference test/train semantics:
     RobustScaler fit on the fold's train rows, applied to both splits
     (vectorized bit-identical fast path, data/preprocess.py);
-    qcut one-hot covariates fit independently per split (SURVEY.md Q5)."""
+    qcut one-hot covariates fit independently per split (SURVEY.md Q5).
+
+    Memoized per (paths, mtimes): sweep engines re-enter the test stage at
+    every epochs milestone with identical inputs, and the merge + scaler +
+    qcut work is deterministic in them. Returns a shallow copy so callers
+    may add keys without poisoning the cache."""
     from ..data.preprocess import fit_robust_scaler
 
     columns_name = registry.get_column_name(resource, dataset_name)
     modality_path = Path(project_root) / 'data' / resource / f'{dataset_name}.csv'
+    cache_key = tuple(
+        (str(p), _mtime(p)) for p in (participants_path, train_ids_path,
+                                      test_ids_path, modality_path)
+        if p is not None)
+    with _PREP_LOCK:
+        hit = _PREP_CACHE.get(cache_key)
+        if hit is not None:
+            _PREP_CACHE.move_to_end(cache_key)
+    if hit is not None:
+        return dict(hit)
     train_df = load_dataset_cached(participants_path, train_ids_path,
                                    modality_path)
 
@@ -222,7 +255,15 @@ def prepare_modality(project_root: Path, resource: str, dataset_name: str,
         # device path downcasts to float32 at the jit boundary
         out['test_data'] = scaler.transform(test_df[columns_name].values)
         out['test_cov'] = one_hot_covariates(test_df[['DIA', 'AGE', 'PTGENDER']])
-    return out
+    if _prep_nbytes(out) <= _PREP_CACHE_BYTES:
+        with _PREP_LOCK:
+            _PREP_CACHE[cache_key] = out
+            _PREP_CACHE.move_to_end(cache_key)
+            while (len(_PREP_CACHE) > 1
+                   and sum(map(_prep_nbytes, _PREP_CACHE.values()))
+                   > _PREP_CACHE_BYTES):
+                _PREP_CACHE.popitem(last=False)
+    return dict(out)
 
 
 def fold_paths(kfold_dir: Path, fold: int) -> Tuple[Path, Path]:

@@ -114,3 +114,44 @@ def test_jaxconfig_cache_setup_idempotent():
     cache_dir = jax.config.jax_compilation_cache_dir
     jaxconfig.configure_jax_cache()  # second call: no change
     assert jax.config.jax_compilation_cache_dir == cache_dir
+
+
+def test_prepare_modality_memoized(tmp_path):
+    """prepare_modality is memoized per (paths, mtimes): sweep engines
+    re-enter the test stage per epochs milestone with identical inputs. A
+    touched input invalidates; the returned dict is a shallow copy so caller
+    key additions don't poison the cache."""
+    import os
+
+    from multi_modal_normative_modeling_tpu.cli import common
+    from multi_modal_normative_modeling_tpu.data.loading import (
+        generate_kfold_ids,
+    )
+
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=30, n_disease={0: 10})
+    participants = tmp_path / "data" / "ADNI" / "y.csv"
+    ids_df = pd.read_csv(participants)
+    hc = ids_df[ids_df["DIA"] == 2]
+    other = ids_df[ids_df["DIA"] != 2]
+    generate_kfold_ids(hc, other, oversample_percentage=1, n_splits=2,
+                       project_root=tmp_path)
+    kfold_dir = tmp_path / "outputs" / "kfold_analysis"
+    train_ids = kfold_dir / "train_ids_000.csv"
+    test_ids = kfold_dir / "test_ids_000.csv"
+
+    first = common.prepare_modality(tmp_path, "ADNI", "av45", participants,
+                                    train_ids, test_ids)
+    first["caller_private"] = object()  # must not leak into the cache
+    second = common.prepare_modality(tmp_path, "ADNI", "av45", participants,
+                                     train_ids, test_ids)
+    assert "caller_private" not in second
+    # cache hit: the heavy arrays are the same objects
+    assert second["train_data"] is first["train_data"]
+    assert second["test_data"] is first["test_data"]
+
+    # touching an input invalidates (mtime_ns key)
+    os.utime(train_ids)
+    third = common.prepare_modality(tmp_path, "ADNI", "av45", participants,
+                                    train_ids, test_ids)
+    assert third["train_data"] is not first["train_data"]
+    np.testing.assert_array_equal(third["train_data"], first["train_data"])
