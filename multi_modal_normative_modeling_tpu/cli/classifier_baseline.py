@@ -88,7 +88,8 @@ def main(args):
     logging.info(f"Testing set size: {X_test.shape[0]}")
 
     model = MLPClassifier(X_train.shape[1], args.hidden_layers, args.dropout)
-    params = model.init_params(jax.random.PRNGKey(42))
+    from .common import host_init_params
+    params = host_init_params(model)
 
     logging.info("Starting training")
     best_params, history = train_classifier(

@@ -192,6 +192,54 @@ def load_dataset_cached(demographic_path, ids_path, modality_path):
     return fast_inner_merge(modality_df, demographic, on='IID')
 
 
+def _local_cpu_device():
+    """The local CPU backend's device, or None when the plugin config pins
+    the platform list (e.g. this image's axon wrapper can hide 'cpu' until
+    the primary backend has initialized — retry after a full init)."""
+    import jax
+
+    for attempt in range(2):
+        try:
+            return jax.devices("cpu")[0]
+        except Exception:
+            if attempt:
+                return None
+            try:
+                jax.devices()  # initialize every available platform
+            except Exception:
+                return None
+
+
+def host_init_params(model, seed: int = 42):
+    """Initialize model params on the LOCAL CPU backend, returned as numpy.
+
+    JAX's threefry PRNG is bit-identical across backends, so this matches a
+    device-side init exactly — but through the remote-TPU tunnel every eager
+    init op costs a ~0.4 s remote compile + RTT (measured: 12 s per process
+    start for one flagship init), while the CPU-local init is milliseconds
+    and the params upload once, asynchronously, at the first jit call."""
+    import jax
+
+    cpu = _local_cpu_device()
+    if cpu is None:
+        params = model.init_params(jax.random.PRNGKey(seed))
+    else:
+        with jax.default_device(cpu):
+            params = model.init_params(jax.random.PRNGKey(seed))
+    return jax.tree_util.tree_map(np.asarray, params)
+
+
+def host_prng_key(seed: int = 42) -> np.ndarray:
+    """jax.random.PRNGKey computed on the local CPU backend (numpy out)."""
+    import jax
+
+    cpu = _local_cpu_device()
+    if cpu is None:
+        return np.asarray(jax.random.PRNGKey(seed))
+    with jax.default_device(cpu):
+        return np.asarray(jax.random.PRNGKey(seed))
+
+
 _PREP_CACHE: "OrderedDict" = __import__("collections").OrderedDict()
 _PREP_LOCK = __import__("threading").Lock()
 # byte budget for the fold-prep memo (LRU): per-fold entries hold whole

@@ -12,8 +12,6 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
-from sklearn.model_selection import KFold
-
 from .. import registry
 from .common import load_dataset_cached as load_dataset
 from ..evaluation.metrics import classification_performance
@@ -25,13 +23,43 @@ from ..evaluation.reports import (
 from . import common
 
 
-def analyze_pair(args, project_root: Path):
-    """One hc/disease label pair (group_analysis main(), :162-267)."""
+def _fold_frames(args, project_root: Path, dataset_names):
+    """Per-fold (averaged error frame, DIA-labeled test frame), shared by
+    every hc/disease pair (the reference recomputes these merges per pair
+    AND per modality, group_analysis:197-215, though only the LAST
+    modality's merge survives its loop — we load just that one)."""
     model_name = 'supervised_cvae'
     participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
-    outputs_dir = project_root / 'outputs'
-    kfold_dir = outputs_dir / 'kfold_analysis'
+    kfold_dir = project_root / 'outputs' / 'kfold_analysis'
     model_dir = kfold_dir / model_name
+
+    frames = []
+    modality_path = (project_root / 'data' / args.dataset_resourse /
+                     f'{dataset_names[-1]}.csv')
+    for fold in range(args.n_splits):
+        _, test_ids_path = common.fold_paths(kfold_dir, fold)
+        fold_model_dir = model_dir / f'{fold:03d}'
+        # last modality wins in the reference's per-modality merge loop
+        test_dataset_df = load_dataset(participants_path, test_ids_path,
+                                       modality_path)
+        test_dataset_df = test_dataset_df.set_index('participant_id')
+        error_frames = [
+            pd.read_csv(fold_model_dir / name /
+                        f'reconstruction_error_{name}.csv',
+                        index_col='participant_id')
+            for name in dataset_names
+        ]
+        averaged = error_frames[0]
+        for frame in error_frames[1:]:
+            averaged = averaged + frame
+        averaged = averaged / len(error_frames)
+        frames.append((averaged, test_dataset_df))
+    return frames
+
+
+def analyze_pair(args, project_root: Path, fold_frames=None):
+    """One hc/disease label pair (group_analysis main(), :162-267)."""
+    kfold_dir = project_root / 'outputs' / 'kfold_analysis'
 
     auc_roc_list, accuracy_list = [], []
     sensitivity_list, specificity_list, significance_ratio_list = [], [], []
@@ -41,33 +69,11 @@ def analyze_pair(args, project_root: Path):
     if args.combine is None:
         raise ValueError(f'Unknown procedure: {args.procedure}')
 
-    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
-    ids_df = pd.read_csv(participants_path)
-    HC_group = ids_df[ids_df['DIA'] == args.hc_label]
-
     dataset_name = dataset_names[-1]
-    for fold, _ in enumerate(kf.split(HC_group)):
-        _, test_ids_path = common.fold_paths(kfold_dir, fold)
-        fold_model_dir = model_dir / f'{fold:03d}'
+    if fold_frames is None:
+        fold_frames = _fold_frames(args, project_root, dataset_names)
 
-        error_frames = []
-        for dataset_name in dataset_names:
-            modality_path = (project_root / 'data' / args.dataset_resourse /
-                             f'{dataset_name}.csv')
-            test_dataset_df = load_dataset(participants_path, test_ids_path,
-                                           modality_path)
-            test_dataset_df = test_dataset_df.set_index('participant_id')
-            error_frames.append(pd.read_csv(
-                fold_model_dir / dataset_name /
-                f'reconstruction_error_{dataset_name}.csv',
-                index_col='participant_id',
-            ))
-
-        averaged = error_frames[0]
-        for frame in error_frames[1:]:
-            averaged = averaged + frame
-        averaged = averaged / len(error_frames)
-
+    for averaged, test_dataset_df in fold_frames:
         error_hc = averaged.loc[
             test_dataset_df['DIA'] == args.hc_label]['Reconstruction error']
         error_patient = averaged.loc[
@@ -112,10 +118,13 @@ def main(args, project_root=None):
 
     stats = {k: [] for k in ('auc', 'auc_std', 'acc', 'acc_std', 'rec',
                              'rec_std', 'spec', 'spec_std', 'sig', 'sig_std')}
+    dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                               args.procedure)
+    fold_frames = _fold_frames(args, project_root, dataset_names)
     for hc_label, disease_label in pairs:
         args.hc_label = hc_label
         args.disease_label = disease_label
-        results = analyze_pair(args, project_root)
+        results = analyze_pair(args, project_root, fold_frames=fold_frames)
         for key, value in zip(stats.keys(), results):
             stats[key].append(value)
 

@@ -104,10 +104,12 @@ def train(args, project_root: Path):
                          base_lr=1e-6, max_lr=5e-5, shuffle=False, seed=42)
     n_folds = len(folds)
     # the reference re-seeds 42 per fold, so every fold's init is identical:
-    # init once and share (eager init ops cost a tunnel round trip each)
-    init_params = model.init_params(jax.random.PRNGKey(42))
+    # init once on the LOCAL CPU backend and share (bit-identical threefry;
+    # remote eager init costs ~0.4s/op through the tunnel)
+    from .common import host_init_params, host_prng_key
+    init_params = host_init_params(model)
     params_list = [init_params for _ in range(n_folds)]
-    key42 = jax.random.PRNGKey(42)
+    key42 = host_prng_key(42)
     keys = [key42 for _ in range(n_folds)]  # reference parity
 
     print('Training model...')

@@ -157,10 +157,11 @@ def main(args, project_root=None):
 
     n_folds = len(fold_data)
     # the reference re-seeds 42 per fold, so every fold's init is identical:
-    # init once and share (eager init ops cost a tunnel round trip each)
-    init_params = model.init_params(jax.random.PRNGKey(42))
+    # init once on the LOCAL CPU backend and share (bit-identical threefry;
+    # remote eager init costs ~0.4s/op through the tunnel)
+    init_params = common.host_init_params(model)
     params_list = [init_params for _ in range(n_folds)]
-    key42 = jax.random.PRNGKey(42)
+    key42 = common.host_prng_key(42)
     keys = [key42 for _ in range(n_folds)]  # reference parity
 
     print('train model')

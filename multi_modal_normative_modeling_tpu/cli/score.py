@@ -76,7 +76,12 @@ def score(args, project_root=None) -> pd.DataFrame:
                 return recons, devs
 
         if template is None:
-            template = model.init_params(jax.random.PRNGKey(0))
+            # abstract shapes/dtypes only (eager init costs a round trip
+            # per op through the remote-TPU tunnel)
+            shapes = jax.eval_shape(model.init_params,
+                                    jax.ShapeDtypeStruct((2,), np.uint32))
+            template = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), shapes)
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
 
         n_rows = data_list[0].shape[0]

@@ -114,11 +114,12 @@ def main(args, project_root=None):
         [f['train'][1] for f in fold_data], train_config.batch_size,
         extras=[{'labels': f['labels'].astype(np.float32)[:, None]}
                 for f in fold_data])
-    keys = jnp.stack([
-        jnp.stack([jax.random.PRNGKey(42) for _ in range(n_folds)])
-        for _ in configs])
-    params_list = [model.init_params(jax.random.PRNGKey(42))  # same seed every fold (reference re-seeds 42 per fold, train:119)
-                   for f in range(n_folds)]
+    # identical per-fold seeding (reference re-seeds 42 per fold,
+    # train:119), computed once on the local CPU backend
+    key42 = common.host_prng_key(42)
+    keys = jnp.stack([np.stack([key42] * n_folds)] * len(configs))
+    init_params = common.host_init_params(model)
+    params_list = [init_params for _ in range(n_folds)]
 
     print(f'training grid: {len(configs)} configs x {n_folds} folds '
           f'in one program')

@@ -181,12 +181,11 @@ def main(args, project_root=None):
                     precision=pa.precision,
                 )
                 # same per-fold seeding as the standalone trainer
-                # (reference re-seeds 42 per fold, train:119)
-                stacked = stack_params(
-                    [model.init_params(jax.random.PRNGKey(42))
-                     for _ in range(n_folds)])
-                keys = jnp.stack(
-                    [jax.random.PRNGKey(42) for _ in range(n_folds)])
+                # (reference re-seeds 42 per fold, train:119): identical
+                # inits, computed once on the local CPU backend
+                init_params = common.host_init_params(model)
+                stacked = stack_params([init_params] * n_folds)
+                keys = jnp.stack([common.host_prng_key(42)] * n_folds)
                 mft = MultiFoldTrainer(model, train_config, max_n)
 
                 for epochs, host_params, logs in mft.run_milestones(

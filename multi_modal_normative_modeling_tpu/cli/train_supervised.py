@@ -99,12 +99,12 @@ def main(args, project_root=None):
         precision=getattr(args, 'precision', 'fp32'),
     )
     # The reference re-seeds 42 per fold (train:119), so every fold's init is
-    # IDENTICAL — init once and share the pytree across folds (each eager
-    # init op costs a round trip through the remote-TPU tunnel; no trainer
-    # donates these buffers, and stack_params copies into a new array).
-    init_params = model.init_params(jax.random.PRNGKey(42))
+    # IDENTICAL — init once on the LOCAL CPU backend (bit-identical threefry;
+    # remote eager init costs ~0.4s/op through the tunnel) and share the
+    # pytree (no trainer donates these buffers; stack_params copies).
+    init_params = common.host_init_params(model)
     params_list = [init_params for _ in range(n_folds)]
-    key42 = jax.random.PRNGKey(42)
+    key42 = common.host_prng_key(42)
     keys = [key42 for _ in range(n_folds)]  # reference parity
     mark('model build + param init')
 

@@ -75,7 +75,10 @@ def load_fold_model(project_root, fold: int = 0):
 
     config = json.loads((fold_dir / "cVAE_model.json").read_text())
     model = build_model_from_config(config)
-    template = model.init_params(jax.random.PRNGKey(0))
+    shapes = jax.eval_shape(model.init_params,
+                            jax.ShapeDtypeStruct((2,), np.uint32))
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
     params, config = load_checkpoint(fold_dir, template_params=template)
     return model, params, config
 

@@ -27,8 +27,16 @@ def configure_jax_cache() -> None:
     # request CPU would otherwise run on the remote TPU).
     want = os.environ.get("JAX_PLATFORMS")
     if want:
+        # Keep the host 'cpu' backend registered alongside the requested
+        # platform (this image exports JAX_PLATFORMS=axon while its
+        # sitecustomize sets 'axon,cpu'): the default backend is the FIRST
+        # entry, and init-time eager ops run on the local cpu backend
+        # instead of paying ~0.4s remote compiles each (host_init_params).
+        plats = [p.strip() for p in want.split(",") if p.strip()]
+        if "cpu" not in plats:
+            plats.append("cpu")
         try:
-            jax.config.update("jax_platforms", want)
+            jax.config.update("jax_platforms", ",".join(plats))
         except Exception:
             pass
 
