@@ -8,8 +8,9 @@ axis {50,500,1000} is snapshotted from one run to 1000, and the lr axis is
 deduped under the reference's constant-effective-LR behavior (SURVEY.md Q1).
 
 Measured (RESULTS.md): 985 s end-to-end on one TPU v5e chip, cold compiles
-included, vs ~47 h estimated for the reference's loop at its measured
-per-fold-epoch cost (BASELINE.json["measured"]).
+included — 666 s at round-2 final (vmapped whole-run test stage, prep memo,
+CPU-local init) — vs ~47 h estimated for the reference's loop at its
+measured per-fold-epoch cost (BASELINE.json["measured"]).
 
 Usage: python scripts/run_adhd_sweep.py [workdir]
 """

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Reproduce the RESULTS.md "14x the reference cohort" row: flagship pipeline
+on a 10,000-subject synthetic ADNI cohort (6000 HC / 2000 AD / 2000 MCI),
+UCA-gPoE, 10 folds x 100 epochs, fold-parallel, on one chip.
+
+Usage: python scripts/run_scale10k.py [workdir]
+"""
+import argparse
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from multi_modal_normative_modeling_tpu.cli import (  # noqa: E402
+    group_analysis,
+    test_supervised,
+    train_supervised,
+)
+from multi_modal_normative_modeling_tpu.data.synthetic import (  # noqa: E402
+    make_synthetic_resource,
+)
+
+
+def main():
+    root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(
+        tempfile.mkdtemp(prefix="scale10k_"))
+    t0 = time.perf_counter()
+    make_synthetic_resource(root, "ADNI", n_hc=6000,
+                            n_disease={0: 2000, 1: 2000}, effect=0.9,
+                            with_early_fusion=True, seed=11)
+    t_synth = time.perf_counter() - t0
+    args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[110, 110, 10],
+        procedure="UCA-gPoE", combine="gPoE", epochs=100, n_splits=10,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=True, precision="fp32",
+        in_memory_fusion=True, emit_latent=False, fused_inference=False,
+    )
+    t0 = time.perf_counter()
+    train_supervised.main(args, project_root=root)
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    test_supervised.main(args, project_root=root)
+    t_test = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stats = group_analysis.main(args, project_root=root)
+    t_ga = time.perf_counter() - t0
+    print(f"\nworkdir: {root}")
+    print(f"SYNTH {t_synth:.1f}s  TRAIN {t_train:.1f}s  TEST {t_test:.1f}s  "
+          f"ANALYSIS {t_ga:.1f}s")
+    print(f"HC-vs-AD AUC: {stats['auc'][0]:.4f} ± {stats['auc_std'][0]:.4f}")
+
+
+if __name__ == "__main__":
+    main()
