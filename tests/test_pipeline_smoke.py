@@ -135,3 +135,49 @@ def test_result_multimodal_format(project):
     text = (root / "result_baseline" / "result_multimodal.txt").read_text()
     assert "Experiment settings: CVAE. ADNI: 2 vs 0." in text
     assert "ROC-AUC: $" in text and "\\pm" in text
+
+
+def test_vmapped_test_stage_matches_direct_inference(project):
+    """The whole-run vmapped inference program (stacked fold axis, padded row
+    buckets, on-device PRNG derivation) must reproduce a direct single-fold
+    pred_recon call exactly: restore fold 1's checkpoint, re-prepare its
+    split, run the model directly with the same PRNG stream (PRNGKey(1001)),
+    and compare against the emitted reconstruction CSV."""
+    import jax
+
+    from multi_modal_normative_modeling_tpu import registry
+    from multi_modal_normative_modeling_tpu.cli import common
+    from multi_modal_normative_modeling_tpu.train import load_checkpoint
+
+    root, args = project
+    fold = 1
+    fold_dir = (root / "outputs" / "kfold_analysis" / "supervised_cvae" /
+                f"{fold:03d}")
+    _, config = load_checkpoint(fold_dir)
+    model = common.build_model_from_config(config)
+    template = common.host_init_params(model, seed=0)
+    params, _ = load_checkpoint(fold_dir, template_params=template)
+
+    dataset_names = registry.get_datasets_name(args.dataset_resourse,
+                                               args.procedure)
+    participants = root / "data" / args.dataset_resourse / "y.csv"
+    kfold_dir = root / "outputs" / "kfold_analysis"
+    train_ids, test_ids = common.fold_paths(kfold_dir, fold)
+    preps = [common.prepare_modality(root, args.dataset_resourse, name,
+                                     participants, train_ids, test_ids)
+             for name in dataset_names]
+    xes = [np.asarray(p["test_data"], dtype=np.float32) for p in preps]
+    cs = [np.asarray(preps[-1]["test_cov"], dtype=np.float32)] * len(preps)
+
+    direct = jax.jit(
+        lambda p, x, c: model.pred_recon(p, list(x), list(c),
+                                         jax.random.PRNGKey(1000 + fold),
+                                         args.combine)
+    )(params, tuple(xes), tuple(cs))
+
+    for m, name in enumerate(dataset_names):
+        emitted = pd.read_csv(fold_dir / name / f"reconstruction_{name}.csv")
+        emitted_vals = emitted.drop(
+            columns=["participant_id", "DIA", "AGE", "PTGENDER"]).values
+        np.testing.assert_allclose(np.asarray(direct[m]), emitted_vals,
+                                   rtol=0, atol=1e-5)
