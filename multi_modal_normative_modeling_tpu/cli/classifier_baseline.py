@@ -75,6 +75,9 @@ def record_experiment(args, metrics, filename="./experiment_results.json"):
 
 
 def main(args):
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
     setup_logging(args.log_level)
     logging.info("Experiment Configuration:")
     for arg, value in vars(args).items():

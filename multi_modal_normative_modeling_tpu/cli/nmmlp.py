@@ -52,6 +52,9 @@ def _build_model(args, input_dim_list, c_dim, modalities):
 
 
 def train(args, project_root: Path):
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
     outputs, kfold_dir, model_dir = _dirs(project_root)
     np.random.seed(42)
 
@@ -134,6 +137,9 @@ def train(args, project_root: Path):
 
 
 def test(args, project_root: Path):
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
     outputs, kfold_dir, model_dir = _dirs(project_root)
     participants_path = project_root / 'data' / args.dataset_resourse / 'y.csv'
     ids_df = pd.read_csv(participants_path)

@@ -54,6 +54,9 @@ def process_test(dataset_df, columns_name, scaler, hc_label):
 
 
 def main(args, project_root=None):
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
     project_root = Path(project_root) if project_root else Path.cwd()
     kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
     model_name = 'supervised_cvae'

@@ -35,6 +35,9 @@ def evaluate_regression(y_true, y_pred) -> dict:
 
 def train_and_test(args, project_root=None):
     from ..data.preprocess import fit_robust_scaler
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
 
     project_root = Path(project_root) if project_root else Path.cwd()
     np.random.seed(42)

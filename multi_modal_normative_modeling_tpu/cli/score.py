@@ -28,6 +28,9 @@ from . import common
 
 
 def score(args, project_root=None) -> pd.DataFrame:
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
     project_root = Path(project_root) if project_root else Path.cwd()
     kfold_dir = project_root / 'outputs' / 'kfold_analysis'
     model_dir = kfold_dir / 'supervised_cvae'

@@ -32,6 +32,9 @@ from .nmpmcont import process_dataset, process_test
 
 
 def main(args, project_root=None):
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
     project_root = Path(project_root) if project_root else Path.cwd()
     kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
     output_dir = project_root / 'outputs'

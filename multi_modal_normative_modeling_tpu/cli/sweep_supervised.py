@@ -102,6 +102,42 @@ def _point_args(args, procedure: str, hz, epochs: int, base_lr: float,
 
 
 def main(args, project_root=None):
+    import os
+    import time
+    from collections import Counter
+    from contextlib import contextmanager
+
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
+
+    # MMNM_SWEEP_TIMING=1 prints cumulative wall-clock per sweep phase at the
+    # end (observability: the tunnel makes device/compile time hard to
+    # attribute from outside)
+    timing = os.environ.get('MMNM_SWEEP_TIMING')
+    phases = Counter()
+    t_start = time.perf_counter()
+
+    @contextmanager
+    def phase(label):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            phases[label] += time.perf_counter() - t0
+
+    def timed_iter(gen, label):
+        """Attribute the generator's own (next-call) time to ``label``."""
+        while True:
+            t0 = time.perf_counter()
+            try:
+                item = next(gen)
+            except StopIteration:
+                return
+            finally:
+                phases[label] += time.perf_counter() - t0
+            yield item
+
     project_root = Path(project_root) if project_root else Path.cwd()
     model_name = 'supervised_cvae'
 
@@ -160,12 +196,13 @@ def main(args, project_root=None):
                                                    procedure)
         prep_args = _point_args(args, procedure, hz_grid[0], max_epochs,
                                 *lr_grid[0])
-        folds, input_dim_list, c_dim = common.prepare_folds(
-            prep_args, project_root, kfold_dir, model_dir, dataset_names,
-            participants_path)
-        max_n = max(f[0][0].shape[0] for f in folds)
-        batches = jax.device_put(stack_fold_batches(
-            [f[0] for f in folds], [f[1] for f in folds], 256))
+        with phase('prep (host fold x modality)'):
+            folds, input_dim_list, c_dim = common.prepare_folds(
+                prep_args, project_root, kfold_dir, model_dir, dataset_names,
+                participants_path)
+            max_n = max(f[0][0].shape[0] for f in folds)
+            batches = jax.device_put(stack_fold_batches(
+                [f[0] for f in folds], [f[1] for f in folds], 256))
 
         for hz in hz_grid:
             for base_lr, max_lr in lr_points:
@@ -188,20 +225,27 @@ def main(args, project_root=None):
                 keys = jnp.stack([common.host_prng_key(42)] * n_folds)
                 mft = MultiFoldTrainer(model, train_config, max_n)
 
-                for epochs, host_params, logs in mft.run_milestones(
-                        stacked, batches, keys, epochs_list):
+                for epochs, host_params, logs in timed_iter(
+                        mft.run_milestones(stacked, batches, keys,
+                                           epochs_list),
+                        'train (compile + device + fetch)'):
                     point = _point_args(args, procedure, hz, epochs,
                                         base_lr, max_lr)
-                    per_fold = unstack_params(host_params, n_folds)
-                    for fold in range(n_folds):
-                        fold_dir = model_dir / f'{fold:03d}'
-                        logger = Logger()
-                        logger.extend({k: v[fold] for k, v in logs.items()})
-                        plot_losses(logger, fold_dir, 'training')
-                        save_checkpoint(fold_dir, per_fold[fold], config_dict)
-                    test_supervised.main(point, project_root=project_root)
-                    stats = group_analysis.main(point,
-                                                project_root=project_root)
+                    with phase('artifacts (plots + checkpoints)'):
+                        per_fold = unstack_params(host_params, n_folds)
+                        for fold in range(n_folds):
+                            fold_dir = model_dir / f'{fold:03d}'
+                            logger = Logger()
+                            logger.extend(
+                                {k: v[fold] for k, v in logs.items()})
+                            plot_losses(logger, fold_dir, 'training')
+                            save_checkpoint(fold_dir, per_fold[fold],
+                                            config_dict)
+                    with phase('test stage'):
+                        test_supervised.main(point, project_root=project_root)
+                    with phase('group analysis'):
+                        stats = group_analysis.main(
+                            point, project_root=project_root)
                     stats = {k: [float(x) for x in v]
                              for k, v in stats.items()}
                     rec = dict(procedure=procedure, hz_para_list=list(hz),
@@ -230,6 +274,14 @@ def main(args, project_root=None):
     summary_path.write_text(json.dumps(records, indent=1))
     run_log.event('sweep_end', points=len(records), summary=str(summary_path))
     print(f'sweep summary: {summary_path} ({len(records)} grid points)')
+    if timing:
+        total = time.perf_counter() - t_start
+        accounted = sum(phases.values())
+        for label, secs in phases.most_common():
+            print(f'[sweep timing] {label}: {secs:.1f}s')
+        print(f'[sweep timing] other (model build/init/glue): '
+              f'{total - accounted:.1f}s')
+        print(f'[sweep timing] total: {total:.1f}s')
     return records
 
 

@@ -74,6 +74,10 @@ def main(args, project_root=None):
     import os
     import time
 
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
+
     # MMNM_TEST_TIMING=1 prints wall-clock per stage phase (observability;
     # the tunnel makes device phases hard to attribute from outside)
     timing = os.environ.get('MMNM_TEST_TIMING')

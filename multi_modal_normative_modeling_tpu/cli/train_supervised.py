@@ -29,6 +29,10 @@ def main(args, project_root=None):
 
     # MMNM_TRAIN_TIMING=1 prints wall-clock per stage phase (observability;
     # the tunnel makes device phases hard to attribute from outside)
+    from ..utils.jaxconfig import warm_device_session
+
+    warm_device_session()  # attach the remote device session during host prep
+
     timing = os.environ.get('MMNM_TRAIN_TIMING')
     marks = [time.perf_counter()]
 

@@ -53,3 +53,49 @@ def configure_jax_cache() -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+
+
+_warm_thread = None
+
+
+def warm_device_session() -> None:
+    """Fire-and-forget a tiny op on the default backend so the remote device
+    session attaches WHILE host-side prep runs.
+
+    On the remote-TPU tunnel the first execution in a process carries the
+    whole session-establishment cost — measured from ~0.4 s (healthy) up to
+    several hundred seconds when the service is degraded — and it is paid
+    exactly once per process. Every data-path CLI calls this right after
+    argument parsing, so the attach overlaps CSV loading/scaling instead of
+    serializing in front of the first training/inference dispatch. The
+    measured attach time is logged on 'mmnm.device' (warning above 30 s so
+    operators can tell service degradation from framework cost)."""
+    global _warm_thread
+    if _warm_thread is not None:
+        return
+
+    import logging
+    import threading
+    import time
+
+    log = logging.getLogger("mmnm.device")
+
+    def _attach():
+        t0 = time.perf_counter()
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            np.asarray(jnp.zeros((1,), jnp.float32))
+        except Exception as exc:  # pragma: no cover - depends on backend
+            log.info("device session warmup failed: %r", exc)
+            return
+        dt = time.perf_counter() - t0
+        level = log.warning if dt > 30 else log.info
+        level("device session attached in %.1fs (overlapped with host prep)",
+              dt)
+
+    _warm_thread = threading.Thread(target=_attach, daemon=True,
+                                    name="mmnm-device-warmup")
+    _warm_thread.start()

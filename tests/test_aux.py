@@ -126,3 +126,23 @@ def test_viz_auc_summary(tmp_path):
     assert len(table) == 1
     np.testing.assert_allclose(table.iloc[0]["mean_auc"], 0.8)
     assert (tmp_path / "summary.csv").exists()
+
+
+def test_warm_device_session_overlaps_and_logs(caplog):
+    """warm_device_session fires exactly one background attach thread per
+    process and logs the measured attach time on 'mmnm.device'."""
+    import logging
+
+    from multi_modal_normative_modeling_tpu.utils import jaxconfig
+
+    jaxconfig._warm_thread = None  # fresh-process behavior inside the suite
+    with caplog.at_level(logging.INFO, logger="mmnm.device"):
+        jaxconfig.warm_device_session()
+        thread = jaxconfig._warm_thread
+        assert thread is not None
+        jaxconfig.warm_device_session()  # idempotent: same thread
+        assert jaxconfig._warm_thread is thread
+        thread.join(timeout=120)
+        assert not thread.is_alive()
+    assert any("device session attached" in rec.message
+               for rec in caplog.records)
