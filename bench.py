@@ -43,13 +43,19 @@ def _make_data(rng):
 def bench_jax() -> float:
     """Wall-clock seconds for the 5-fold concurrent jitted run (post-compile)."""
     import jax
-    import jax.numpy as jnp
 
     from multi_modal_normative_modeling_tpu.utils.jaxconfig import (
         configure_jax_cache,
     )
 
     configure_jax_cache()
+
+    from multi_modal_normative_modeling_tpu.utils.jaxconfig import (
+        warm_device_session,
+    )
+
+    # attach the remote device session while data gen + tracing run
+    warm_device_session()
 
     from multi_modal_normative_modeling_tpu.models import build_model
     from multi_modal_normative_modeling_tpu.parallel import (
@@ -64,18 +70,32 @@ def bench_jax() -> float:
                         len(DIMS))
     config = TrainConfig(epochs=EPOCHS, batch_size=BATCH, combine="gpoe")
 
+    # init params/keys on the local CPU backend: threefry is bit-identical
+    # across backends, and eager ops through the remote tunnel cost a
+    # compile + round trip each (see common.host_init_params)
+    from multi_modal_normative_modeling_tpu.cli.common import (
+        _local_cpu_device,
+    )
+
+    cpu = _local_cpu_device()
     per_fold_data, per_fold_cov, params_list = [], [], []
-    for f in range(FOLDS):
-        d, c = _make_data(rng)
-        per_fold_data.append(d)
-        per_fold_cov.append(c)
-        params_list.append(model.init_params(jax.random.PRNGKey(f)))
+    import contextlib
+
+    with (jax.default_device(cpu) if cpu is not None
+          else contextlib.nullcontext()):
+        for f in range(FOLDS):
+            d, c = _make_data(rng)
+            per_fold_data.append(d)
+            per_fold_cov.append(c)
+            params_list.append(jax.tree_util.tree_map(
+                np.asarray, model.init_params(jax.random.PRNGKey(f))))
+        keys = np.stack([np.asarray(jax.random.PRNGKey(100 + f))
+                         for f in range(FOLDS)])
 
     stacked = stack_params(params_list)
     batches = jax.device_put(
         stack_fold_batches(per_fold_data, per_fold_cov, BATCH)
     )
-    keys = jnp.stack([jax.random.PRNGKey(100 + f) for f in range(FOLDS)])
 
     trainer = MultiFoldTrainer(model, config, N_SUBJECTS)
     # compile + warm-up (np.asarray forces a host transfer: on the remote
