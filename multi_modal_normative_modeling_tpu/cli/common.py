@@ -220,12 +220,15 @@ def host_init_params(model, seed: int = 42):
     and the params upload once, asynchronously, at the first jit call."""
     import jax
 
+    from ..utils.jaxconfig import no_compile_cache
+
     cpu = _local_cpu_device()
-    if cpu is None:
-        params = model.init_params(jax.random.PRNGKey(seed))
-    else:
-        with jax.default_device(cpu):
+    with no_compile_cache():
+        if cpu is None:
             params = model.init_params(jax.random.PRNGKey(seed))
+        else:
+            with jax.default_device(cpu):
+                params = model.init_params(jax.random.PRNGKey(seed))
     return jax.tree_util.tree_map(np.asarray, params)
 
 
@@ -233,11 +236,14 @@ def host_prng_key(seed: int = 42) -> np.ndarray:
     """jax.random.PRNGKey computed on the local CPU backend (numpy out)."""
     import jax
 
+    from ..utils.jaxconfig import no_compile_cache
+
     cpu = _local_cpu_device()
-    if cpu is None:
-        return np.asarray(jax.random.PRNGKey(seed))
-    with jax.default_device(cpu):
-        return np.asarray(jax.random.PRNGKey(seed))
+    with no_compile_cache():
+        if cpu is None:
+            return np.asarray(jax.random.PRNGKey(seed))
+        with jax.default_device(cpu):
+            return np.asarray(jax.random.PRNGKey(seed))
 
 
 _PREP_CACHE: "OrderedDict" = __import__("collections").OrderedDict()

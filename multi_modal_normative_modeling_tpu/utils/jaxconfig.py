@@ -55,6 +55,31 @@ def configure_jax_cache() -> None:
         pass
 
 
+def no_compile_cache():
+    """Context manager: compile without touching the persistent cache.
+
+    Used around the CPU-local init helpers (common.host_init_params /
+    host_prng_key): their compiles are milliseconds, but persisting them
+    fills the cache with XLA:CPU AOT entries whose feature-flag stamp never
+    matches the host's runtime detection (XLA adds prefer-no-gather/scatter
+    pseudo-features at compile time only), so every later load spams
+    multi-KB cpu_aot_loader ERROR lines into user-facing CLI output."""
+    import contextlib
+
+    import jax
+
+    @contextlib.contextmanager
+    def _ctx():
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+    return _ctx()
+
+
 _warm_thread = None
 
 
