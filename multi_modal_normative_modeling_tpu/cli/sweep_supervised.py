@@ -233,7 +233,10 @@ def main(args, project_root=None):
                                         base_lr, max_lr)
                     with phase('artifacts (plots + checkpoints)'):
                         per_fold = unstack_params(host_params, n_folds)
-                        for fold in range(n_folds):
+
+                        def emit_fold(fold):
+                            # plot_losses is OO-Agg (thread-safe, no pyplot
+                            # global state); checkpoint writes are atomic
                             fold_dir = model_dir / f'{fold:03d}'
                             logger = Logger()
                             logger.extend(
@@ -241,6 +244,11 @@ def main(args, project_root=None):
                             plot_losses(logger, fold_dir, 'training')
                             save_checkpoint(fold_dir, per_fold[fold],
                                             config_dict)
+
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        with ThreadPoolExecutor(max_workers=8) as pool:
+                            list(pool.map(emit_fold, range(n_folds)))
                     with phase('test stage'):
                         test_supervised.main(point, project_root=project_root)
                     with phase('group analysis'):

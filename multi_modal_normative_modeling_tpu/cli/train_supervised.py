@@ -269,18 +269,27 @@ def main(args, project_root=None):
 
     # ---- artifacts ---------------------------------------------------------
     mark('train (device + fetch)')
-    for fold in range(n_folds):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def emit_fold(fold):
+        # plot_losses is OO-Agg (thread-safe, no pyplot global state);
+        # checkpoint writes are atomic
         fold_model_dir = model_dir / f'{fold:03d}'
-        logs = per_fold_logs[fold]
         logger = Logger()
-        logger.extend(logs)
-        last = {k: float(np.asarray(v)[-1]) for k, v in logs.items()}
-        print('Train fold:', fold, ' final-epoch ',
-              ', '.join(f'{k}: {round(v, 3)}' for k, v in last.items()))
+        logger.extend(per_fold_logs[fold])
         plot_losses(logger, fold_model_dir, 'training')
         save_checkpoint(fold_model_dir, per_fold_params[fold], config_dict)
-        run_log.event('fold_done', fold=fold, **last)
-        print('fold_model_dir:', fold_model_dir)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = pool.map(emit_fold, range(n_folds))
+        for fold in range(n_folds):
+            logs = per_fold_logs[fold]
+            last = {k: float(np.asarray(v)[-1]) for k, v in logs.items()}
+            print('Train fold:', fold, ' final-epoch ',
+                  ', '.join(f'{k}: {round(v, 3)}' for k, v in last.items()))
+            run_log.event('fold_done', fold=fold, **last)
+            print('fold_model_dir:', model_dir / f'{fold:03d}')
+        list(futures)
     run_log.event('train_end', folds=n_folds)
     mark('artifacts (plots + checkpoints)')
 

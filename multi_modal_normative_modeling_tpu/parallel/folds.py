@@ -189,17 +189,33 @@ class MultiFoldTrainer:
             if m < cur:
                 raise ValueError(f"milestones must ascend, got {milestones}")
             if m > cur:
+                delta = m - cur
+                # Reuse an already-compiled chunk size when the delta is a
+                # small multiple of it: a compile (persistent-cache hit ~1 s,
+                # server-cold 10-30 s through the tunnel) costs more than a
+                # few extra dispatches (~0.1 s each), and chunked scans are
+                # prefix-bit-identical regardless of the split
+                # (tests/test_sweep_supervised.py).
+                divisors = [s for s in self._chunk_cache
+                            if delta % s == 0 and delta // s <= 16]
+                if delta in self._chunk_cache or not divisors:
+                    size, reps = delta, 1
+                else:
+                    size = max(divisors)
+                    reps = delta // size
                 fn = self._chunk_fn(
-                    m - cur,
+                    size,
                     example_args=(params, opt_state, key, stacked_batches))
-                params, opt_state, key, logs = fn(params, opt_state, key,
-                                                  stacked_batches)
-                host_logs = jax.tree_util.tree_map(
-                    np.asarray, jax.device_get(logs))
-                logs_acc = host_logs if logs_acc is None else {
-                    k: np.concatenate([logs_acc[k], host_logs[k]], axis=1)
-                    for k in host_logs
-                }
+                for _ in range(reps):
+                    params, opt_state, key, logs = fn(params, opt_state, key,
+                                                      stacked_batches)
+                    host_logs = jax.tree_util.tree_map(
+                        np.asarray, jax.device_get(logs))
+                    logs_acc = host_logs if logs_acc is None else {
+                        k: np.concatenate([logs_acc[k], host_logs[k]],
+                                          axis=1)
+                        for k in host_logs
+                    }
                 cur = m
             host_params = jax.tree_util.tree_map(
                 np.asarray, jax.device_get(params))

@@ -152,3 +152,48 @@ def test_cyclic_lr_points_train_separately(tmp_path):
     blocks = (root / "result_baseline" / "result_multimodal.txt").read_text()
     assert blocks.count("args.hz_para_list") == 2 * len(
         registry.HC_PATIENT_COMBINATIONS["ADNI"])
+
+
+def test_milestones_reuse_compiled_chunk_bit_identical():
+    """Milestones [2, 6] advance 2 then 4 epochs; the 4-epoch delta reuses
+    the compiled 2-epoch chunk twice (one program per run) and the result is
+    bit-identical to a single 6-epoch scan."""
+    from multi_modal_normative_modeling_tpu.models import build_model
+    from multi_modal_normative_modeling_tpu.parallel import (
+        MultiFoldTrainer,
+        stack_fold_batches,
+        stack_params,
+    )
+    from multi_modal_normative_modeling_tpu.train import TrainConfig
+
+    rng = np.random.default_rng(3)
+    dims, folds, n = [12, 8], 2, 24
+    model = build_model("cVAE_multimodal", dims, [10], 4, 5, len(dims))
+    data = [[rng.normal(size=(n, d)).astype(np.float32) for d in dims]
+            for _ in range(folds)]
+    cov = [[rng.normal(size=(n, 5)).astype(np.float32) for _ in dims]
+           for _ in range(folds)]
+    batches = stack_fold_batches(data, cov, 16)
+    params = stack_params(
+        [model.init_params(jax.random.PRNGKey(0))] * folds)
+    keys = np.stack([np.asarray(jax.random.PRNGKey(42))] * folds)
+
+    config6 = TrainConfig(epochs=6, batch_size=16, combine="poe")
+    oracle = MultiFoldTrainer(model, config6, n)
+    oracle_params, oracle_logs = oracle.run(params, batches, keys)
+    oracle_host = jax.tree_util.tree_map(np.asarray,
+                                         jax.device_get(oracle_params))
+
+    mft = MultiFoldTrainer(model, config6, n)
+    outs = list(mft.run_milestones(params, batches, keys, [2, 6]))
+    assert [m for m, _, _ in outs] == [2, 6]
+    # the 4-epoch advance reused the 2-epoch program: one compiled chunk
+    assert list(mft._chunk_cache) == [2]
+    final_params = outs[-1][1]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        oracle_host, final_params)
+    np.testing.assert_array_equal(
+        outs[-1][2]["total"],
+        np.asarray(jax.device_get(oracle_logs["total"])))
