@@ -122,7 +122,10 @@ def train(args, project_root: Path):
         model, config, folds, params_list, keys,
         getattr(args, 'fold_parallel', False))
 
-    for fold in range(n_folds):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def emit_fold(fold):
+        # plot_losses is OO-Agg (thread-safe); checkpoint writes are atomic
         fold_model_dir = model_dir / f'{fold:03d}'
         logger = Logger()
         logger.extend(per_fold_logs[fold])
@@ -134,6 +137,9 @@ def train(args, project_root: Path):
             'modalities': modalities, 'non_linear': True,
             'combine': args.combine,
         })
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(emit_fold, range(n_folds)))
 
 
 def test(args, project_root: Path):

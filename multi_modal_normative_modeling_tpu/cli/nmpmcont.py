@@ -200,13 +200,15 @@ def main(args, project_root=None):
         lambda p, x, c: model.predict(p, list(x), list(c))))(
             stacked_params, xes, cs))
 
-    for fold in range(n_folds):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def emit_fold(fold):
+        # plot_losses is OO-Agg (thread-safe); checkpoint writes are atomic
         fold_model_dir = model_dir / f'{fold:03d}'
-        params = per_fold_params[fold]
         logger = Logger()
         logger.extend(per_fold_logs[fold])
         plot_losses(logger, fold_model_dir, 'training')
-        save_checkpoint(fold_model_dir, params, {
+        save_checkpoint(fold_model_dir, per_fold_params[fold], {
             'model': 'cVAE_multimodal_endtoend',
             'input_dim_list': list(map(int, input_dim_list)),
             'hidden_dim': list(h_dim), 'latent_dim': int(z_dim),
@@ -214,6 +216,10 @@ def main(args, project_root=None):
             'classifier_layers': list(args.layers),
         })
 
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(emit_fold, range(n_folds)))
+
+    for fold in range(n_folds):
         n_rows = fold_data[fold]['test_data_list'][0].shape[0]
         preds = np.argmax(all_logits[fold, :n_rows], axis=1)
         metrics = binary_prediction_metrics(fold_data[fold]['test_labels'],

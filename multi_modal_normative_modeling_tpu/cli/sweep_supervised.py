@@ -283,12 +283,18 @@ def main(args, project_root=None):
     run_log.event('sweep_end', points=len(records), summary=str(summary_path))
     print(f'sweep summary: {summary_path} ({len(records)} grid points)')
     if timing:
+        from ..utils import jaxconfig
+
         total = time.perf_counter() - t_start
         accounted = sum(phases.values())
         for label, secs in phases.most_common():
             print(f'[sweep timing] {label}: {secs:.1f}s')
         print(f'[sweep timing] other (model build/init/glue): '
               f'{total - accounted:.1f}s')
+        if jaxconfig.attach_seconds is not None:
+            print(f'[sweep timing] (one-time session attach, overlapped; '
+                  f'residual waits land in the first blocking phase: '
+                  f'{jaxconfig.attach_seconds:.1f}s)')
         print(f'[sweep timing] total: {total:.1f}s')
     return records
 

@@ -81,6 +81,9 @@ def no_compile_cache():
 
 
 _warm_thread = None
+# measured duration of the one-time remote session attach (set by the
+# warm_device_session thread once it completes; None until then)
+attach_seconds = None
 
 
 def warm_device_session() -> None:
@@ -106,6 +109,7 @@ def warm_device_session() -> None:
     log = logging.getLogger("mmnm.device")
 
     def _attach():
+        global attach_seconds
         t0 = time.perf_counter()
         try:
             import jax
@@ -117,6 +121,7 @@ def warm_device_session() -> None:
             log.info("device session warmup failed: %r", exc)
             return
         dt = time.perf_counter() - t0
+        attach_seconds = dt
         level = log.warning if dt > 30 else log.info
         level("device session attached in %.1fs (overlapped with host prep)",
               dt)
