@@ -70,27 +70,21 @@ def bench_jax() -> float:
                         len(DIMS))
     config = TrainConfig(epochs=EPOCHS, batch_size=BATCH, combine="gpoe")
 
-    # init params/keys on the local CPU backend: threefry is bit-identical
-    # across backends, and eager ops through the remote tunnel cost a
-    # compile + round trip each (see common.host_init_params)
+    # init params/keys on the local CPU backend (threefry is bit-identical
+    # across backends; eager ops through the remote tunnel cost a compile +
+    # round trip each, and these helpers skip the persistent cache)
     from multi_modal_normative_modeling_tpu.cli.common import (
-        _local_cpu_device,
+        host_init_params,
+        host_prng_key,
     )
 
-    cpu = _local_cpu_device()
     per_fold_data, per_fold_cov, params_list = [], [], []
-    import contextlib
-
-    with (jax.default_device(cpu) if cpu is not None
-          else contextlib.nullcontext()):
-        for f in range(FOLDS):
-            d, c = _make_data(rng)
-            per_fold_data.append(d)
-            per_fold_cov.append(c)
-            params_list.append(jax.tree_util.tree_map(
-                np.asarray, model.init_params(jax.random.PRNGKey(f))))
-        keys = np.stack([np.asarray(jax.random.PRNGKey(100 + f))
-                         for f in range(FOLDS)])
+    for f in range(FOLDS):
+        d, c = _make_data(rng)
+        per_fold_data.append(d)
+        per_fold_cov.append(c)
+        params_list.append(host_init_params(model, seed=f))
+    keys = np.stack([host_prng_key(100 + f) for f in range(FOLDS)])
 
     stacked = stack_params(params_list)
     batches = jax.device_put(

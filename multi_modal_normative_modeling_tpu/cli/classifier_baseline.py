@@ -77,8 +77,8 @@ def record_experiment(args, metrics, filename="./experiment_results.json"):
 def main(args):
     from ..utils.jaxconfig import warm_device_session
 
-    warm_device_session()  # attach the remote device session during host prep
     setup_logging(args.log_level)
+    warm_device_session()  # attach the remote device session during host prep
     logging.info("Experiment Configuration:")
     for arg, value in vars(args).items():
         logging.info(f"{arg}: {value}")

@@ -223,12 +223,12 @@ def host_init_params(model, seed: int = 42):
     from ..utils.jaxconfig import no_compile_cache
 
     cpu = _local_cpu_device()
-    with no_compile_cache():
-        if cpu is None:
+    if cpu is None:
+        # remote-backend fallback: these compiles ARE worth persisting
+        params = model.init_params(jax.random.PRNGKey(seed))
+    else:
+        with no_compile_cache(), jax.default_device(cpu):
             params = model.init_params(jax.random.PRNGKey(seed))
-        else:
-            with jax.default_device(cpu):
-                params = model.init_params(jax.random.PRNGKey(seed))
     return jax.tree_util.tree_map(np.asarray, params)
 
 
@@ -239,11 +239,10 @@ def host_prng_key(seed: int = 42) -> np.ndarray:
     from ..utils.jaxconfig import no_compile_cache
 
     cpu = _local_cpu_device()
-    with no_compile_cache():
-        if cpu is None:
-            return np.asarray(jax.random.PRNGKey(seed))
-        with jax.default_device(cpu):
-            return np.asarray(jax.random.PRNGKey(seed))
+    if cpu is None:
+        return np.asarray(jax.random.PRNGKey(seed))
+    with no_compile_cache(), jax.default_device(cpu):
+        return np.asarray(jax.random.PRNGKey(seed))
 
 
 _PREP_CACHE: "OrderedDict" = __import__("collections").OrderedDict()

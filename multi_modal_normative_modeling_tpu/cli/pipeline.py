@@ -54,6 +54,12 @@ def main(args, project_root=None):
     if unknown:
         raise ValueError(f'unknown stages {unknown}; choose from {order}')
     stages = [s for s in order if s in stages]
+    if getattr(args, 'warmup_only', False) and stages != ['train']:
+        # the train stage returns after compiling; running test/analyze
+        # against missing or stale checkpoints would be misleading
+        print('--warmup_only: skipping the test/analyze stages '
+              '(no checkpoints are written)')
+        stages = ['train'] if 'train' in stages else []
     stats = None
     for stage in stages:
         if stage == 'train':
@@ -68,6 +74,11 @@ def main(args, project_root=None):
 def run(argv=None, project_root=None):
     args = build_parser().parse_args(argv)
     common.apply_post_parse_defaults(args)
+    if getattr(args, 'profile_dir', None):
+        from ..utils.profiling import trace
+
+        with trace(args.profile_dir):
+            return main(args, project_root=project_root)
     return main(args, project_root=project_root)
 
 

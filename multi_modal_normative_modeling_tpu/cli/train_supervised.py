@@ -281,15 +281,16 @@ def main(args, project_root=None):
         save_checkpoint(fold_model_dir, per_fold_params[fold], config_dict)
 
     with ThreadPoolExecutor(max_workers=8) as pool:
-        futures = pool.map(emit_fold, range(n_folds))
-        for fold in range(n_folds):
-            logs = per_fold_logs[fold]
-            last = {k: float(np.asarray(v)[-1]) for k, v in logs.items()}
-            print('Train fold:', fold, ' final-epoch ',
-                  ', '.join(f'{k}: {round(v, 3)}' for k, v in last.items()))
-            run_log.event('fold_done', fold=fold, **last)
-            print('fold_model_dir:', model_dir / f'{fold:03d}')
-        list(futures)
+        list(pool.map(emit_fold, range(n_folds)))
+    # fold_done only after the fold's artifacts are actually on disk: a
+    # consumer tailing run_log must never see a fold without its checkpoint
+    for fold in range(n_folds):
+        logs = per_fold_logs[fold]
+        last = {k: float(np.asarray(v)[-1]) for k, v in logs.items()}
+        print('Train fold:', fold, ' final-epoch ',
+              ', '.join(f'{k}: {round(v, 3)}' for k, v in last.items()))
+        run_log.event('fold_done', fold=fold, **last)
+        print('fold_model_dir:', model_dir / f'{fold:03d}')
     run_log.event('train_end', folds=n_folds)
     mark('artifacts (plots + checkpoints)')
 

@@ -206,11 +206,14 @@ class MultiFoldTrainer:
                 fn = self._chunk_fn(
                     size,
                     example_args=(params, opt_state, key, stacked_batches))
+                rep_logs = []
                 for _ in range(reps):
                     params, opt_state, key, logs = fn(params, opt_state, key,
                                                       stacked_batches)
-                    host_logs = jax.tree_util.tree_map(
-                        np.asarray, jax.device_get(logs))
+                    rep_logs.append(logs)  # keep on device: reps pipeline
+                host_reps = jax.tree_util.tree_map(
+                    np.asarray, jax.device_get(rep_logs))  # one fetch
+                for host_logs in host_reps:
                     logs_acc = host_logs if logs_acc is None else {
                         k: np.concatenate([logs_acc[k], host_logs[k]],
                                           axis=1)

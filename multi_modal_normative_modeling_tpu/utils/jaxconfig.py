@@ -113,6 +113,12 @@ def warm_device_session() -> None:
         t0 = time.perf_counter()
         try:
             import jax
+
+            if jax.default_backend() == "cpu":
+                # no remote session exists; executing (and persist-caching)
+                # a warm op here would only seed cpu_aot_loader load spam
+                log.info("local cpu backend: no remote session to attach")
+                return
             import jax.numpy as jnp
             import numpy as np
 

@@ -144,5 +144,8 @@ def test_warm_device_session_overlaps_and_logs(caplog):
         assert jaxconfig._warm_thread is thread
         thread.join(timeout=120)
         assert not thread.is_alive()
-    assert any("device session attached" in rec.message
+    # on the CPU test backend there is no remote session; on a real device
+    # backend the measured attach time is logged
+    assert any("device session attached" in rec.getMessage()
+               or "no remote session" in rec.getMessage()
                for rec in caplog.records)

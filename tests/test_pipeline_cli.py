@@ -46,3 +46,12 @@ def test_pipeline_rejects_unknown_stage(project):
             "--stages", "train,deploy"]
     with pytest.raises(ValueError, match="deploy"):
         pipeline.run(argv, project_root=project)
+
+
+def test_pipeline_warmup_only_skips_eval_stages(project, capsys):
+    argv = ["-R", "ADNI", "-P", "SE-MoE", "-E", "5", "-K", "2",
+            "-H", "16", "16", "4", "--warmup_only"]
+    stats = pipeline.run(argv, project_root=project)
+    assert stats is None  # test/analyze skipped: no stale-checkpoint eval
+    out = capsys.readouterr().out
+    assert "skipping the test/analyze stages" in out
