@@ -233,15 +233,22 @@ def main(args, project_root=None):
                                         base_lr, max_lr)
                     with phase('artifacts (plots + checkpoints)'):
                         per_fold = unstack_params(host_params, n_folds)
+                        # checkpoints every milestone (the test stage reads
+                        # them); loss-curve PNGs only at the run's last
+                        # milestone — intermediate ones are overwritten
+                        # before any consumer reads them (exactly like the
+                        # reference loop's transient per-point plots), and
+                        # matplotlib rendering is GIL-bound so it doesn't
+                        # thread away
+                        final = epochs == epochs_list[-1]
 
                         def emit_fold(fold):
-                            # plot_losses is OO-Agg (thread-safe, no pyplot
-                            # global state); checkpoint writes are atomic
                             fold_dir = model_dir / f'{fold:03d}'
-                            logger = Logger()
-                            logger.extend(
-                                {k: v[fold] for k, v in logs.items()})
-                            plot_losses(logger, fold_dir, 'training')
+                            if final:
+                                logger = Logger()
+                                logger.extend(
+                                    {k: v[fold] for k, v in logs.items()})
+                                plot_losses(logger, fold_dir, 'training')
                             save_checkpoint(fold_dir, per_fold[fold],
                                             config_dict)
 
