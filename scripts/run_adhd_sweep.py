@@ -7,10 +7,10 @@ Here the same 120 points run as 20 fold-parallel training runs: the epochs
 axis {50,500,1000} is snapshotted from one run to 1000, and the lr axis is
 deduped under the reference's constant-effective-LR behavior (SURVEY.md Q1).
 
-Measured (RESULTS.md): 985 s end-to-end on one TPU v5e chip, cold compiles
-included — 666 s at round-2 final (vmapped whole-run test stage, prep memo,
-CPU-local init) — vs ~47 h estimated for the reference's loop at its
-measured per-fold-epoch cost (BASELINE.json["measured"]).
+Measured (RESULTS.md): 189 s sweep body on one TPU v5e chip (plus the
+one-time session attach, logged separately; 985 s -> 666 s -> 189 s across
+round 2's optimizations) — vs ~47 h estimated for the reference's loop at
+its measured per-fold-epoch cost (BASELINE.json["measured"]).
 
 Usage: python scripts/run_adhd_sweep.py [workdir]
 """
