@@ -116,6 +116,18 @@ def main(args, project_root=None):
     checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
     resume = getattr(args, 'resume', False)
 
+    def covariates_uniform():
+        # the packed/fused layouts feed ONE covariate block to every
+        # modality; that is only equivalent to the per-modality path when
+        # the blocks are identical (they are whenever the modality CSVs
+        # share row order, the common case — but never assume it silently)
+        for _, cov_list in folds:
+            first = cov_list[0]
+            for c in cov_list[1:]:
+                if c.shape != first.shape or not np.array_equal(c, first):
+                    return False
+        return True
+
     fused_trainer = None
     if getattr(args, 'fused_train_step', False) and (
             checkpoint_every or getattr(args, 'warmup_only', False)):
@@ -129,6 +141,9 @@ def main(args, project_root=None):
 
         ok, reason = supported(model, train_config,
                                train_config.batch_size, fold_parallel)
+        if ok and not covariates_uniform():
+            ok, reason = False, ('per-modality covariates differ across '
+                                 'modalities (fused layout shares one block)')
         if ok:
             fused_trainer = FusedFoldTrainer(
                 model, train_config, folds[0][0][0].shape[0])
@@ -149,6 +164,10 @@ def main(args, project_root=None):
             from ..train.packed import packed_supported
 
             packed_xla, reason = packed_supported(model, train_config)
+            if packed_xla and not covariates_uniform():
+                packed_xla, reason = False, (
+                    'per-modality covariates differ across modalities '
+                    '(packed layout shares one block)')
             if not packed_xla:
                 print(f'packed XLA path unavailable ({reason}); '
                       'using the per-modality path')

@@ -109,7 +109,19 @@ class DeviationEmitter:
                 self._futures.append(self._pool.submit(
                     write_csv, out_dir / f"{kind}_{dataset_name}.csv",
                     combined))
-        for future in self._futures:
-            future.result()
-        self._futures.clear()
-        self._pool.shutdown(wait=True)
+        # join EVERY write before surfacing errors: a single failed file
+        # (e.g. ENOSPC) must not leak running writers or hide later failures
+        errors = []
+        try:
+            for future in self._futures:
+                try:
+                    future.result()
+                except Exception as exc:
+                    errors.append(exc)
+        finally:
+            self._futures.clear()
+            self._pool.shutdown(wait=True)
+        if errors:
+            raise RuntimeError(
+                f"{len(errors)} deviation CSV write(s) failed; first: "
+                f"{errors[0]!r}") from errors[0]

@@ -39,9 +39,19 @@ def save_checkpoint(directory, params, model_config: dict,
         checkpointer.wait_until_finished()
         out = target
     else:
+        import os
+
+        # atomic: a kill mid-write must never leave a truncated blob that
+        # checkpoint_exists() would report as a valid model (the test stage
+        # would crash on it instead of retraining). Config first, blob last:
+        # consumers gate on the .ckpt, so both exist once it appears.
+        with open(directory / f"{name}.json", "w") as f:
+            json.dump(model_config, f, indent=1)
         blob = serialization.to_bytes(params)
-        (directory / f"{name}.ckpt").write_bytes(blob)
-        out = directory / f"{name}.ckpt"
+        tmp = directory / f".{name}.ckpt.{os.getpid()}.tmp"
+        tmp.write_bytes(blob)
+        os.replace(tmp, directory / f"{name}.ckpt")
+        return directory / f"{name}.ckpt"
     with open(directory / f"{name}.json", "w") as f:
         json.dump(model_config, f, indent=1)
     return out
@@ -101,10 +111,12 @@ def save_train_state(directory, params, opt_state, key, epoch: int,
                      "epoch": np.int64(epoch),
                      "logs": dict(logs) if logs is not None else {}})
     blob = serialization.to_bytes(host)
-    tmp = directory / f".{name}.ckpt.tmp"
-    tmp.write_bytes(blob)
     import os
 
+    # pid-suffixed tmp: in a multi-process mesh every process checkpoints
+    # the same (all-gathered) state to the same path — last replace wins
+    tmp = directory / f".{name}.ckpt.{os.getpid()}.tmp"
+    tmp.write_bytes(blob)
     os.replace(tmp, directory / f"{name}.ckpt")
     # informational sidecar only (the cursor of record lives in the blob)
     (directory / f"{name}.json").write_text(
@@ -141,6 +153,9 @@ def run_chunked(state_dir, total_epochs: int, checkpoint_every: int,
     logs)`` until ``total_epochs``, checkpointing atomically after every
     chunk. ``template_fn()`` builds the typed restore template lazily;
     ``opt_state`` may be None (initialized by the caller's template)."""
+    if checkpoint_every <= 0:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
     start, logs_acc = 0, None
     if resume and train_state_exists(state_dir):
         template = template_fn()
@@ -150,14 +165,30 @@ def run_chunked(state_dir, total_epochs: int, checkpoint_every: int,
     while start < total_epochs:
         n = min(checkpoint_every, total_epochs - start)
         params, opt_state, key, logs = run_chunk(n, params, opt_state, key)
-        host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
+        host_logs = jax.tree_util.tree_map(np.asarray, _to_host(logs))
         logs_acc = host_logs if logs_acc is None else {
             k: np.concatenate([logs_acc[k], host_logs[k]],
                               axis=logs_concat_axis)
             for k in host_logs
         }
         start += n
-        save_train_state(state_dir, jax.device_get(params),
-                         jax.device_get(opt_state), jax.device_get(key),
+        save_train_state(state_dir, _to_host(params),
+                         _to_host(opt_state), _to_host(key),
                          start, logs_acc)
     return params, (logs_acc if logs_acc is not None else {})
+
+
+def _to_host(tree):
+    """device_get that also handles multi-process global arrays: a leaf
+    sharded across processes is not fully addressable, so plain device_get
+    raises — all-gather it first (every process then checkpoints the same
+    full state, matching the single-process file contents)."""
+    def fetch(leaf):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(leaf, tiled=True))
+        return jax.device_get(leaf)
+
+    return jax.tree_util.tree_map(fetch, tree)

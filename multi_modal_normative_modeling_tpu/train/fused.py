@@ -156,8 +156,28 @@ class FusedFoldTrainer:
         the inference path are unchanged)."""
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
-        padded = self.step.pad_params(
-            self.stacked.pack_params(per_modality_params))
+        # identity-memoized host-side packing: the CLI shares one init
+        # pytree across folds, and eager remote pack/pad ops cost a round
+        # trip each through the TPU tunnel
+        memo = getattr(self, "_pack_memo", None)
+        if memo is not None and memo[0] is per_modality_params:
+            padded = memo[1]
+        else:
+            from ..cli.common import _local_cpu_device
+            from ..utils.jaxconfig import no_compile_cache
+            from .packed import _pack_params_host
+
+            packed = _pack_params_host(self.stacked, per_modality_params)
+            cpu = _local_cpu_device()
+            if (cpu is not None and all(
+                    isinstance(leaf, np.ndarray)
+                    for leaf in jax.tree_util.tree_leaves(packed))):
+                with no_compile_cache(), jax.default_device(cpu):
+                    padded = self.step.pad_params(packed)
+                padded = jax.tree_util.tree_map(np.asarray, padded)
+            else:
+                padded = self.step.pad_params(packed)
+            self._pack_memo = (per_modality_params, padded)
         batches = make_packed_batches(self.step, data_list, cov,
                                       self.config.batch_size)
         out, logs = self._train(padded, jax.device_put(batches), key)

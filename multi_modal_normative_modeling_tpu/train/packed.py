@@ -71,6 +71,25 @@ def make_packed_fold_batches(stacked: StackedMultimodalCVAE,
     }
 
 
+def _pack_params_host(stacked: StackedMultimodalCVAE, params) -> dict:
+    """pack_params with host-friendly placement: for numpy input trees the
+    O(modalities x layers) concatenate/pad ops run on the LOCAL cpu backend
+    (each would otherwise be an eager remote op — a compile + round trip
+    through the TPU tunnel), returning numpy for one upload at the jit
+    boundary. Device trees pack where they live."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if all(isinstance(leaf, np.ndarray) for leaf in leaves):
+        from ..cli.common import _local_cpu_device
+        from ..utils.jaxconfig import no_compile_cache
+
+        cpu = _local_cpu_device()
+        if cpu is not None:
+            with no_compile_cache(), jax.default_device(cpu):
+                packed = stacked.pack_params(params)
+            return jax.tree_util.tree_map(np.asarray, packed)
+    return stacked.pack_params(params)
+
+
 def _packed_loss_fn(stacked: StackedMultimodalCVAE, combine: str):
     def loss_fn(p, batch, k):
         fwd = stacked.forward(p, batch["x"], batch["c"], k, combine)
@@ -97,10 +116,20 @@ class PackedFoldTrainer:
             config.epochs, shuffle=False)
         self._train = jax.jit(self._raw_train)
 
+    def _packed(self, per_modality_params):
+        # folds share one init pytree in the CLIs: memoize by identity so
+        # the pack work (and its upload) happens once per unique tree
+        memo = getattr(self, "_pack_memo", None)
+        if memo is not None and memo[0] is per_modality_params:
+            return memo[1]
+        packed = _pack_params_host(self.stacked, per_modality_params)
+        self._pack_memo = (per_modality_params, packed)
+        return packed
+
     def run(self, per_modality_params, data_list, cov, key=None):
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
-        packed = self.stacked.pack_params(per_modality_params)
+        packed = self._packed(per_modality_params)
         batches = make_packed_fold_batches(self.stacked, data_list, cov,
                                            self.config.batch_size)
         out, logs = self._train(packed, jax.device_put(batches), key)
@@ -114,7 +143,7 @@ class PackedFoldTrainer:
 
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
-        packed = self.stacked.pack_params(per_modality_params)
+        packed = self._packed(per_modality_params)
         batches = jax.device_put(make_packed_fold_batches(
             self.stacked, data_list, cov, self.config.batch_size))
         t0 = time.perf_counter()
@@ -127,22 +156,31 @@ class PackedMultiFoldTrainer:
     [F, NB, M, B, d_max] — the largest, most uniform batched einsums this
     workload can produce."""
 
-    def __init__(self, model, config: TrainConfig, n_samples: int, mesh=None):
+    def __init__(self, model, config: TrainConfig, n_samples: int):
         assert not config.shuffle, "packed trainers train in fixed batch order"
         self.stacked = StackedMultimodalCVAE(
             model.input_dim_list, model.hidden_dim, model.latent_dim,
             model.c_dim, model.modalities, model.non_linear)
         self.config = config
-        self.mesh = mesh
         optimizer = build_optimizer(config, n_samples)
         train = build_train_fn(
             _packed_loss_fn(self.stacked, config.combine), optimizer,
             config.epochs, shuffle=False)
         self._jitted = jax.jit(jax.vmap(train))
 
-    def pack_folds(self, folds, cov_index: int = 0) -> Tuple[dict, dict]:
-        """folds: list of (data_list, cov_list); returns (None, batches) with
-        every fold padded to the largest fold's batch grid."""
+    def _stack_packed(self, params_list):
+        # identical init pytrees (the CLI shares one across folds) pack once
+        packs = {}
+        packed_list = [
+            packs.setdefault(id(p), _pack_params_host(self.stacked, p))
+            for p in params_list
+        ]
+        return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves),
+                                      *packed_list)
+
+    def pack_folds(self, folds, cov_index: int = 0) -> dict:
+        """folds: list of (data_list, cov_list); returns the stacked batch
+        pytree with every fold padded to the largest fold's batch grid."""
         per_fold = []
         max_nb = 0
         for data_list, cov_list in folds:
@@ -165,9 +203,7 @@ class PackedMultiFoldTrainer:
         """Lower + compile the fold-parallel packed program; seconds."""
         import time
 
-        stacked_params = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves),
-            *[self.stacked.pack_params(p) for p in params_list])
+        stacked_params = self._stack_packed(params_list)
         batches = jax.device_put(self.pack_folds(folds))
         t0 = time.perf_counter()
         self._jitted.lower(stacked_params, batches,
@@ -175,9 +211,7 @@ class PackedMultiFoldTrainer:
         return time.perf_counter() - t0
 
     def run(self, params_list, folds, keys):
-        stacked_params = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves),
-            *[self.stacked.pack_params(p) for p in params_list])
+        stacked_params = self._stack_packed(params_list)
         batches = self.pack_folds(folds)
         out, logs = self._jitted(stacked_params, jax.device_put(batches),
                                  jnp.stack(list(keys)))

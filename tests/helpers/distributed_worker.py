@@ -93,6 +93,25 @@ def main():
     assert np.isfinite(total_logs).all(), total_logs
     print(f"proc {pid}: fold-parallel train ok on mesh "
           f"{dict(mesh.shape)}, losses={total_logs[:, -1]}", flush=True)
+
+    # -- resumable (chunked + checkpointed) run under the same mesh --------
+    # exercises run_chunked's cross-process host fetch (process_allgather of
+    # fold-sharded state) and must be bit-identical to the single-scan run
+    import os
+
+    state_dir = Path(os.environ["MMNM_TEST_STATE_DIR"])
+    out_res, logs_res = trainer.run_resumable(
+        stacked, batches, keys, state_dir=state_dir,
+        checkpoint_every=1, resume=False)
+    res_total = np.asarray(logs_res["total"])
+    assert np.array_equal(res_total, total_logs), (res_total, total_logs)
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        train_state_exists,
+    )
+
+    assert train_state_exists(state_dir)
+    print(f"proc {pid}: resumable fold-parallel ok (bit-identical logs)",
+          flush=True)
     print(f"proc {pid}: OK", flush=True)
 
 

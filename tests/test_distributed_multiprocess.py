@@ -23,7 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_init_and_fold_parallel_train():
+def test_two_process_distributed_init_and_fold_parallel_train(tmp_path):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -34,6 +34,7 @@ def test_two_process_distributed_init_and_fold_parallel_train():
             "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
             "JAX_NUM_PROCESSES": "2",
             "JAX_PROCESS_ID": str(pid),
+            "MMNM_TEST_STATE_DIR": str(tmp_path / "state"),
         })
         # a worker sharing this test process's compile cache is fine; the
         # distributed runtime itself is what's under test
@@ -48,3 +49,4 @@ def test_two_process_distributed_init_and_fold_parallel_train():
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
         assert f"proc {pid}: OK" in out, out[-2000:]
         assert "fold-parallel train ok" in out
+        assert "resumable fold-parallel ok" in out
