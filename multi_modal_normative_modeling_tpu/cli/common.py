@@ -134,12 +134,19 @@ def _read_modality_fast(path) -> "pd.DataFrame | None":
             "pandas fixed overhead is negligible here", _log.debug)
         return None
     value_cols = [c for c in header if c != "IID"]
-    reader = FastCSV(path)
     try:
-        ids = reader.read_string_column("IID")
-        values = reader.read_columns(value_cols)
-    finally:
-        reader.close()
+        reader = FastCSV(path)
+        try:
+            ids = reader.read_string_column("IID")
+            values = reader.read_columns(value_cols)
+        finally:
+            reader.close()
+    except Exception as exc:
+        # e.g. unreadable/degenerate file: never let the fast path be a
+        # correctness hazard — pandas decides what the file really is
+        _fast_path_off(path, f"native parse failed ({exc!r}): "
+                             "deferring to pandas")
+        return None
     if np.isnan(values).any():
         # non-numeric or missing cells: pandas' dtype inference is needed.
         # Memoized, so the file is natively parsed at most once.

@@ -142,17 +142,18 @@ void* fc_open(const char* path) {
         mmap(nullptr, f->size, PROT_READ, MAP_PRIVATE, f->fd, 0));
     if (f->data == MAP_FAILED) { delete f; return nullptr; }
 
-    // header
+    // header (a file may be header-only with no trailing newline: pandas
+    // yields an empty 0-row frame for it, so must we)
     const char* nl = static_cast<const char*>(
         memchr(f->data, '\n', f->size));
-    if (!nl) { delete f; return nullptr; }
-    size_t header_len = static_cast<size_t>(nl - f->data);
+    size_t header_len = nl ? static_cast<size_t>(nl - f->data) : f->size;
     std::string_view header_line(f->data,
                                  header_len > 0 && f->data[header_len - 1] == '\r'
                                      ? header_len - 1 : header_len);
     std::vector<std::string_view> cells;
     split_line(header_line, cells);
     for (auto c : cells) f->header.push_back(unquote(c));
+    if (!nl) return f;  // header-only: zero data rows
 
     // index data-row starts (chunk-parallel: each thread scans a byte range
     // that begins at the first newline boundary after its nominal start)
@@ -190,10 +191,15 @@ void* fc_open(const char* path) {
     }
     for (auto& part : partials)
         f->row_starts.insert(f->row_starts.end(), part.begin(), part.end());
-    // drop a trailing empty line
-    if (!f->row_starts.empty()) {
-        auto last = row_view(*f, f->row_starts.size() - 1);
-        if (last.empty()) f->row_starts.pop_back();
+    // skip blank lines anywhere, like pandas' skip_blank_lines=True (a
+    // kept row's view may then span the dropped line's bytes, but
+    // row_view trims every trailing '\n'/'\r')
+    {
+        std::vector<size_t> kept;
+        kept.reserve(f->row_starts.size());
+        for (size_t r = 0; r < f->row_starts.size(); ++r)
+            if (!row_view(*f, r).empty()) kept.push_back(f->row_starts[r]);
+        f->row_starts = std::move(kept);
     }
     return f;
 }

@@ -7,14 +7,13 @@ compiler is available — the Python API is identical either way.
 from __future__ import annotations
 
 import ctypes
-import hashlib
-import os
-import subprocess
 import threading
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from ._build import load_native
 
 _SRC = Path(__file__).parent / "fastcsv.cpp"
 _LOCK = threading.Lock()
@@ -23,18 +22,10 @@ _LIB_FAILED = False
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
-    source = _SRC.read_bytes()
-    tag = hashlib.sha256(source).hexdigest()[:16]
-    out = Path(os.environ.get("MMNM_NATIVE_CACHE",
-                              "/tmp/mmnm_native")) / f"libfastcsv_{tag}.so"
-    if not out.exists():
-        out.parent.mkdir(parents=True, exist_ok=True)
-        tmp = out.with_suffix(".building.so")
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-               str(_SRC), "-o", str(tmp)]
-        subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(tmp, out)
-    lib = ctypes.CDLL(str(out))
+    return load_native(_SRC, "fastcsv", _configure)
+
+
+def _configure(lib) -> None:
     lib.fc_open.restype = ctypes.c_void_p
     lib.fc_open.argtypes = [ctypes.c_char_p]
     lib.fc_num_rows.restype = ctypes.c_int64
@@ -52,7 +43,6 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                                     ctypes.c_char_p, ctypes.c_int64]
     lib.fc_close.restype = None
     lib.fc_close.argtypes = [ctypes.c_void_p]
-    return lib
 
 
 def _lib() -> Optional[ctypes.CDLL]:

@@ -163,6 +163,7 @@ int32_t fw_write_csv(const char* path, const char* header, int64_t n_rows,
     int64_t chunk = (n_rows + n_threads - 1) / n_threads;
     if (chunk < 256) { n_threads = 1; chunk = n_rows; }
     std::vector<std::string> buffers(n_threads);
+    std::vector<char> worker_failed(n_threads, 0);
 
     auto worker = [&](int32_t t) {
         int64_t begin = t * chunk;
@@ -193,7 +194,9 @@ int32_t fw_write_csv(const char* path, const char* header, int64_t n_rows,
                         break;
                     }
                     default:
-                        return;  // unknown type: buffer stays short -> error
+                        // unknown type: flag it — nothing may be written
+                        worker_failed[t] = 1;
+                        return;
                 }
             }
             out.push_back('\n');
@@ -207,6 +210,9 @@ int32_t fw_write_csv(const char* path, const char* header, int64_t n_rows,
         for (int32_t t = 0; t < n_threads; ++t) pool.emplace_back(worker, t);
         for (auto& th : pool) th.join();
     }
+
+    for (char failed : worker_failed)
+        if (failed) return -3;  // refuse to write truncated buffers
 
     FILE* f = std::fopen(path, "wb");
     if (!f) return -1;

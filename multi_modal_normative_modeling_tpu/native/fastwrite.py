@@ -9,14 +9,13 @@ Falls back to pandas when the library or a dtype isn't supported.
 from __future__ import annotations
 
 import ctypes
-import hashlib
-import os
-import subprocess
 import threading
 from pathlib import Path
 
 import numpy as np
 import pandas as pd
+
+from ._build import load_native
 
 _SRC = Path(__file__).parent / "fastwrite.cpp"
 _LOCK = threading.Lock()
@@ -25,18 +24,10 @@ _LIB_FAILED = False
 
 
 def _build_lib():
-    source = _SRC.read_bytes()
-    tag = hashlib.sha256(source).hexdigest()[:16]
-    out = Path(os.environ.get("MMNM_NATIVE_CACHE",
-                              "/tmp/mmnm_native")) / f"libfastwrite_{tag}.so"
-    if not out.exists():
-        out.parent.mkdir(parents=True, exist_ok=True)
-        tmp = out.with_suffix(".building.so")
-        subprocess.run(["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                        "-pthread", str(_SRC), "-o", str(tmp)],
-                       check=True, capture_output=True)
-        os.replace(tmp, out)
-    lib = ctypes.CDLL(str(out))
+    return load_native(_SRC, "fastwrite", _configure)
+
+
+def _configure(lib) -> None:
     lib.fw_write_csv.restype = ctypes.c_int32
     lib.fw_write_csv.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -45,7 +36,6 @@ def _build_lib():
         ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int32,
     ]
-    return lib
 
 
 def _lib():
@@ -70,6 +60,15 @@ def write_frame(path, frame: pd.DataFrame, n_threads: int = 16) -> bool:
     handled it, False if the caller should fall back to pandas."""
     lib = _lib()
     if lib is None:
+        return False
+
+    # column NAMES need quoting too (an ROI name can carry a comma): the
+    # same metacharacter screen as for string cells, or pandas handles it
+    header_cells = [str(c) for c in frame.columns]
+    header_joined = "\n".join(header_cells)
+    if ("," in header_joined or '"' in header_joined
+            or "\r" in header_joined or "\x00" in header_joined
+            or header_joined.count("\n") != len(header_cells) - 1):
         return False
 
     n_rows = len(frame)
@@ -100,8 +99,10 @@ def write_frame(path, frame: pd.DataFrame, n_threads: int = 16) -> bool:
             except TypeError:
                 return False  # non-str cells: pandas path
             # C-level scans of the single blob instead of per-value checks;
-            # an embedded '\n' shows up as an extra separator in the count
+            # an embedded '\n' shows up as an extra separator in the count.
+            # NUL would truncate the C-side strlen of the blob: pandas path.
             if ("," in joined or '"' in joined or "\r" in joined
+                    or "\x00" in joined
                     or joined.count("\n") != len(values) - 1):
                 return False  # needs quoting: pandas path
             blob = (joined + "\n").encode()

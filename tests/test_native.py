@@ -271,3 +271,52 @@ def test_fastwrite_falls_back_on_quoting(tmp_path):
         pytest.skip("no C++ toolchain")
     frame = pd.DataFrame({"s": ["a,b", "c"], "v": [1.0, 2.0]})
     assert write_frame(tmp_path / "x.csv", frame) is False
+
+
+def test_blank_lines_skipped_like_pandas(tmp_path):
+    """Mid-file and repeated trailing blank lines must not become ghost
+    all-NaN rows (pandas skip_blank_lines=True semantics)."""
+    path = tmp_path / "blank.csv"
+    path.write_text("IID,a,b\ns1,1,2\n\ns2,3,4\n\n\n")
+    reader = FastCSV(path)
+    try:
+        assert reader.n_rows == 2
+        assert reader.read_string_column("IID") == ["s1", "s2"]
+        values = reader.read_columns(["a", "b"])
+    finally:
+        reader.close()
+    np.testing.assert_array_equal(values, [[1.0, 2.0], [3.0, 4.0]])
+
+
+def test_header_only_no_trailing_newline(tmp_path):
+    """A header-only file without a trailing newline is an empty frame (what
+    pandas returns), not an open error."""
+    path = tmp_path / "empty.csv"
+    path.write_text("IID," + ",".join(f"c{i}" for i in range(300)))
+    reader = FastCSV(path)
+    try:
+        assert reader.n_rows == 0
+        assert reader.n_cols == 301
+    finally:
+        reader.close()
+
+
+def test_fastwrite_falls_back_on_header_metachars(tmp_path):
+    from multi_modal_normative_modeling_tpu.native.fastwrite import (
+        write_frame,
+    )
+
+    frame = pd.DataFrame({"a,x": [1.0, 2.0], "b": [3.0, 4.0]})
+    path = tmp_path / "out.csv"
+    assert write_frame(path, frame) is False  # comma in a column NAME
+    frame.to_csv(path, index=False)  # the caller's fallback
+    assert path.read_text().splitlines()[0] == '"a,x",b'
+
+
+def test_fastwrite_falls_back_on_nul_byte(tmp_path):
+    from multi_modal_normative_modeling_tpu.native.fastwrite import (
+        write_frame,
+    )
+
+    frame = pd.DataFrame({"s": ["a\x00b", "cd"], "v": [1.0, 2.0]})
+    assert write_frame(tmp_path / "out.csv", frame) is False
