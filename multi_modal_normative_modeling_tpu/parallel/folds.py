@@ -29,7 +29,16 @@ from .mesh import _spec_for_leaf, fold_data_shardings
 
 
 def stack_params(params_list: Sequence) -> dict:
-    """Stack per-fold parameter pytrees along a new leading fold axis."""
+    """Stack per-fold parameter pytrees along a new leading fold axis.
+
+    Host (numpy) trees stack in numpy — through the remote-TPU tunnel each
+    jnp.stack would be an eager op (a compile + round trip per leaf); the
+    stacked tree uploads once at the jit boundary instead."""
+    if all(isinstance(leaf, np.ndarray)
+           for leaf in jax.tree_util.tree_leaves(params_list[0])):
+        return jax.tree_util.tree_map(
+            lambda *leaves: np.stack(leaves), *params_list
+        )
     return jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves), *params_list
     )
