@@ -326,6 +326,25 @@ def prepare_modality(project_root: Path, resource: str, dataset_name: str,
     return dict(out)
 
 
+def assert_modalities_aligned(frames, context: str,
+                              key: str = 'participant_id') -> None:
+    """Every modality's merged frame must cover the same subjects in the
+    same order: the stacked inference paths pair modality-0 row indices and
+    participant ids with the LAST modality's covariates (reference test:102
+    semantics), which is only coherent when the row sets agree. A modality
+    CSV missing subjects would otherwise emit silently misaligned
+    per-subject CSVs (or a negative-pad crash)."""
+    base = frames[0][key].to_numpy()
+    for i, frame in enumerate(frames[1:], 1):
+        cur = frame[key].to_numpy()
+        if len(cur) != len(base) or not (cur == base).all():
+            raise ValueError(
+                f"{context}: modality row sets/orders differ between "
+                f"modality 0 ({len(base)} rows) and modality {i} "
+                f"({len(cur)} rows); every modality CSV must cover the "
+                "same subjects in the same order")
+
+
 def fold_paths(kfold_dir: Path, fold: int) -> Tuple[Path, Path]:
     return (kfold_dir / f'train_ids_{fold:03d}.csv',
             kfold_dir / f'test_ids_{fold:03d}.csv')

@@ -187,14 +187,23 @@ def test(args, project_root: Path):
             columns_list.append(columns_name)
             test_cov = one_hot_covariates(test_df[['DIA', 'AGE', 'PTGENDER']])
 
+        from .common import assert_modalities_aligned
+
+        assert_modalities_aligned(clinical_df_list,
+                                  f'nmmlp test fold {fold}')
         if not checkpoint_exists(fold_model_dir):
             print('Model not found, please train the model first.')
             return
         print('Loading trained model...')
         _, config = load_checkpoint(fold_model_dir)
         if model is None:
-            model = _build_model(args, config['input_dim_list'],
-                                 config['c_dim'], config['modalities'])
+            # rebuild from the SAVED architecture, not args: the reference
+            # unpickles whole torch modules at test time, so its test stage
+            # always runs the trained -H shape regardless of the flags
+            model = MultimodalCVAE(
+                config['input_dim_list'], config['hidden_dim'],
+                config['latent_dim'], config['c_dim'], config['modalities'],
+                non_linear=config.get('non_linear', True), variant='nmmlp')
             # abstract shapes/dtypes only: eager init costs a round trip
             # per op through the remote-TPU tunnel
             shapes = jax.eval_shape(model.init_params,

@@ -12,6 +12,9 @@ Reference quirks reproduced:
   * loss_function is called with only margin and weightcontrastive
     (nmpmcont:298): the -Weightkl / -Weightrec flags are accepted but unused;
     the effective weights are the method defaults 0.1/0.1 (cVAE.py:2140).
+  * -Dropout and -Learningrateclassifier are likewise parsed but unused:
+    the reference hardcodes dropout_rate=0.5 (nmpmcont:267) and comments
+    out the classifier learning rate.
   * the cyclic LR assignment is a no-op (SURVEY.md Q1): constant 1e-4.
 """
 from __future__ import annotations
@@ -103,6 +106,7 @@ def main(args, project_root=None):
         test_data_list, test_cov_list = [], []
         train_labels = test_labels = None
         input_dim_list, c_dim = [], None
+        train_frames, test_frames = [], []
 
         for dataset_name in dataset_names:
             columns_name = registry.get_column_name(args.dataset_resourse,
@@ -124,7 +128,13 @@ def main(args, project_root=None):
             train_labels, test_labels = labels, tlabels
             input_dim_list.append(data.shape[1])
             c_dim = cov.shape[1]
+            train_frames.append(train_df)
+            test_frames.append(test_df)
 
+        common.assert_modalities_aligned(train_frames,
+                                         f'nmpmcont train fold {fold}')
+        common.assert_modalities_aligned(test_frames,
+                                         f'nmpmcont test fold {fold}')
         fold_data.append({
             'train': (train_data_list, train_cov_list),
             'train_labels': train_labels,

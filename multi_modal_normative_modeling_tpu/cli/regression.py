@@ -63,20 +63,28 @@ def train_and_test(args, project_root=None):
         train_cov = test_cov = None
         train_fi = test_fi = None
         input_dim_list = []
+        train_frames, test_frames = [], []
 
         for dataset_name in dataset_names:
             columns_name = registry.get_column_name(args.dataset_resourse,
                                                     dataset_name)
             modality_path = (project_root / 'data' / args.dataset_resourse /
                              f'{dataset_name}.csv')
-            modality_df = pd.read_csv(modality_path)
-            demo_df = pd.read_csv(participants_path)
+            # cached read: the reference re-parses each modality CSV (and
+            # y.csv, = ids_df) once per fold (multi-second waste at PPMI
+            # widths); the merge math below is unchanged
+            from .common import read_csv_cached
+
+            modality_df = read_csv_cached(modality_path)
+            demo_df = ids_df
             train_df = pd.merge(
                 modality_df[modality_df['IID'].isin(train_ids)], demo_df,
                 on='IID')
             test_df = pd.merge(
                 modality_df[modality_df['IID'].isin(test_ids)], demo_df,
                 on='IID')
+            train_frames.append(train_df)
+            test_frames.append(test_df)
 
             train_scaled, scaler = fit_robust_scaler(
                 train_df[columns_name].values)
@@ -90,6 +98,12 @@ def train_and_test(args, project_root=None):
             test_fi = test_df['FI'].values.astype(np.float32)
             input_dim_list.append(train_data_list[-1].shape[1])
 
+        from .common import assert_modalities_aligned
+
+        assert_modalities_aligned(train_frames,
+                                  f'regression train fold {fold}', key='IID')
+        assert_modalities_aligned(test_frames,
+                                  f'regression test fold {fold}', key='IID')
         fold_data.append({
             'train': (train_data_list, [train_cov] * len(dataset_names)),
             'train_fi': train_fi,

@@ -111,8 +111,13 @@ def find_best_threshold_by_pr(labels, predictions):
     from sklearn.metrics import precision_recall_curve
 
     precision, recall, thresholds = precision_recall_curve(labels, predictions)
-    f1_scores = 2 * (precision * recall) / (precision + recall)
-    return thresholds[np.argmax(f1_scores)]
+    with np.errstate(invalid="ignore"):
+        f1_scores = 2 * (precision * recall) / (precision + recall)
+    # the reference's formula (group_analysis:77-80) leaves 0/0 = NaN where
+    # precision = recall = 0; raw argmax would then return the NaN index
+    # (e.g. whenever the top-scored sample is a negative) — treat undefined
+    # F1 as 0 so the best DEFINED threshold wins
+    return thresholds[np.argmax(np.nan_to_num(f1_scores, nan=0.0))]
 
 
 def find_best_threshold_by_cost(labels, predictions, cost_fn, cost_fp):

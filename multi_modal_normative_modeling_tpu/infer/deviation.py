@@ -53,9 +53,15 @@ def _ols_pvalues(y, X):
     beta, *_ = np.linalg.lstsq(X, y, rcond=None)
     resid = y - X @ beta
     dof = n - k
+    if dof <= 0:
+        return np.full(k, np.nan)
     sigma2 = resid @ resid / dof
-    cov = sigma2 * np.linalg.inv(X.T @ X)
-    t_stat = beta / np.sqrt(np.diag(cov))
+    # pinv, not inv: statsmodels OLS is pinv-based, so a rank-deficient
+    # design (e.g. a posterior-collapsed constant latent dim) yields NaN/inf
+    # statistics instead of raising LinAlgError
+    cov = sigma2 * np.linalg.pinv(X.T @ X)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_stat = beta / np.sqrt(np.diag(cov))
     return 2.0 * stats.t.sf(np.abs(t_stat), dof)
 
 

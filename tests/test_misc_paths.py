@@ -155,3 +155,47 @@ def test_prepare_modality_memoized(tmp_path):
                                     train_ids, test_ids)
     assert third["train_data"] is not first["train_data"]
     np.testing.assert_array_equal(third["train_data"], first["train_data"])
+
+
+def test_pr_threshold_finder_survives_nan_f1():
+    """precision=recall=0 points yield NaN F1 (0/0); argmax must not return
+    the NaN index (reference group_analysis:77-80 would)."""
+    from multi_modal_normative_modeling_tpu.evaluation.metrics import (
+        find_best_threshold_by_pr,
+    )
+
+    labels = [1, 1, 0, 1, 0, 0, 0, 0]
+    scores = [0.4, 0.5, 0.9, 0.6, 0.1, 0.2, 0.15, 0.3]
+    assert find_best_threshold_by_pr(labels, scores) == 0.4
+
+
+def test_assert_modalities_aligned_raises_on_mismatch():
+    import pandas as pd
+    import pytest
+
+    from multi_modal_normative_modeling_tpu.cli.common import (
+        assert_modalities_aligned,
+    )
+
+    a = pd.DataFrame({"participant_id": ["s1", "s2", "s3"]})
+    b = pd.DataFrame({"participant_id": ["s1", "s3"]})
+    assert_modalities_aligned([a, a.copy()], "ctx")  # aligned: no raise
+    with pytest.raises(ValueError, match="modality row sets"):
+        assert_modalities_aligned([a, b], "ctx")
+
+
+def test_ols_pvalues_handle_constant_latent_dim():
+    """A posterior-collapsed (constant) latent dim must yield finite-or-NaN
+    p-values, not LinAlgError (statsmodels OLS is pinv-based)."""
+    import numpy as np
+
+    from multi_modal_normative_modeling_tpu.infer.deviation import (
+        latent_pvalues,
+    )
+
+    rng = np.random.default_rng(0)
+    latent = np.column_stack([rng.normal(size=40),
+                              np.full(40, 0.7)])  # dim 1 collapsed
+    target = rng.normal(size=40)
+    frame = latent_pvalues(latent, target, "continuous")
+    assert frame.shape[0] == 2  # const/latent rows, no crash

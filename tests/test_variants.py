@@ -149,3 +149,23 @@ def test_early_fusion_builder(tmp_path):
     assert frame.shape[1] == expected
     assert any(c.endswith("_fMRI") for c in frame.columns)
     assert any(c.endswith("_sMRI") for c in frame.columns)
+
+
+def test_nmmlp_test_uses_saved_architecture(adhd_project):
+    """nmmlp test must rebuild the model from the checkpoint config (the
+    reference unpickles the trained module), so running test with a
+    different -H than train still evaluates the trained shape."""
+    root = adhd_project
+    train_args = argparse.Namespace(
+        dataset_resourse="ADHD", hz_para_list=[24, 24, 6], combine="moe",
+        procedure="SE-MoE", epochs=5, n_splits=3, oversample_percentage=1,
+    )
+    nmmlp.train(train_args, root)
+    test_args = argparse.Namespace(
+        dataset_resourse="ADHD", hz_para_list=[10, 4],  # WRONG shape
+        combine="moe", procedure="SE-MoE", epochs=5, n_splits=3,
+        oversample_percentage=1,
+    )
+    nmmlp.test(test_args, root)  # must not raise / mis-restore
+    model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
+    assert (model_dir / "000" / "diagnosis_results.csv").exists()
