@@ -449,6 +449,18 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
     from ..parallel.folds import unstack_params
 
     n_folds = len(folds)
+    if fold_parallel and config.shuffle:
+        # the shuffled path permutes over each trainer's padded batch grid;
+        # vmapped folds share ONE grid (the largest), so a smaller fold's
+        # permutation domain would differ from its sequential run and the
+        # 'numerics identical' contract would silently break
+        nbs = {max(1, -(-f[0][0].shape[0] // config.batch_size))
+               for f in folds}
+        if len(nbs) > 1:
+            print('fold-parallel disabled for this run: shuffle=True with '
+                  'unequal fold batch grids would diverge from the '
+                  'sequential numerics; training folds sequentially')
+            fold_parallel = False
     if fold_parallel:
         max_n = max(f[0][0].shape[0] for f in folds)
         mft = MultiFoldTrainer(model, config, max_n, loss_fn=loss_fn,

@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fusion import poe_logvar
-from ..ops.losses import _masked_mean, neg_half_sse
+from ..ops.losses import (
+    _masked_mean,
+    kl_standard_normal,
+    neg_half_sse,
+)
 from ..ops.linear import apply_linear, init_mlp
 from .cvae import reparameterize
 
@@ -119,10 +123,7 @@ class DMVAEFamily:
 
     def loss(self, params, xes, fwd, mask: Optional[jnp.ndarray] = None) -> dict:
         mu_c, logvar_c = fwd["mu_c"], fwd["logvar_c"]
-        kl_row = -0.5 * jnp.sum(
-            1.0 + logvar_c - mu_c ** 2 - jnp.exp(logvar_c), axis=1
-        )
-        kl_one = _masked_mean(kl_row, mask)
+        kl_one = kl_standard_normal(mu_c, logvar_c, mask)
         kl = 0.0
         ll = 0.0
         for i in range(self.modalities):

@@ -23,9 +23,12 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from ..ops.fusion import poe_logvar
 from ..ops.losses import (
     _masked_mean,
     cross_entropy_logits,
+    gaussian_ll,
+    kl_standard_normal,
     margin_contrastive,
 )
 from .cvae import (
@@ -37,8 +40,6 @@ from .cvae import (
     init_encoder,
     reparameterize,
 )
-
-_HALF_LOG_2PI = 0.9189385332046727
 
 
 class EndToEndCVAE:
@@ -85,14 +86,9 @@ class EndToEndCVAE:
                                    self.non_linear)
             mus.append(mu)
             logvars.append(lv)
-        mus = jnp.stack(mus)
-        logvars = jnp.stack(logvars)
-        # PoE over (mu, logvar) (cVAE.py:2083-2090)
-        precision = jnp.exp(-logvars)
-        total = jnp.sum(precision, axis=0)
-        fused_mu = jnp.sum(mus * precision, axis=0) / total
-        fused_logvar = -jnp.log(total)
-        return fused_mu, fused_logvar
+        # PoE over (mu, logvar) (cVAE.py:2083-2090) — the shared
+        # ProductOfExperts2 op
+        return poe_logvar(jnp.stack(mus), jnp.stack(logvars))
 
     def forward(self, params, xes: List[jnp.ndarray], cs: List[jnp.ndarray],
                 key, train: bool = True,
@@ -119,15 +115,6 @@ class EndToEndCVAE:
             "bn_state": new_bn_state,
         }
 
-    @staticmethod
-    def _recon_nll(x, mean, logvar_out, mask):
-        per_row = -jnp.sum(
-            -0.5 * (x - mean) ** 2 * jnp.exp(-logvar_out)
-            - 0.5 * logvar_out - _HALF_LOG_2PI,
-            axis=1,
-        )
-        return _masked_mean(per_row, mask)
-
     def loss(self, params, xes, fwd, labels, margin: float = 1.0,
              weight_contrastive: float = 0.1, weight_kl: float = 0.1,
              weight_rec: float = 0.1,
@@ -138,8 +125,10 @@ class EndToEndCVAE:
         for i in range(self.modalities):
             mean_h, lv_h = fwd["recons_health"][i]
             mean_d, lv_d = fwd["recons_disease"][i]
-            recon_h += self._recon_nll(xes[i], mean_h, lv_h, mask)
-            recon_d += self._recon_nll(xes[i], mean_d, lv_d, mask)
+            # NLL = -gaussian_ll (exact: negation commutes with the
+            # masked mean in IEEE arithmetic)
+            recon_h += -gaussian_ll(xes[i], mean_h, lv_h, mask)
+            recon_d += -gaussian_ll(xes[i], mean_d, lv_d, mask)
             dev_h.append(jnp.mean((xes[i] - mean_h) ** 2, axis=1))
             dev_d.append(jnp.mean((xes[i] - mean_d) ** 2, axis=1))
         deviation_h = jnp.stack(dev_h).mean(axis=0)
@@ -147,11 +136,7 @@ class EndToEndCVAE:
 
         contrastive = margin_contrastive(deviation_h, deviation_d, labels,
                                          margin, mask)
-        kl_row = -0.5 * jnp.sum(
-            1.0 + fwd["logvar"] - fwd["mu"] ** 2 - jnp.exp(fwd["logvar"]),
-            axis=1,
-        )
-        kl = _masked_mean(kl_row, mask)
+        kl = kl_standard_normal(fwd["mu"], fwd["logvar"], mask)
         ce = cross_entropy_logits(fwd["logits"], labels, mask)
         total = (weight_rec * (recon_h + recon_d) + weight_kl * kl + ce
                  + weight_contrastive * contrastive)

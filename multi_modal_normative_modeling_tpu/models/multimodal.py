@@ -41,8 +41,7 @@ from .cvae import (
 )
 
 
-def total_correlation(mus_stack: jnp.ndarray, fused_mu: jnp.ndarray,
-                      latent_dim: int,
+def total_correlation(mus_stack: jnp.ndarray,
                       mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """mvtCAE's TC term, reproducing cVAE.py:1859-1865 exactly.
 
@@ -171,8 +170,7 @@ class MultimodalCVAE:
                 lvs = list(fwd["logvars"])
             jsd = pairwise_jsd(stats, lvs, mask)
         if self.variant == "mvtcae":
-            tc = total_correlation(fwd["mus"], fwd["mu_multimodal"],
-                                   self.latent_dim, mask)
+            tc = total_correlation(fwd["mus"], mask)
             extras["tc"] = tc * self.modalities
         for i in range(self.modalities):
             kl = kl_standard_normal(fwd["mu_multimodal"],

@@ -75,6 +75,10 @@ def pairwise_jsd(mus, logvars, mask: Optional[jnp.ndarray] = None) -> jnp.ndarra
     """mmJSD's pairwise-KL regularizer (cVAE.py:1404-1411): mean KL over all
     ordered pairs i<j, averaged over elements (torch ``.mean()``)."""
     n = len(mus)
+    if n < 2:
+        # no pairs: zero regularizer (the reference's n*(n-1)/2 denominator
+        # would divide by zero; single-modality mmJSD is otherwise valid)
+        return jnp.asarray(0.0)
     total = 0.0
     for i in range(n):
         for j in range(i + 1, n):

@@ -234,11 +234,19 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
         )
         return params, logs
 
-    def train_chunk(n_epochs, params, opt_state, key, batches):
+    def train_chunk(n_epochs, params, opt_state, key, batches, hyper=None):
         """Resumable slice: runs ``n_epochs`` (static) epochs from an explicit
         (params, opt_state, key) carry and returns the carry for
         checkpointing. Chunking is numerically identical to one long scan —
         the per-epoch op sequence is unchanged (tests/test_resume.py)."""
+        if with_hyper:
+            if hyper is None:
+                raise ValueError(
+                    "chunked training with a hyper-parameterized trainer "
+                    "requires the hyper= argument (train() fills it; the "
+                    "chunk path must be given it explicitly)")
+            hyper_box.clear()
+            hyper_box.append(hyper)
         (params, opt_state, key), logs = jax.lax.scan(
             make_epoch(batches), (params, opt_state, key), None,
             length=n_epochs)
