@@ -34,8 +34,19 @@ def _fold_frames(args, project_root: Path, dataset_names):
     model_dir = kfold_dir / model_name
 
     frames = []
-    modality_path = (project_root / 'data' / args.dataset_resourse /
-                     f'{dataset_names[-1]}.csv')
+    # last modality wins in the reference's per-modality merge loop — but
+    # its merge only supplies per-subject DIA labels (rows align by the
+    # participant_id index), so when the last modality's CSV was never
+    # materialized (--in_memory_fusion skips the early-fusion CSV) any
+    # existing base modality gives the identical frame
+    data_dir = project_root / 'data' / args.dataset_resourse
+    modality_path = data_dir / f'{dataset_names[-1]}.csv'
+    if not modality_path.exists():
+        for name in reversed(dataset_names[:-1]):
+            candidate = data_dir / f'{name}.csv'
+            if candidate.exists():
+                modality_path = candidate
+                break
     for fold in range(args.n_splits):
         _, test_ids_path = common.fold_paths(kfold_dir, fold)
         fold_model_dir = model_dir / f'{fold:03d}'
@@ -62,7 +73,7 @@ def analyze_pair(args, project_root: Path, fold_frames=None):
     kfold_dir = project_root / 'outputs' / 'kfold_analysis'
 
     auc_roc_list, accuracy_list = [], []
-    sensitivity_list, specificity_list, significance_ratio_list = [], [], []
+    sensitivity_list, specificity_list = [], []
 
     dataset_names = registry.get_datasets_name(args.dataset_resourse,
                                                args.procedure)
@@ -79,7 +90,10 @@ def analyze_pair(args, project_root: Path, fold_frames=None):
         error_patient = averaged.loc[
             test_dataset_df['DIA'] == args.disease_label]['Reconstruction error']
 
-        roc_auc, accuracy, recall, specificity, significance = (
+        # the per-fold significance returned here is recomputed below as
+        # auc/(1-auc) over the whole list (reference behavior) — only the
+        # first four outputs feed the reports
+        roc_auc, accuracy, recall, specificity, _ = (
             classification_performance(
                 error_hc, error_patient, args.training_class,
                 method=getattr(args, 'threshold_method', 'roc'))
@@ -88,7 +102,6 @@ def analyze_pair(args, project_root: Path, fold_frames=None):
         accuracy_list.append(accuracy)
         sensitivity_list.append(recall)
         specificity_list.append(specificity)
-        significance_ratio_list.append(significance)
 
     comparison_dir = (kfold_dir / dataset_name /
                       f'{args.hc_label:02d}_vs_{args.disease_label:02d}')

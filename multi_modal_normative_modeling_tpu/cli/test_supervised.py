@@ -15,8 +15,6 @@ from pathlib import Path
 import jax
 import numpy as np
 import pandas as pd
-from sklearn.model_selection import KFold
-
 from .. import registry
 from ..infer.emitters import DeviationEmitter
 from ..train import checkpoint_exists, load_checkpoint
@@ -66,7 +64,12 @@ def _infer_program(config: dict, combine: str, use_fused: bool):
                                 jax.ShapeDtypeStruct((2,), np.uint32))
         template = jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), shapes)
-        _INFER_CACHE[key] = (model, vinfer, template)
+        # latent-stats program shares the cache entry: a fresh jit wrapper
+        # per fold/milestone would re-trace (and re-compile on the tunnel)
+        stats_fn = (jax.jit(lambda p, xes, cs: model.latent_stats(
+            p, list(xes), list(cs), combine))
+            if hasattr(model, 'latent_stats') else None)
+        _INFER_CACHE[key] = (model, vinfer, template, stats_fn)
     return _INFER_CACHE[key]
 
 
@@ -99,17 +102,10 @@ def main(args, project_root=None):
                      args.dataset_resourse / args.procedure / 'path_model')
     deviation_dir.mkdir(exist_ok=True, parents=True)
 
-    np.random.seed(42)
-    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
-
     dataset_names = registry.get_datasets_name(args.dataset_resourse,
                                                args.procedure)
     if args.combine is None:
         raise ValueError(f'Unknown procedure: {args.procedure}')
-
-    ids_df = pd.read_csv(participants_path)
-    hc_label = registry.get_hc_label(args.dataset_resourse)
-    HC_group = ids_df[ids_df['DIA'] == hc_label]
 
     emitter = DeviationEmitter(dataset_names)
     model = None
@@ -123,7 +119,9 @@ def main(args, project_root=None):
                         and args.procedure.startswith('UCA'))
     load_names = dataset_names[:-1] if in_memory_fusion else dataset_names
 
-    n_folds = sum(1 for _ in kf.split(HC_group))
+    # fold membership comes from the train_ids_/test_ids_ CSVs the train
+    # stage wrote; KFold itself is not needed here
+    n_folds = args.n_splits
     jobs = []
     for fold in range(n_folds):
         train_ids_path, test_ids_path = common.fold_paths(kfold_dir, fold)
@@ -146,16 +144,20 @@ def main(args, project_root=None):
         if in_memory_fusion:
             preps.append(common.fuse_preps(preps, load_names,
                                            args.dataset_resourse))
+        common.assert_modalities_aligned(
+            [p['test_df'] for p in preps], f'test stage fold {fold}')
         if not checkpoint_exists(fold_model_dir):
             print('firstly train model')
             continue
         print('load trained model')
-        _, config = load_checkpoint(fold_model_dir)
+        # config lives in the JSON sidecar; restoring the params blob just
+        # to read it would deserialize every checkpoint twice
+        config = json.loads((fold_model_dir / 'cVAE_model.json').read_text())
         if model is None:
             # one vmapped inference program shared across folds AND across
             # main() calls (eager dispatch over the remote-TPU link costs a
             # round trip per op; sweep engines re-enter per grid milestone)
-            model, vinfer, template = _infer_program(
+            model, vinfer, template, stats_fn = _infer_program(
                 config, args.combine,
                 getattr(args, 'fused_inference', False))
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
@@ -194,14 +196,29 @@ def main(args, project_root=None):
         # same per-fold PRNG streams as sequential inference (SURVEY.md Q2);
         # plain integer seeds — keys are derived inside the jitted program
         keys = np.array([1000 + j['fold'] for j in pending], dtype=np.uint32)
-        stacked_params = jax.tree_util.tree_map(
-            lambda *leaves: np.stack(leaves),
-            *[j['params'] for j in pending])
+        from ..parallel import stack_params
+
+        stacked_params = stack_params([j['params'] for j in pending])
         mark('stack + keys')
-        predictions, _ = vinfer(stacked_params, xes, cs, keys)
-        mark('vmapped inference dispatch')
-        # one bulk device->host fetch per modality, then numpy slicing
-        host_preds = [np.asarray(p) for p in predictions]
+        try:
+            predictions, _ = vinfer(stacked_params, xes, cs, keys)
+            mark('vmapped inference dispatch')
+            # one bulk device->host fetch per modality, then numpy slicing
+            host_preds = [np.asarray(p) for p in predictions]
+        except Exception as exc:
+            if not getattr(args, 'fused_inference', False):
+                raise
+            # the fused Pallas path has no batch tiling: a wide modality x
+            # large fold can exceed VMEM and fail Mosaic compilation — fall
+            # back to the XLA program (same numerics contract as the fused
+            # train step's fallback)
+            print(f'fused inference failed to compile ({exc!r}); '
+                  'using the XLA path')
+            model, vinfer, template, stats_fn = _infer_program(config, args.combine,
+                                                     False)
+            predictions, _ = vinfer(stacked_params, xes, cs, keys)
+            mark('vmapped inference dispatch')
+            host_preds = [np.asarray(p) for p in predictions]
         mark('device->host fetch')
 
         # ---- phase 3: per-fold deviation math + CSV emission (threaded) ---
@@ -223,9 +240,8 @@ def main(args, project_root=None):
                                         'PTGENDER']],
                     job['test_data_list'][m], preds[m], deviations[m],
                 )
-            if getattr(args, 'emit_latent', False) and hasattr(
-                    model, 'latent_stats'):
-                _emit_latent(model, job['params'], args.combine, job['dir'],
+            if getattr(args, 'emit_latent', False) and stats_fn is not None:
+                _emit_latent(stats_fn, job['params'], job['dir'],
                              job['clinical_df'], job['train_data_list'],
                              job['train_cov'], job['test_data_list'],
                              job['test_cov'], n_mod)
@@ -235,19 +251,18 @@ def main(args, project_root=None):
     mark('combined emit + write join')
 
 
-def _emit_latent(model, params, combine, fold_model_dir, clinical_df,
+def _emit_latent(stats, params, fold_model_dir, clinical_df,
                  train_data_list, train_cov, test_data_list, test_cov,
                  n_modalities):
     """Opt-in latent deviation CSV per fold (beyond-reference: the reference
     ships the latent deviation math, utils_vae.py:155-161, but no pipeline
-    ever emits it)."""
+    ever emits it). ``stats`` is the jitted latent_stats program cached in
+    _INFER_CACHE (one trace per config, not per fold)."""
     from ..infer.deviation import (
         latent_deviation,
         separate_latent_deviation,
     )
 
-    stats = jax.jit(lambda p, xes, cs: model.latent_stats(
-        p, list(xes), list(cs), combine))
     mu_train, _ = stats(params, tuple(train_data_list),
                         (train_cov,) * n_modalities)
     mu_test, var_test = stats(params, tuple(test_data_list),

@@ -39,6 +39,15 @@ def fast_inner_merge(left: pd.DataFrame, right: pd.DataFrame,
 
     lk = left[on].to_numpy()
     rk = right[on].to_numpy()
+    # NaN keys hash-miss in a dict (NaN != NaN) where pd.merge pairs them,
+    # and dtype-mismatched key columns should raise pandas' clear error
+    # instead of silently matching nothing — both go to pandas
+    if (lk.dtype != rk.dtype
+            or (lk.dtype.kind == "f" and (np.isnan(lk).any()
+                                          or np.isnan(rk).any()))
+            or (lk.dtype == object
+                and (pd.isna(lk).any() or pd.isna(rk).any()))):
+        return pd.merge(left, right, on=on)
     rpos = {k: j for j, k in enumerate(rk)}
     if len(rpos) == len(rk):
         # unique right keys: result = left rows with a match, in left order

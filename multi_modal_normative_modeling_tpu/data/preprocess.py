@@ -89,7 +89,14 @@ def qcut_rank_one_hot(values: pd.Series, q: int) -> np.ndarray:
     test_qcut_rank_one_hot_matches_pandas). NaNs fall back to pandas (the
     reference would crash on them anyway — rank propagates NaN into the
     int cast)."""
-    vals = np.asarray(values, dtype=np.float64)
+    try:
+        vals = np.asarray(values, dtype=np.float64)
+    except (TypeError, ValueError):
+        # non-numeric covariates (e.g. string PTGENDER): pandas rank sorts
+        # them lexicographically — exactly what the reference does
+        bins = pd.qcut(pd.Series(values).rank(method="first"), q=q,
+                       labels=list(range(q)))
+        return np.eye(q)[np.asarray(bins, dtype=int)]
     n = vals.shape[0]
     if np.isnan(vals).any():
         bins = pd.qcut(pd.Series(values).rank(method="first"), q=q,

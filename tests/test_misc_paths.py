@@ -199,3 +199,35 @@ def test_ols_pvalues_handle_constant_latent_dim():
     target = rng.normal(size=40)
     frame = latent_pvalues(latent, target, "continuous")
     assert frame.shape[0] == 2  # const/latent rows, no crash
+
+
+def test_qcut_rank_one_hot_string_covariates_match_pandas():
+    """Object-dtype covariates (string PTGENDER) must bin exactly like the
+    reference's pd.qcut(values.rank(method='first'), q)."""
+    import numpy as np
+    import pandas as pd
+
+    from multi_modal_normative_modeling_tpu.data.preprocess import (
+        qcut_rank_one_hot,
+    )
+
+    values = pd.Series(["Male", "Female", "Female", "Male", "Male"])
+    out = qcut_rank_one_hot(values, 2)
+    oracle_bins = pd.qcut(values.rank(method="first"), q=2,
+                          labels=[0, 1]).astype(int)
+    np.testing.assert_array_equal(out, np.eye(2)[oracle_bins])
+
+
+def test_fast_inner_merge_nan_keys_match_pandas():
+    import numpy as np
+    import pandas as pd
+
+    from multi_modal_normative_modeling_tpu.data.loading import (
+        fast_inner_merge,
+    )
+
+    left = pd.DataFrame({"IID": ["a", np.nan, "b"], "x": [1, 2, 3]})
+    right = pd.DataFrame({"IID": ["b", np.nan, "a"], "y": [10, 20, 30]})
+    got = fast_inner_merge(left, right, on="IID")
+    want = pd.merge(left, right, on="IID")
+    pd.testing.assert_frame_equal(got, want)

@@ -77,3 +77,40 @@ def test_in_memory_fusion_matches_file_based(tmp_path):
     np.testing.assert_allclose(mem["Reconstruction error"],
                                ref["Reconstruction error"],
                                rtol=1e-5, atol=1e-8)
+
+
+def test_in_memory_fusion_without_early_fusion_csv(tmp_path):
+    """--in_memory_fusion exists so the early-fusion CSV never needs to be
+    materialized: the FULL chain (incl. group analysis, whose reference
+    merge path reads the last modality's CSV) must work without it."""
+    import argparse
+
+    from multi_modal_normative_modeling_tpu.cli import (
+        group_analysis,
+        test_supervised,
+        train_supervised,
+    )
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+
+    root = tmp_path / "proj"
+    make_synthetic_resource(root, "ADNI", n_hc=40, n_disease={0: 16, 1: 16},
+                            effect=0.9, with_early_fusion=False)
+    args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 4],
+        procedure="UCA-PoE", combine="PoE", epochs=10, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", in_memory_fusion=True,
+        emit_latent=False, fused_inference=False, threshold_method="roc",
+    )
+    assert not (root / "data" / "ADNI"
+                / "early_fusion_modalities_ADNI.csv").exists()
+    train_supervised.main(args, project_root=root)
+    test_supervised.main(args, project_root=root)
+    stats = group_analysis.main(args, project_root=root)
+    import numpy as np
+
+    assert np.isfinite(stats["auc"][0])
