@@ -49,9 +49,18 @@ def global_fold_mesh(n_folds: int):
     import jax
 
     devices = jax.devices()
-    n_fold = 1
-    for cand in range(min(n_folds, len(devices)), 0, -1):
-        if len(devices) % cand == 0:
-            n_fold = cand
-            break
+    local = max(1, jax.local_device_count())
+
+    def host_aligned(cand: int) -> bool:
+        # fold rows span whole hosts only when the 'data' width divides the
+        # per-host device count or is a multiple of it
+        n_data = len(devices) // cand
+        return n_data % local == 0 or local % n_data == 0
+
+    candidates = [c for c in range(min(n_folds, len(devices)), 0, -1)
+                  if len(devices) % c == 0]
+    # prefer the largest host-aligned factorization (per-fold collectives
+    # then ride intra-host ICI, not DCN); fall back to the largest divisor
+    n_fold = next((c for c in candidates if host_aligned(c)),
+                  candidates[0] if candidates else 1)
     return make_mesh(n_fold=n_fold, devices=devices)

@@ -9,13 +9,10 @@ the GSPMD path's semantics).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def build_dp_step_shardmap(model, optimizer: optax.GradientTransformation,
@@ -23,9 +20,13 @@ def build_dp_step_shardmap(model, optimizer: optax.GradientTransformation,
     """step(params, opt_state, xes, cs, key) -> (params, opt_state, loss).
 
     Parameters/optimizer state are replicated; each 'data' shard computes
-    the gradient of its batch rows' mean loss and pmean combines them —
-    identical numerics to the unsharded step when the batch divides evenly
-    (the per-shard masked means all use the same row count).
+    the gradient of its batch rows' mean loss and pmean combines them.
+    The reparameterization key is fold_in-decorrelated per shard — with a
+    replicated key every shard would draw IDENTICAL noise (duplicated
+    epsilon rows, biased gradients). Per-shard draws therefore differ from
+    the unsharded step's single (B, Z) draw: the sharded step is the same
+    estimator, not the same sample (exact draw parity across shard counts
+    is impossible with per-shard sampling).
     """
 
     def loss_fn(params, xes, cs, key):
@@ -33,7 +34,13 @@ def build_dp_step_shardmap(model, optimizer: optax.GradientTransformation,
         losses = model.loss(params, list(xes), fwd)
         return losses["total"]
 
+    n_data = mesh.shape["data"]
+
     def shard_body(params, opt_state, xes, cs, key):
+        if n_data > 1:
+            # decorrelate the per-shard noise draws (see docstring); the
+            # single-shard step stays bit-identical to the unsharded one
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         # per-shard grads over the local rows, explicitly averaged over the
         # 'data' axis (the collective GSPMD would otherwise insert for us)
         loss, grads = jax.value_and_grad(loss_fn)(params, xes, cs, key)

@@ -46,14 +46,18 @@ class SweepTrainer:
     def __init__(self, model, config: TrainConfig, n_samples: int,
                  loss_fn: Callable,
                  state_update: Optional[Callable] = None):
-        self.config = config
+        # ``model`` is accepted for call-site symmetry with the other
+        # trainers but unused: loss_fn fully defines the computation
+        del model
         optimizer = build_optimizer(config, n_samples)
         train = build_train_fn(loss_fn, optimizer, config.epochs,
                                config.shuffle, state_update=state_update,
                                with_hyper=True)
-        # inner: folds; outer: configs (data broadcast across configs)
+        # inner: folds; outer: configs (params AND data broadcast across
+        # configs by in_axes=None — no S-fold copies ever materialize)
         fold_vmap = jax.vmap(train, in_axes=(0, 0, 0, None))
-        self._train = jax.jit(jax.vmap(fold_vmap, in_axes=(0, None, 0, 0)))
+        self._train = jax.jit(jax.vmap(fold_vmap,
+                                       in_axes=(None, None, 0, 0)))
 
     def run(self, params_list_per_fold, batches, keys, configs: Sequence[dict]
             ) -> Tuple[list, list]:
@@ -67,16 +71,11 @@ class SweepTrainer:
         n_configs = len(configs)
         n_folds = len(params_list_per_fold)
         fold_params = stack_params(params_list_per_fold)          # [F, ...]
-        sweep_params = jax.tree_util.tree_map(
-            lambda leaf: jnp.broadcast_to(leaf, (n_configs,) + leaf.shape),
-            fold_params,
-        )
         hyper = stack_hypers(configs)
-        out_params, logs = self._train(sweep_params, batches, keys, hyper)
+        out_params, logs = self._train(fold_params, batches, keys, hyper)
 
-        host_params = jax.tree_util.tree_map(np.asarray,
-                                             jax.device_get(out_params))
-        host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
+        host_params = jax.device_get(out_params)  # numpy leaves
+        host_logs = jax.device_get(logs)
         params_grid = [
             [jax.tree_util.tree_map(lambda a: a[s, f], host_params)
              for f in range(n_folds)]

@@ -63,3 +63,31 @@ def test_multi_shard_runs_and_replicates():
     # the pmean keeps parameters replicated across shards
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_multi_shard_noise_is_decorrelated():
+    """A replicated PRNG key would make every 'data' shard draw IDENTICAL
+    reparameterization noise: with the batch's second half duplicating the
+    first, the 2-shard loss would then equal the unsharded half-batch loss
+    exactly. The fold_in decorrelation must break that equality."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    model, params, xes, cs = _problem()
+    half = B // 2
+    xes_dup = tuple(np.concatenate([x[:half], x[:half]]) for x in xes)
+    cs_dup = tuple(np.concatenate([c[:half], c[:half]]) for c in cs)
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(11)
+
+    mesh = make_mesh(n_fold=1, n_data=2, devices=jax.devices()[:2])
+    step = build_dp_step_shardmap(model, opt, "poe", mesh)
+    _, _, sharded_loss = step(params, opt.init(params), xes_dup, cs_dup, key)
+
+    def half_loss_fn(p):
+        fwd = model.forward(p, [x[:half] for x in xes_dup],
+                            [c[:half] for c in cs_dup], key, "poe")
+        return model.loss(p, [x[:half] for x in xes_dup], fwd)["total"]
+
+    half_loss = float(half_loss_fn(params))
+    assert np.isfinite(float(sharded_loss))
+    assert abs(float(sharded_loss) - half_loss) > 1e-6
