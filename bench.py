@@ -96,12 +96,18 @@ def bench_jax() -> float:
     # TPU tunnel block_until_ready alone under-synchronizes)
     out, logs = trainer.run(stacked, batches, keys)
     np.asarray(logs["total"])
+    # each timed rep runs the job CHAIN times back-to-back (async dispatches
+    # pipeline) and divides: the ~100-step program is otherwise dominated by
+    # the tunnel's 30-100 ms variable invocation overhead (CLAUDE.md:
+    # amortize >=400 steps per timed program)
+    CHAIN = 4
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out, logs = trainer.run(stacked, batches, keys)
+        for _ in range(CHAIN):
+            out, logs = trainer.run(stacked, batches, keys)
         total = np.asarray(logs["total"])
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / CHAIN)
     assert np.isfinite(total).all()
     # min over repeats: tunnel latency spikes are one-sided noise
     return float(np.min(times))

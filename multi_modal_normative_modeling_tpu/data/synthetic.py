@@ -33,7 +33,6 @@ def make_synthetic_resource(
     effect: float = 1.5,
     offset_effect: float = 0.8,
     modalities: Optional[Sequence[str]] = None,
-    n_features: Optional[int] = None,
     with_early_fusion: bool = False,
     with_fi: bool = False,
 ) -> Path:
@@ -45,10 +44,19 @@ def make_synthetic_resource(
     rng = np.random.default_rng(seed)
     hc_label = registry.get_hc_label(resource)
     if n_disease is None:
-        if resource in ("ADNI", "ADHD"):
+        if resource == "ADNI":
             n_disease = {0: n_hc // 2, 1: n_hc // 2}
+        elif resource == "ADHD":
+            # ADHD's HC label is 1 and its analysis pairs are
+            # [[2,0],[2,1],[1,0]] (registry.HC_PATIENT_COMBINATIONS):
+            # disease labels must avoid 1 and include 2
+            n_disease = {0: n_hc // 2, 2: n_hc // 2}
         else:
             n_disease = {0: n_hc // 2}
+    if hc_label in n_disease:
+        raise ValueError(
+            f"n_disease may not use {resource}'s HC label {hc_label}: "
+            f"{n_disease}")
 
     data_dir = Path(root) / "data" / resource
     data_dir.mkdir(parents=True, exist_ok=True)
@@ -79,8 +87,6 @@ def make_synthetic_resource(
     fusion_blocks = []
     for m_idx, name in enumerate(modality_names):
         cols = registry.get_column_name(resource, name)
-        if n_features is not None:
-            cols = cols[:n_features]
         d = len(cols)
         base = rng.normal(0.0, 1.0, size=(n, d))
         # Disease signal has two components:
@@ -99,9 +105,11 @@ def make_synthetic_resource(
         frame = pd.DataFrame(base, columns=cols)
         frame.insert(0, "IID", iids)
         frame.to_csv(data_dir / f"{name}.csv", index=False)
-        fusion_blocks.append(
-            frame.set_index("IID").rename(columns=lambda c: f"{c}_{name}")
-        )
+        if with_early_fusion:
+            fusion_blocks.append(
+                frame.set_index("IID").rename(
+                    columns=lambda c: f"{c}_{name}")
+            )
 
     if with_early_fusion:
         fused = pd.concat(fusion_blocks, axis=1)

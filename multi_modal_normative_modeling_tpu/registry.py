@@ -162,8 +162,3 @@ def get_hc_label(dataset_resourse: str) -> int:
     except KeyError:
         raise ValueError("Unknown dataset resource")
 
-
-def parse_procedure(procedure: str) -> dict:
-    """Decompose a procedure string into its scheme and fusion/modality part."""
-    scheme, _, rest = procedure.partition("-")
-    return {"scheme": scheme, "arg": rest}

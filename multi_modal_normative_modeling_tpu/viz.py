@@ -52,8 +52,13 @@ def roi_deviation_table(roi_error_csv, hc_label: int,
         "hc_mean_dev": hc.mean().values,
         "patient_mean_dev": patient.mean().values,
         "cohens_d": ((patient.mean() - hc.mean()) / pooled).values,
-    }).sort_values("cohens_d", ascending=False).reset_index(drop=True)
-    return table.head(top_k) if top_k else table
+    })
+    # rank by |d|: a strongly HC-elevated ROI is a large effect too (the
+    # signed value stays in the output/plot)
+    table = table.reindex(
+        table["cohens_d"].abs().sort_values(ascending=False).index
+    ).reset_index(drop=True)
+    return table if top_k is None else table.head(top_k)
 
 
 def roi_deviation_map(roi_error_csv, hc_label: int, out_path,

@@ -61,9 +61,23 @@ from multi_modal_normative_modeling_tpu.infer.deviation import (
     _logit_pvalues, _ols_pvalues)
 
 
+class _Series:
+    """ndarray with a .values accessor: the reference does
+    sm.OLS(...).fit().pvalues.values (utils_vae.py:167-173)."""
+
+    def __init__(self, arr):
+        self.values = np.asarray(arr)
+
+    def __array__(self, dtype=None):
+        return np.asarray(self.values, dtype=dtype)
+
+    def __getitem__(self, idx):
+        return self.values[idx]
+
+
 class _Fit:
     def __init__(self, pvalues):
-        self.pvalues = np.asarray(pvalues)
+        self.pvalues = _Series(pvalues)
 
 
 class OLS:
@@ -80,6 +94,25 @@ class Logit:
 
     def fit(self, **kw):
         return _Fit(_logit_pvalues(self.y, self.X))
+
+
+def _add_constant(x):
+    """statsmodels.tools.tools.add_constant: prepend a ones column."""
+    x = np.asarray(x, float)
+    if x.ndim == 1:
+        x = x[:, None]
+    return np.column_stack([np.ones(len(x)), x])
+
+
+class _ToolsInner:
+    add_constant = staticmethod(_add_constant)
+
+
+class _Tools:
+    tools = _ToolsInner
+
+
+tools = _Tools()
 '''
 
 
@@ -182,8 +215,10 @@ def main():
             "train_seconds_per_fold_epoch": round(per_fold_epoch, 4),
             "test_seconds": round(test_s, 2),
             "analysis_seconds": round(analysis_s, 2),
+            # the flagship job is FIXED at 10 folds x 200 epochs
+            # (RESULTS.md), independent of the probe's --n-splits
             "flagship_train_estimate_seconds": round(
-                per_fold_epoch * args.n_splits * 200, 1),
+                per_fold_epoch * 10 * 200, 1),
             "approx_train_rows_per_fold": n_train_rows,
         }
         import re
