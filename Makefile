@@ -1,4 +1,14 @@
-.PHONY: test bench flagship ppmi-bench lint report warmup
+.PHONY: test bench flagship ppmi-bench lint report warmup pipeline adhd-sweep
+
+# the full train -> test -> analysis chain in ONE process (one device-
+# session attach; shared CSV cache / prep memo across stages)
+pipeline:
+	python -m multi_modal_normative_modeling_tpu.cli.pipeline \
+	  -R ADNI -P UCA-gPoE -E 200 -K 10 --fold_parallel
+
+# the reference's commands_list11 ADHD grid as one sweep-engine run
+adhd-sweep:
+	python scripts/run_adhd_sweep.py
 
 # pre-compile the flagship sweep's training program shapes (persistent cache)
 warmup:
