@@ -1,8 +1,9 @@
 """MLP diagnosis classifier baseline.
 
 Drop-in CLI for classifier_baseline/classifier.py: loads an fMRI feature CSV
-and a labels CSV joined on IID, does the 70/10/20 stratified split
-(classifier.py:169-215), trains the MLP full-batch with Adam +
+and a labels CSV joined on IID, does the reference's stratified split
+(classifier.py:169-215 — nominally "70/10/20" but val_size=0.1 applies to
+the 80% remainder, so effectively 72/8/20; reproduced exactly), trains the MLP full-batch with Adam +
 ReduceLROnPlateau + best-val checkpointing (here as one jitted scan), and
 writes the checkpoint, <checkpoint>_metrics.txt, experiment_results.json and
 logs/experiment.log artifacts.
@@ -102,9 +103,9 @@ def main(args):
     )
     logging.info("Training completed")
 
-    ckpt_dir = Path(args.checkpoint_path).parent or Path(".")
+    ckpt_dir = Path(args.checkpoint_path).parent  # '.' for bare filenames
     ckpt_name = Path(args.checkpoint_path).stem
-    save_checkpoint(ckpt_dir if str(ckpt_dir) else Path("."), best_params,
+    save_checkpoint(ckpt_dir, best_params,
                     {"hidden_layers": list(args.hidden_layers),
                      "dropout": args.dropout,
                      "input_size": int(X_train.shape[1])},

@@ -314,7 +314,15 @@ def prepare_modality(project_root: Path, resource: str, dataset_name: str,
         # emitted normalized_/error CSVs carry float64 formatting while the
         # device path downcasts to float32 at the jit boundary
         out['test_data'] = scaler.transform(test_df[columns_name].values)
-        out['test_cov'] = one_hot_covariates(test_df[['DIA', 'AGE', 'PTGENDER']])
+        try:
+            out['test_cov'] = one_hot_covariates(
+                test_df[['DIA', 'AGE', 'PTGENDER']])
+        except ValueError:
+            # fewer test rows than qcut bins (e.g. a serving ids list of
+            # one subject): the k-fold evaluation paths never hit this;
+            # the serving CLI bins by train quantiles instead
+            # (data/preprocess.train_binned_covariates)
+            out['test_cov'] = None
     if _prep_nbytes(out) <= _PREP_CACHE_BYTES:
         with _PREP_LOCK:
             _PREP_CACHE[cache_key] = out

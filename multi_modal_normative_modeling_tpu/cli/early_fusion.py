@@ -31,8 +31,13 @@ def build_early_fusion(project_root: Path, dataset_resource: str) -> Path:
         )
         if iid is None:
             iid = frame.index
-        else:
-            assert all(iid == frame.index)
+        elif len(iid) != len(frame.index) or not (iid == frame.index).all():
+            # an explicit error (asserts vanish under -O, and pd.concat
+            # would silently outer-align with NaN fill)
+            raise ValueError(
+                f"{dataset_name}.csv IID order differs from the first "
+                "modality's; every modality CSV must cover the same "
+                "subjects in the same order")
         merged = pd.concat([merged, frame], axis=1)
     out = (Path(project_root) / "data" / dataset_resource /
            f"early_fusion_modalities_{dataset_resource}.csv")

@@ -37,8 +37,9 @@ def generate_report(project_root, resource: str, procedure: str,
     result_txt = project_root / "result_baseline" / "result_multimodal.txt"
     if result_txt.exists():
         blocks = [b for b in result_txt.read_text().split("\n\n\n") if b.strip()]
-        lines += ["## result_multimodal.txt (latest block)", "",
-                  "```", blocks[-1].strip(), "```", ""]
+        if blocks:  # an empty/truncated file skips the section, not crashes
+            lines += ["## result_multimodal.txt (latest block)", "",
+                      "```", blocks[-1].strip(), "```", ""]
 
     dev_root = (project_root / "deviation" / "supervised_cvae" / resource /
                 procedure / "path_model")

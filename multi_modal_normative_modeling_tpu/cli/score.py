@@ -53,7 +53,7 @@ def score(args, project_root=None) -> pd.DataFrame:
                 f'no checkpoint in {fold_model_dir}; train first')
         train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
 
-        data_list, columns_list, cov = [], [], None
+        data_list, columns_list, frames, cov = [], [], [], None
         for dataset_name in dataset_names:
             prep = common.prepare_modality(
                 project_root, args.dataset_resourse, dataset_name,
@@ -61,11 +61,23 @@ def score(args, project_root=None) -> pd.DataFrame:
             )
             data_list.append(prep['test_data'])
             columns_list.append(prep['columns'])
-            cov = prep['test_cov']
+            frames.append(prep['test_df'])
+            # serving covariates: train-quantile binning, NOT the k-fold
+            # test-split re-binning (which would make a subject's score
+            # depend on the rest of the ids CSV and break for 1 subject)
+            from ..data.preprocess import train_binned_covariates
+
+            cov = train_binned_covariates(
+                prep['train_df'][['AGE', 'PTGENDER']],
+                prep['test_df'][['AGE', 'PTGENDER']])
             subject_df = prep['test_df']
+        common.assert_modalities_aligned(frames, f'score fold {fold}')
         subject_ids = subject_df['participant_id'].values
 
-        _, config = load_checkpoint(fold_model_dir)
+        import json as _json
+
+        config = _json.loads(
+            (fold_model_dir / 'cVAE_model.json').read_text())
         if model is None:
             model = common.build_model_from_config(config)
             combine = args.combine
@@ -109,7 +121,10 @@ def score(args, project_root=None) -> pd.DataFrame:
     if args.output:
         out.to_csv(args.output, index=False)
         if args.roi_output:
-            all_cols = [c for cols in columns_list for c in cols]
+            # modality-suffixed names: ADHD/UCA modalities share raw ROI
+            # names, which would collide into duplicate CSV headers
+            all_cols = [f'{c}_{name}' for cols, name
+                        in zip(columns_list, dataset_names) for c in cols]
             roi_frame = pd.DataFrame(roi_dev, columns=all_cols)
             roi_frame.insert(0, 'participant_id', subject_ids)
             write_csv(args.roi_output, roi_frame)

@@ -126,3 +126,31 @@ def one_hot_covariates(covariates: pd.DataFrame, n_bins_age: int = 27,
 def binary_labels(dia: pd.Series, hc_label: int) -> np.ndarray:
     """0 for healthy controls, 1 otherwise (nmpmcont process_dataset:121)."""
     return (np.asarray(dia) != hc_label).astype(np.int64)
+
+
+def train_binned_covariates(train_cov: pd.DataFrame, new_cov: pd.DataFrame,
+                            n_bins_age: int = 27,
+                            n_bins_gender: int = 2) -> np.ndarray:
+    """Serving-path covariate one-hot: bin NEW subjects by quantile edges
+    fit on the fold's TRAIN covariates.
+
+    The k-fold evaluation path deliberately re-bins each test split on
+    itself (reference quirk, SURVEY.md Q5) — fine for fixed folds, but for
+    arbitrary scoring cohorts it would make a subject's conditioning (and
+    deviation score) depend on who else is in the ids CSV, and crash for a
+    single-subject list. Train-derived edges are cohort-independent and
+    defined for any batch size.
+    """
+
+    def one_hot(train_vals, new_vals, q):
+        train = np.asarray(train_vals, dtype=np.float64)
+        edges = np.quantile(train, np.linspace(0.0, 1.0, q + 1)[1:-1])
+        codes = np.searchsorted(edges, np.asarray(new_vals, np.float64),
+                                side="right")
+        return np.eye(q)[codes]
+
+    return np.concatenate(
+        (one_hot(train_cov["AGE"], new_cov["AGE"], n_bins_age),
+         one_hot(train_cov["PTGENDER"], new_cov["PTGENDER"], n_bins_gender)),
+        axis=1,
+    ).astype("float32")

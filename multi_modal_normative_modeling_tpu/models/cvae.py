@@ -68,12 +68,16 @@ def apply_decoder(params: dict, z: jnp.ndarray, c: jnp.ndarray,
     return apply_linear(params["mean"], h), params["logvar_out"]
 
 
-def init_discriminator(key, hidden_dim: Sequence[int],
+def init_discriminator(key, hz_para_list: Sequence[int],
                        dtype=jnp.float32) -> dict:
     """Latent discriminator z -> scalar logit (cVAE.py:210-237; legacy
     adversarial-AAE head — constructed but unused by the live multimodal
-    training paths; provided for API completeness)."""
-    rev = list(hidden_dim)[::-1]
+    training paths; provided for API completeness).
+
+    ``hz_para_list`` is the FULL reference list with the latent dim LAST
+    (the discriminator walks it reversed, latent-in), unlike the
+    encoder/decoder initializers whose hidden_dim excludes the latent."""
+    rev = list(hz_para_list)[::-1]
     k_hidden, k_out = jax.random.split(key)
     return {
         "hidden": init_mlp(k_hidden, rev, dtype),

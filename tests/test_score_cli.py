@@ -47,3 +47,41 @@ def test_score_ensemble(tmp_path):
     roi = pd.read_csv(root / "roi_scores.csv")
     assert roi.shape == (len(y), 1 + 90)
     assert np.isfinite(roi.iloc[:, 1:].values).all()
+
+
+def test_score_single_subject_and_cohort_independence(tmp_path):
+    """Serving covariates bin by TRAIN quantile edges: a subject's score
+    must not depend on who else is in the ids CSV, and a one-subject list
+    must work (test-split re-binning would crash pd.qcut there)."""
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=50, n_disease={0: 20},
+                            effect=1.0)
+    train_args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[12, 12, 4],
+        procedure="SM-av45", combine="PoE", epochs=10, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=False, precision="fp32",
+    )
+    train_supervised.main(train_args, project_root=root)
+
+    y = pd.read_csv(root / "data" / "ADNI" / "y.csv")
+    all_ids = root / "all_ids.csv"
+    y[["IID"]].to_csv(all_ids, index=False)
+    one_id = root / "one_id.csv"
+    y[["IID"]].head(1).to_csv(one_id, index=False)
+
+    def args_for(ids_path):
+        return argparse.Namespace(
+            dataset_resourse="ADNI", procedure="SM-av45", combine="PoE",
+            n_splits=2, ids=str(ids_path), fold=0, output=None,
+            roi_output=None, seed=42)
+
+    full = score.score(args_for(all_ids), project_root=root)
+    single = score.score(args_for(one_id), project_root=root)
+    assert len(single) == 1
+    target = full[full["participant_id"]
+                  == single["participant_id"].iloc[0]]["deviation"].iloc[0]
+    np.testing.assert_allclose(single["deviation"].iloc[0], target,
+                               rtol=1e-5)
