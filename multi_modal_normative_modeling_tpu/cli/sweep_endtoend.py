@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
-from sklearn.model_selection import KFold
 
 from .. import registry
 from ..data.loading import generate_kfold_ids_endtoend
@@ -36,7 +35,6 @@ def main(args, project_root=None):
 
     warm_device_session()  # attach the remote device session during host prep
     project_root = Path(project_root) if project_root else Path.cwd()
-    kf = KFold(n_splits=args.n_splits, shuffle=True, random_state=42)
     output_dir = project_root / 'outputs'
     kfold_dir = output_dir / 'kfold_analysis'
     kfold_dir.mkdir(parents=True, exist_ok=True)
@@ -61,12 +59,13 @@ def main(args, project_root=None):
     # ---- data prep ----------------------------------------------------------
     fold_data = []
     input_dim_list, c_dim = [], None
-    for fold, _ in enumerate(kf.split(HC_group)):
+    for fold in range(args.n_splits):
         train_ids = ids_source / f'train_ids_{fold:03d}.csv'
         test_ids = ids_source / f'test_ids_{fold:03d}.csv'
         train_x, train_c, test_x, test_c = [], [], [], []
         train_labels = test_labels = None
         input_dim_list = []
+        train_frames, test_frames = [], []
         for dataset_name in dataset_names:
             columns = registry.get_column_name(args.dataset_resourse,
                                                dataset_name)
@@ -85,6 +84,12 @@ def main(args, project_root=None):
             train_labels, test_labels = labels, tlabels
             input_dim_list.append(data.shape[1])
             c_dim = cov.shape[1]
+            train_frames.append(train_df)
+            test_frames.append(test_df)
+        common.assert_modalities_aligned(train_frames,
+                                         f'sweep_endtoend train fold {fold}')
+        common.assert_modalities_aligned(test_frames,
+                                         f'sweep_endtoend test fold {fold}')
         fold_data.append({'train': (train_x, train_c),
                           'labels': train_labels,
                           'test': (test_x, test_c, test_labels)})

@@ -149,7 +149,12 @@ def _decoder_kernel(n_hidden: int, non_linear: bool, *refs):
 def fused_decoder_mean(dec_params: dict, z: jnp.ndarray, c: jnp.ndarray,
                        non_linear: bool, interpret: bool | None = None
                        ) -> jnp.ndarray:
-    """Pallas version of models.cvae.apply_decoder's mean path."""
+    """Pallas version of models.cvae.apply_decoder's mean path.
+
+    Single-block (no batch tiling, unlike fused_encoder): the whole batch's
+    activations must fit VMEM. Callers handle overflow — the test stage's
+    --fused_inference path falls back to the XLA program when Mosaic
+    rejects the shape (cli/test_supervised.py)."""
     if interpret is None:
         interpret = not _on_tpu()
     b = z.shape[0]

@@ -95,7 +95,9 @@ def train_classifier(model: MLPClassifier, params, x_train, y_train, x_val,
     hyper = {"initial_lr": float(initial_lr), "factor": float(factor),
              "patience": int(patience), "min_lr": float(min_lr),
              "dropout": float(model.dropout)}
-    return jax.jit(train)(params, hyper, jax.random.PRNGKey(seed))
+    from ..cli.common import host_prng_key
+
+    return jax.jit(train)(params, hyper, host_prng_key(seed))
 
 
 def sweep_classifiers(model: MLPClassifier, params, x_train, y_train, x_val,
@@ -112,13 +114,18 @@ def sweep_classifiers(model: MLPClassifier, params, x_train, y_train, x_val,
         "patience": jnp.asarray([c.get("patience", 10) for c in configs],
                                 jnp.int32),
         "min_lr": jnp.asarray([c["min_lr"] for c in configs], jnp.float32),
-        "dropout": jnp.asarray([c.get("dropout", 0.0) for c in configs],
-                               jnp.float32),
+        "dropout": jnp.asarray(
+            [c.get("dropout", model.dropout) for c in configs],
+            jnp.float32),
     }
     n = len(configs)
     stacked = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (n,) + a.shape), params)
-    keys = jnp.stack([jax.random.PRNGKey(seed)] * n)
+    import numpy as np
+
+    from ..cli.common import host_prng_key
+
+    keys = np.stack([host_prng_key(seed)] * n)
     best, hist = jax.jit(jax.vmap(train))(stacked, hyper, keys)
     import numpy as np
 
@@ -132,8 +139,8 @@ def _scan_epochs(optimizer, params, opt_state, key, grad_fn, loss_of, x_val,
                  y_val, factor, patience, min_lr, num_epochs,
                  early_stopping_patience):
     def epoch(carry, _):
-        (params, opt_state, key, best_val, plateau, stopped_ctr, best_params,
-         stopped) = carry
+        (params, opt_state, key, best_val, sched_best, plateau,
+         stopped_ctr, best_params, stopped) = carry
         key, drop_key = jax.random.split(key)
         train_loss, grads = grad_fn(params, drop_key)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
@@ -146,8 +153,12 @@ def _scan_epochs(optimizer, params, opt_state, key, grad_fn, loss_of, x_val,
 
         val_loss = loss_of(params, x_val, y_val, key, False)
 
-        # ReduceLROnPlateau(mode=min, rel threshold 1e-4)
-        improved_sched = val_loss < best_val * (1.0 - 1e-4)
+        # ReduceLROnPlateau(mode=min, rel threshold 1e-4): the scheduler
+        # keeps its OWN best, updated only when the threshold test passes
+        # (torch semantics — a strict running min would let sub-threshold
+        # creep suppress num_bad_epochs resets and cut the LR spuriously)
+        improved_sched = val_loss < sched_best * (1.0 - 1e-4)
+        sched_best = jnp.where(improved_sched, val_loss, sched_best)
         plateau = jnp.where(improved_sched, 0, plateau + 1)
         lr = opt_state.hyperparams["learning_rate"]
         reduce_now = plateau > patience
@@ -165,16 +176,17 @@ def _scan_epochs(optimizer, params, opt_state, key, grad_fn, loss_of, x_val,
         stopped = jnp.logical_or(stopped,
                                  stopped_ctr >= early_stopping_patience)
 
-        carry = (params, opt_state, key, best_val, plateau, stopped_ctr,
-                 best_params, stopped)
+        carry = (params, opt_state, key, best_val, sched_best, plateau,
+                 stopped_ctr, best_params, stopped)
         return carry, {"train_loss": train_loss, "val_loss": val_loss,
                        "lr": opt_state.hyperparams["learning_rate"]}
 
     init = (params, opt_state, key,
+            jnp.asarray(jnp.inf, jnp.float32),
             jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), params, jnp.asarray(False))
     final_carry, history = jax.lax.scan(epoch, init, None, length=num_epochs)
-    best_params = final_carry[6]
+    best_params = final_carry[7]
     return best_params, history
 
 
@@ -194,12 +206,18 @@ def evaluate_classifier(model: MLPClassifier, params, x_test, y_test) -> dict:
     y_true = np.asarray(y_test)
     probs = np.asarray(jax.nn.softmax(logits, axis=1))[:, 1]
 
-    tn, fp, fn, tp = confusion_matrix(y_true, y_pred).ravel()
+    # labels pinned so a single-class fold still yields a 2x2 matrix, and
+    # AUROC degrades to NaN instead of raising on one-class y_true
+    tn, fp, fn, tp = confusion_matrix(y_true, y_pred, labels=[0, 1]).ravel()
+    try:
+        auroc = roc_auc_score(y_true, probs)
+    except ValueError:
+        auroc = float("nan")
     return {
         "Accuracy": accuracy_score(y_true, y_pred),
-        "Sensitivity (Recall for class 1)": recall_score(y_true, y_pred,
-                                                         pos_label=1),
+        "Sensitivity (Recall for class 1)": recall_score(
+            y_true, y_pred, pos_label=1, zero_division=0),
         "Specificity (Recall for class 0)": tn / (tn + fp) if (tn + fp) else 0,
-        "F1-Score": f1_score(y_true, y_pred),
-        "AUROC": roc_auc_score(y_true, probs),
+        "F1-Score": f1_score(y_true, y_pred, zero_division=0),
+        "AUROC": auroc,
     }

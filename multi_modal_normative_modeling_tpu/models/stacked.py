@@ -231,8 +231,10 @@ class StackedMultimodalCVAE:
     def pred_recon(self, params, x_packed, c, key, combine: str):
         return self.forward(params, x_packed, c, key, combine)["recon_means"]
 
-    def reconstruction_deviation(self, x_packed, recon) -> List[jnp.ndarray]:
-        """Per-modality per-subject MSE over the modality's true features."""
+    def reconstruction_deviation(self, x_packed, recon) -> jnp.ndarray:
+        """Per-modality per-subject MSE over the modality's true features,
+        as ONE [M, B] array (the packed counterpart of MultimodalCVAE's
+        per-modality list)."""
         col = self.col_mask()[:, None, :]
         sq = ((x_packed - recon) ** 2) * col
         dims = jnp.asarray(self.input_dim_list, sq.dtype)
