@@ -20,6 +20,14 @@ for e in "${E_VALUES[@]}"; do
   done
 done
 
-# Uncomment for the fusion-baseline sweeps:
-# for p in SE-MoE SE-PoE SE-gPoE; do ... -Model cVAE_multimodal ...; done
-# for m in mmJSD DMVAE WeightedDMVAE mvtCAE mmVAEPlus; do ... -P SE-PoE ...; done
+# Fusion-baseline sweeps (uncomment to run; each block is complete):
+# for p in SE-MoE SE-PoE SE-gPoE; do
+#   ./multimodal_kfold_train_cvae_supervised.py -P "$p" -E 50 -Model cVAE_multimodal -K 10 -TrainingClass dm
+#   ./multimodal_kfold_test_cvae_supervised.py  -P "$p" -K 10
+#   ./multimodal_kfold_cvae_group_analysis_1x1.py -P "$p" -E 50 -K 10 -TrainingClass dm
+# done
+# for m in mmJSD DMVAE WeightedDMVAE mvtCAE mmVAEPlus; do
+#   ./multimodal_kfold_train_cvae_supervised.py -P SE-PoE -E 50 -Model "$m" -K 10 -TrainingClass dm
+#   ./multimodal_kfold_test_cvae_supervised.py  -P SE-PoE -K 10
+#   ./multimodal_kfold_cvae_group_analysis_1x1.py -P SE-PoE -E 50 -K 10 -TrainingClass dm
+# done

@@ -1,6 +1,8 @@
 #!/bin/bash
-# End-to-end (nm-PM-cont) hyperparameter grid: margin, loss weights,
-# dropout, classifier shapes, epochs.
+# End-to-end (nm-PM-cont) grid over contrastive weight x classifier shapes
+# (margin/epochs pinned; extend the loops for the reference's full
+# 26k-point grid, or use cli/sweep_endtoend.py to run a whole grid as ONE
+# vmapped device program).
 set -e
 
 K=5

@@ -7,11 +7,17 @@ import os
 # Override unconditionally: the session environment may pre-set JAX_PLATFORMS
 # to a TPU platform; tests must run on the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Force the count to 8 even when a smaller value leaked in from the
+# environment (e.g. a distributed-test debug session set it to 1-2):
+# multi-device tests would otherwise silently skip and the suite would go
+# green with the sharding coverage gone.
+import re as _re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 

@@ -22,13 +22,20 @@ from multi_modal_normative_modeling_tpu.registry import (  # noqa: F401
 
 PROJECT_ROOT = Path.cwd()
 
-COLUMNS_NAME = _registry.COLUMNS_NAME
-COLUMNS_NAME_VBM = _registry.COLUMNS_NAME_VBM
-COLUMNS_NAME_SNP = _registry.COLUMNS_NAME_SNP
-COLUMNS_NAME_AAL116 = _registry.COLUMNS_NAME_AAL116
-COLUMNS_HCP = _registry.COLUMNS_HCP
-COLUMNS_NAME_PPMI = _registry.COLUMNS_NAME_PPMI
-COLUMNS_3MODALITIES = _registry.COLUMNS_3MODALITIES
-# defined here although absent from the reference utils.py — its
-# early_fusion_modalities.py imports it and crashes (SURVEY.md section 2.1)
-COLUMNS_NAME_HCP_fMRI_100 = _registry.COLUMNS_NAME_HCP_fMRI_100
+# Lazy module attributes (PEP 562), mirroring registry.py's design: plain
+# `import utils` must not read roi_labels.json or build the 3485-column
+# PPMI / 270-column 3-modalities lists unless a registry is actually used.
+# COLUMNS_NAME_HCP_fMRI_100 is served here although absent from the
+# reference utils.py — its early_fusion_modalities.py imports it and
+# crashes (SURVEY.md section 2.1).
+_REGISTRY_ATTRS = frozenset({
+    "COLUMNS_NAME", "COLUMNS_NAME_VBM", "COLUMNS_NAME_SNP",
+    "COLUMNS_NAME_AAL116", "COLUMNS_HCP", "COLUMNS_NAME_PPMI",
+    "COLUMNS_3MODALITIES", "COLUMNS_NAME_HCP_fMRI_100",
+})
+
+
+def __getattr__(name):
+    if name in _REGISTRY_ATTRS:
+        return getattr(_registry, name)
+    raise AttributeError(f"module 'utils' has no attribute {name!r}")
