@@ -317,12 +317,15 @@ def prepare_modality(project_root: Path, resource: str, dataset_name: str,
         try:
             out['test_cov'] = one_hot_covariates(
                 test_df[['DIA', 'AGE', 'PTGENDER']])
-        except ValueError:
+        except ValueError as e:
             # fewer test rows than qcut bins (e.g. a serving ids list of
             # one subject): the k-fold evaluation paths never hit this;
             # the serving CLI bins by train quantiles instead
-            # (data/preprocess.train_binned_covariates)
+            # (data/preprocess.train_binned_covariates). Keep the reason so
+            # k-fold consumers can fail loudly via require_test_cov instead
+            # of crashing opaquely on the None far downstream.
             out['test_cov'] = None
+            out['test_cov_error'] = str(e)
     if _prep_nbytes(out) <= _PREP_CACHE_BYTES:
         with _PREP_LOCK:
             _PREP_CACHE[cache_key] = out
@@ -351,6 +354,49 @@ def assert_modalities_aligned(frames, context: str,
                 f"modality 0 ({len(base)} rows) and modality {i} "
                 f"({len(cur)} rows); every modality CSV must cover the "
                 "same subjects in the same order")
+
+
+def emit_fold_artifacts(model_dir: Path, per_fold_logs, per_fold_params,
+                        model_config: dict, n_folds: int,
+                        plot: bool = True) -> None:
+    """Threaded per-fold artifact emission shared by every trainer CLI:
+    loss plot + checkpoint into ``model_dir/{fold:03d}``. Safe to thread —
+    plot_losses is OO-Agg (no pyplot global state) and save_checkpoint
+    writes atomically. ``per_fold_logs[fold]`` feeds Logger.extend; pass
+    plot=False to skip plots (sweep intermediate milestones, matching the
+    reference loop's transient per-point plots)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..train.checkpoints import save_checkpoint
+    from ..utils.logging import Logger, plot_losses
+
+    def emit(fold):
+        fold_dir = model_dir / f'{fold:03d}'
+        if plot:
+            logger = Logger()
+            logger.extend(per_fold_logs[fold])
+            plot_losses(logger, fold_dir, 'training')
+        save_checkpoint(fold_dir, per_fold_params[fold], model_config)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(emit, range(n_folds)))
+
+
+def require_test_cov(prep: dict, context: str) -> np.ndarray:
+    """Fetch a prep's qcut test covariates, failing with the original qcut
+    error if prepare_modality could not bin them (test split smaller than
+    the bin count). The k-fold evaluation CLIs consume test_cov directly —
+    without this, a None flows into np.pad/np.stack and crashes with an
+    unrelated broadcast error far from the cause."""
+    cov = prep.get('test_cov')
+    if cov is None:
+        raise ValueError(
+            f"{context}: test covariates unavailable — "
+            f"{prep.get('test_cov_error', 'qcut binning failed')}. "
+            "The k-fold test stage needs >= bin-count test rows per fold; "
+            "for single-subject scoring use the serving CLI (cli.score), "
+            "which bins by train quantiles.")
+    return cov
 
 
 def fold_paths(kfold_dir: Path, fold: int) -> Tuple[Path, Path]:

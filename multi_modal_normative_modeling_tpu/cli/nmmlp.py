@@ -24,16 +24,11 @@ from .. import registry
 from ..infer.emitters import write_csv
 from ..data.loading import generate_kfold_ids
 from .common import load_dataset_cached as load_dataset
+from . import common
 from ..data.preprocess import one_hot_covariates
 from ..evaluation.reports import append_performance_metrics
 from ..models.multimodal import MultimodalCVAE
-from ..train import (
-    TrainConfig,
-    checkpoint_exists,
-    load_checkpoint,
-    save_checkpoint,
-)
-from ..utils.logging import Logger, plot_losses
+from ..train import TrainConfig, checkpoint_exists, load_checkpoint
 
 
 def _dirs(project_root: Path):
@@ -122,24 +117,13 @@ def train(args, project_root: Path):
         model, config, folds, params_list, keys,
         getattr(args, 'fold_parallel', False))
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    def emit_fold(fold):
-        # plot_losses is OO-Agg (thread-safe); checkpoint writes are atomic
-        fold_model_dir = model_dir / f'{fold:03d}'
-        logger = Logger()
-        logger.extend(per_fold_logs[fold])
-        plot_losses(logger, fold_model_dir, 'training')
-        save_checkpoint(fold_model_dir, per_fold_params[fold], {
-            'model': 'nmmlp', 'input_dim_list': list(map(int, input_dim_list)),
-            'hidden_dim': list(args.hz_para_list[:-1]),
-            'latent_dim': int(args.hz_para_list[-1]), 'c_dim': int(c_dim),
-            'modalities': modalities, 'non_linear': True,
-            'combine': args.combine,
-        })
-
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(emit_fold, range(n_folds)))
+    common.emit_fold_artifacts(model_dir, per_fold_logs, per_fold_params, {
+        'model': 'nmmlp', 'input_dim_list': list(map(int, input_dim_list)),
+        'hidden_dim': list(args.hz_para_list[:-1]),
+        'latent_dim': int(args.hz_para_list[-1]), 'c_dim': int(c_dim),
+        'modalities': modalities, 'non_linear': True,
+        'combine': args.combine,
+    }, n_folds)
 
 
 def test(args, project_root: Path):

@@ -34,8 +34,7 @@ from ..data.preprocess import binary_labels, one_hot_covariates
 from ..evaluation.metrics import binary_prediction_metrics
 from ..evaluation.reports import append_endtoend_results
 from ..models.endtoend import EndToEndCVAE
-from ..train import TrainConfig, save_checkpoint
-from ..utils.logging import Logger, plot_losses
+from ..train import TrainConfig
 from . import common
 
 
@@ -210,24 +209,13 @@ def main(args, project_root=None):
         lambda p, x, c: model.predict(p, list(x), list(c))))(
             stacked_params, xes, cs))
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    def emit_fold(fold):
-        # plot_losses is OO-Agg (thread-safe); checkpoint writes are atomic
-        fold_model_dir = model_dir / f'{fold:03d}'
-        logger = Logger()
-        logger.extend(per_fold_logs[fold])
-        plot_losses(logger, fold_model_dir, 'training')
-        save_checkpoint(fold_model_dir, per_fold_params[fold], {
-            'model': 'cVAE_multimodal_endtoend',
-            'input_dim_list': list(map(int, input_dim_list)),
-            'hidden_dim': list(h_dim), 'latent_dim': int(z_dim),
-            'c_dim': int(c_dim), 'modalities': modalities,
-            'classifier_layers': list(args.layers),
-        })
-
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(emit_fold, range(n_folds)))
+    common.emit_fold_artifacts(model_dir, per_fold_logs, per_fold_params, {
+        'model': 'cVAE_multimodal_endtoend',
+        'input_dim_list': list(map(int, input_dim_list)),
+        'hidden_dim': list(h_dim), 'latent_dim': int(z_dim),
+        'c_dim': int(c_dim), 'modalities': modalities,
+        'classifier_layers': list(args.layers),
+    }, n_folds)
 
     for fold in range(n_folds):
         n_rows = fold_data[fold]['test_data_list'][0].shape[0]

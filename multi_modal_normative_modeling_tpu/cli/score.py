@@ -15,6 +15,7 @@ checkpoints.
 from __future__ import annotations
 
 import argparse
+import json
 from pathlib import Path
 
 import jax
@@ -22,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from .. import registry
+from ..data.preprocess import train_binned_covariates
 from ..infer.emitters import write_csv
 from ..train import checkpoint_exists, load_checkpoint
 from . import common
@@ -53,7 +55,7 @@ def score(args, project_root=None) -> pd.DataFrame:
                 f'no checkpoint in {fold_model_dir}; train first')
         train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
 
-        data_list, columns_list, frames, cov = [], [], [], None
+        data_list, columns_list, frames = [], [], []
         for dataset_name in dataset_names:
             prep = common.prepare_modality(
                 project_root, args.dataset_resourse, dataset_name,
@@ -62,21 +64,19 @@ def score(args, project_root=None) -> pd.DataFrame:
             data_list.append(prep['test_data'])
             columns_list.append(prep['columns'])
             frames.append(prep['test_df'])
-            # serving covariates: train-quantile binning, NOT the k-fold
-            # test-split re-binning (which would make a subject's score
-            # depend on the rest of the ids CSV and break for 1 subject)
-            from ..data.preprocess import train_binned_covariates
-
-            cov = train_binned_covariates(
-                prep['train_df'][['AGE', 'PTGENDER']],
-                prep['test_df'][['AGE', 'PTGENDER']])
             subject_df = prep['test_df']
         common.assert_modalities_aligned(frames, f'score fold {fold}')
+        # serving covariates: train-quantile binning, NOT the k-fold
+        # test-split re-binning (which would make a subject's score depend
+        # on the rest of the ids CSV and break for 1 subject). Frames are
+        # aligned, so one modality's demographics stand for all (last
+        # modality wins, matching the reference's test:102 convention).
+        cov = train_binned_covariates(
+            prep['train_df'][['AGE', 'PTGENDER']],
+            subject_df[['AGE', 'PTGENDER']])
         subject_ids = subject_df['participant_id'].values
 
-        import json as _json
-
-        config = _json.loads(
+        config = json.loads(
             (fold_model_dir / 'cVAE_model.json').read_text())
         if model is None:
             model = common.build_model_from_config(config)

@@ -41,8 +41,8 @@ from .. import registry
 from ..data.loading import generate_kfold_ids
 from ..parallel import MultiFoldTrainer, stack_fold_batches, stack_params
 from ..parallel.folds import unstack_params
-from ..train import TrainConfig, save_checkpoint
-from ..utils.logging import Logger, RunLog, plot_losses
+from ..train import TrainConfig
+from ..utils.logging import RunLog
 from . import common, group_analysis, test_supervised
 
 
@@ -241,21 +241,11 @@ def main(args, project_root=None):
                         # matplotlib rendering is GIL-bound so it doesn't
                         # thread away
                         final = epochs == epochs_list[-1]
-
-                        def emit_fold(fold):
-                            fold_dir = model_dir / f'{fold:03d}'
-                            if final:
-                                logger = Logger()
-                                logger.extend(
-                                    {k: v[fold] for k, v in logs.items()})
-                                plot_losses(logger, fold_dir, 'training')
-                            save_checkpoint(fold_dir, per_fold[fold],
-                                            config_dict)
-
-                        from concurrent.futures import ThreadPoolExecutor
-
-                        with ThreadPoolExecutor(max_workers=8) as pool:
-                            list(pool.map(emit_fold, range(n_folds)))
+                        common.emit_fold_artifacts(
+                            model_dir,
+                            [{k: v[fold] for k, v in logs.items()}
+                             for fold in range(n_folds)] if final else None,
+                            per_fold, config_dict, n_folds, plot=final)
                     with phase('test stage'):
                         test_supervised.main(point, project_root=project_root)
                     with phase('group analysis'):

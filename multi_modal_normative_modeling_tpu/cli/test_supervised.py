@@ -168,7 +168,8 @@ def main(args, project_root=None):
             'test_data_list': [p['test_data'] for p in preps],
             'clinical_df': preps[0]['test_df'],
             'columns_list': [p['columns'] for p in preps],
-            'test_cov': preps[-1]['test_cov'],  # last modality wins (test:102)
+            'test_cov': common.require_test_cov(
+                preps[-1], f'test fold {fold}'),  # last modality wins (test:102)
             'train_data_list': [p['train_data'] for p in preps],
             'train_cov': preps[-1]['train_cov'],
         })

@@ -18,8 +18,8 @@ import pandas as pd
 
 from .. import registry
 from ..data.loading import generate_kfold_ids
-from ..train import FoldTrainer, TrainConfig, save_checkpoint
-from ..utils.logging import Logger, RunLog, plot_losses
+from ..train import FoldTrainer, TrainConfig
+from ..utils.logging import RunLog
 from . import common
 
 
@@ -288,19 +288,8 @@ def main(args, project_root=None):
 
     # ---- artifacts ---------------------------------------------------------
     mark('train (device + fetch)')
-    from concurrent.futures import ThreadPoolExecutor
-
-    def emit_fold(fold):
-        # plot_losses is OO-Agg (thread-safe, no pyplot global state);
-        # checkpoint writes are atomic
-        fold_model_dir = model_dir / f'{fold:03d}'
-        logger = Logger()
-        logger.extend(per_fold_logs[fold])
-        plot_losses(logger, fold_model_dir, 'training')
-        save_checkpoint(fold_model_dir, per_fold_params[fold], config_dict)
-
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(emit_fold, range(n_folds)))
+    common.emit_fold_artifacts(model_dir, per_fold_logs, per_fold_params,
+                               config_dict, n_folds)
     # fold_done only after the fold's artifacts are actually on disk: a
     # consumer tailing run_log must never see a fold without its checkpoint
     for fold in range(n_folds):

@@ -143,10 +143,18 @@ def train_binned_covariates(train_cov: pd.DataFrame, new_cov: pd.DataFrame,
     """
 
     def one_hot(train_vals, new_vals, q):
-        train = np.asarray(train_vals, dtype=np.float64)
+        try:
+            train = np.asarray(train_vals, dtype=np.float64)
+            new = np.asarray(new_vals, dtype=np.float64)
+        except (TypeError, ValueError):
+            # categorical covariates (e.g. string PTGENDER): codes by the
+            # sorted train categories (lexicographic, like pandas rank);
+            # unseen categories clamp into the last bin
+            cats = np.unique(np.asarray(train_vals, dtype=str))
+            codes = np.searchsorted(cats, np.asarray(new_vals, dtype=str))
+            return np.eye(q)[np.clip(codes, 0, q - 1)]
         edges = np.quantile(train, np.linspace(0.0, 1.0, q + 1)[1:-1])
-        codes = np.searchsorted(edges, np.asarray(new_vals, np.float64),
-                                side="right")
+        codes = np.searchsorted(edges, new, side="right")
         return np.eye(q)[codes]
 
     return np.concatenate(

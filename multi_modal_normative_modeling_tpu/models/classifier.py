@@ -127,8 +127,6 @@ def sweep_classifiers(model: MLPClassifier, params, x_train, y_train, x_val,
 
     keys = np.stack([host_prng_key(seed)] * n)
     best, hist = jax.jit(jax.vmap(train))(stacked, hyper, keys)
-    import numpy as np
-
     best = jax.tree_util.tree_map(np.asarray, jax.device_get(best))
     hist = jax.tree_util.tree_map(np.asarray, jax.device_get(hist))
     return ([jax.tree_util.tree_map(lambda a: a[s], best) for s in range(n)],

@@ -41,12 +41,14 @@ def save_checkpoint(directory, params, model_config: dict,
     else:
         import os
 
-        # atomic: a kill mid-write must never leave a truncated blob that
-        # checkpoint_exists() would report as a valid model (the test stage
-        # would crash on it instead of retraining). Config first, blob last:
-        # consumers gate on the .ckpt, so both exist once it appears.
-        with open(directory / f"{name}.json", "w") as f:
-            json.dump(model_config, f, indent=1)
+        # atomic: a kill mid-write must never leave a truncated blob OR a
+        # new-config json next to an old-architecture blob (the test stage
+        # would mis-restore instead of retraining). Both files go through
+        # tmp + os.replace; config first, blob last — consumers gate on the
+        # .ckpt, so a consistent pair exists once it appears.
+        jtmp = directory / f".{name}.json.{os.getpid()}.tmp"
+        jtmp.write_text(json.dumps(model_config, indent=1))
+        os.replace(jtmp, directory / f"{name}.json")
         blob = serialization.to_bytes(params)
         tmp = directory / f".{name}.ckpt.{os.getpid()}.tmp"
         tmp.write_bytes(blob)

@@ -169,14 +169,17 @@ class PackedMultiFoldTrainer:
         self._jitted = jax.jit(jax.vmap(train))
 
     def _stack_packed(self, params_list):
-        # identical init pytrees (the CLI shares one across folds) pack once
+        # identical init pytrees (the CLI shares one across folds) pack
+        # once (setdefault would evaluate the pack eagerly per fold)
         packs = {}
-        packed_list = [
-            packs.setdefault(id(p), _pack_params_host(self.stacked, p))
-            for p in params_list
-        ]
-        return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves),
-                                      *packed_list)
+        packed_list = []
+        for p in params_list:
+            if id(p) not in packs:
+                packs[id(p)] = _pack_params_host(self.stacked, p)
+            packed_list.append(packs[id(p)])
+        from ..parallel.folds import stack_params
+
+        return stack_params(packed_list)  # numpy-stacks host trees
 
     def pack_folds(self, folds, cov_index: int = 0) -> dict:
         """folds: list of (data_list, cov_list); returns the stacked batch
