@@ -318,3 +318,47 @@ def test_generate_kfold_ids_endtoend_dir_and_determinism(tmp_path):
         b = pd.read_csv(tmp_path / "outputs" / "kfold_analysis_endtoend" /
                         f"test_ids_{fold:03d}.csv")
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_train_binned_covariates_string_gender():
+    """Serving-path binning accepts categorical (string) PTGENDER, matching
+    the numeric-coded cohort bin-for-bin (review fix: the score CLI crashed
+    on string-gender cohorts the k-fold path already accepted)."""
+    from multi_modal_normative_modeling_tpu.data.preprocess import (
+        train_binned_covariates,
+    )
+
+    rng = np.random.default_rng(0)
+    age = rng.uniform(55, 90, size=60)
+    gender_num = rng.integers(1, 3, size=60)
+    # 'Female' < 'Male' lexicographically, like 1 < 2 numerically
+    gender_str = np.where(gender_num == 1, 'Female', 'Male')
+    train_num = pd.DataFrame({'AGE': age, 'PTGENDER': gender_num})
+    train_str = pd.DataFrame({'AGE': age, 'PTGENDER': gender_str})
+
+    new_num = train_num.iloc[:10]
+    new_str = train_str.iloc[:10]
+    out_num = train_binned_covariates(train_num, new_num)
+    out_str = train_binned_covariates(train_str, new_str)
+    assert out_str.shape == out_num.shape
+    np.testing.assert_array_equal(out_str, out_num)
+
+    # single-subject scoring works (the motivating serving case)
+    one = train_binned_covariates(train_str, new_str.iloc[:1])
+    assert one.shape == (1, out_num.shape[1])
+
+
+def test_require_test_cov_raises_with_reason():
+    """k-fold consumers fail loudly (with the original qcut reason) when
+    prepare_modality could not bin a tiny test split, instead of crashing
+    on the None far downstream."""
+    from multi_modal_normative_modeling_tpu.cli.common import require_test_cov
+
+    prep = {'test_cov': None, 'test_cov_error': 'Bin edges must be unique'}
+    with pytest.raises(ValueError, match='Bin edges must be unique'):
+        require_test_cov(prep, 'test fold 0')
+    with pytest.raises(ValueError, match='cli.score'):
+        require_test_cov({'test_cov': None}, 'test fold 0')
+
+    cov = np.ones((4, 3), np.float32)
+    assert require_test_cov({'test_cov': cov}, 'ctx') is cov
