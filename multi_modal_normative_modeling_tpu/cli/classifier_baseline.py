@@ -16,7 +16,6 @@ import logging
 import os
 from pathlib import Path
 
-import jax
 import numpy as np
 import pandas as pd
 

@@ -7,7 +7,7 @@ from ..utils.jaxconfig import configure_jax_cache
 
 configure_jax_cache()
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import pandas as pd

@@ -14,7 +14,6 @@ from pathlib import Path
 
 import jax
 import numpy as np
-import pandas as pd
 from .. import registry
 from ..infer.emitters import DeviationEmitter
 from ..train import checkpoint_exists, load_checkpoint

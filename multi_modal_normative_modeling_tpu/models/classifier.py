@@ -9,7 +9,7 @@ trips — on a remote TPU that is the difference between ~1s and ~25s).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from ..ops.fusion import poe_logvar
 from ..ops.losses import (
-    _masked_mean,
     kl_standard_normal,
     neg_half_sse,
 )

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from ..ops.fusion import poe_logvar
 from ..ops.losses import (
-    _masked_mean,
     cross_entropy_logits,
     gaussian_ll,
     kl_standard_normal,

@@ -20,7 +20,6 @@ from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..train.trainer import TrainConfig, build_optimizer, build_train_fn
 from .folds import stack_params
