@@ -8,10 +8,14 @@ eager PyTorch MLP cVAE, Adam(1e-4)).
 
 Workload (BASELINE.json north star): UCA-gPoE-like ADNI shape — 4 modalities
 (90+90+90 ROI vectors plus their 270-dim early fusion), ~512 train subjects
-per fold, batch 256, 50 epochs, hz=[110,110,10], gPoE fusion. Ours trains ALL
-5 folds concurrently via vmap + one jitted scan; the reference equivalent
-trains ONE fold. vs_baseline = (5 x torch single-fold) / our 5-fold wall-clock
-= end-to-end speedup for the full CV job.
+per fold, batch 256, 200 epochs (the reference CLI's default -E), hz=
+[110,110,10], gPoE fusion. Ours trains ALL 5 folds concurrently via vmap +
+one jitted scan; the reference equivalent trains ONE fold. vs_baseline =
+(5 x torch single-fold) / our 5-fold wall-clock = end-to-end speedup for the
+full CV job. 200 epochs rather than a shorter probe because the tunnel's
+per-invocation overhead (~30 ms healthy, ~120 ms degraded; RESULTS.md) does
+not pipeline across chained dispatches — a longer in-program scan is the only
+way to keep the measurement about the device, not the tunnel.
 
 Prints exactly one JSON line.
 """
@@ -28,7 +32,7 @@ HIDDEN = [110, 110]
 LATENT = 10
 N_SUBJECTS = 512
 BATCH = 256
-EPOCHS = 50
+EPOCHS = 200
 FOLDS = 5
 SEED = 0
 
