@@ -219,6 +219,13 @@ def _measured_reference_seconds() -> "float | None":
     return per_subject_epoch * FOLDS * EPOCHS * N_SUBJECTS
 
 
+def _attach_seconds():
+    from multi_modal_normative_modeling_tpu.utils import jaxconfig
+
+    dt = jaxconfig.attach_seconds
+    return round(dt, 1) if dt is not None else None
+
+
 def main():
     jax_seconds = bench_jax()
     subjects_per_sec = FOLDS * EPOCHS * N_SUBJECTS / jax_seconds
@@ -246,6 +253,10 @@ def main():
         "detail": {
             "jax_5fold_seconds": round(jax_seconds, 3),
             "torch_cpu_single_fold_seconds": round(torch_seconds, 3),
+            # tunnel health at measurement time: a multi-minute attach means
+            # a degraded window whose ~120ms/invocation overhead inflates
+            # jax_5fold_seconds (RESULTS.md "Window sensitivity")
+            "session_attach_seconds": _attach_seconds(),
             "baseline_source": baseline_source,
             "workload": f"{FOLDS} folds x {EPOCHS} epochs x {N_SUBJECTS} "
                         f"subjects x {len(DIMS)} modalities {DIMS}",
