@@ -372,6 +372,7 @@ def emit_fold_artifacts(model_dir: Path, per_fold_logs, per_fold_params,
 
     def emit(fold):
         fold_dir = model_dir / f'{fold:03d}'
+        fold_dir.mkdir(parents=True, exist_ok=True)
         if plot:
             logger = Logger()
             logger.extend(per_fold_logs[fold])

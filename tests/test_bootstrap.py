@@ -1,0 +1,79 @@
+"""Bootstrap pipeline (cli/bootstrap.py — the reference commands_list10.sh's
+never-committed bootstrap_*.py chain, implemented for real)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from multi_modal_normative_modeling_tpu.cli import bootstrap
+from multi_modal_normative_modeling_tpu.data.synthetic import (
+    make_synthetic_resource,
+)
+
+
+def _args(action, **over):
+    base = ['-R', 'ADNI', '-D', '3modalities', '-E', '6', '-B', '3',
+            '-H', '12', '12', '4']
+    ns = bootstrap.build_parser().parse_args([action] + base)
+    for k, v in over.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_bootstrap_ids_properties(tmp_path):
+    make_synthetic_resource(tmp_path, 'ADNI', n_hc=50, n_disease={0: 20})
+    bootstrap.create_ids(_args('create_ids'), project_root=tmp_path)
+
+    y = pd.read_csv(tmp_path / 'data' / 'ADNI' / 'y.csv')
+    hc_ids = set(y[y['DIA'] == 2]['IID'])
+    other_ids = set(y[y['DIA'] != 2]['IID'])
+    boot_dir = tmp_path / 'outputs' / 'bootstrap_analysis'
+
+    trains = []
+    for b in range(3):
+        train = pd.read_csv(boot_dir / f'train_ids_{b:03d}.csv')['IID']
+        test = pd.read_csv(boot_dir / f'test_ids_{b:03d}.csv')['IID']
+        # with-replacement draw of exactly n training-class ids
+        assert len(train) == len(hc_ids)
+        assert set(train) <= hc_ids
+        assert len(set(train)) < len(train)  # replacement ⇒ duplicates (whp)
+        # test = OOB training-class + every other-group subject, disjoint
+        # from the drawn set on the training-class side
+        assert other_ids <= set(test)
+        oob = set(test) - other_ids
+        assert oob == hc_ids - set(train)
+        trains.append(tuple(train))
+    assert len(set(trains)) == 3  # replicates are distinct draws
+
+
+@pytest.mark.slow
+def test_bootstrap_end_to_end_and_vae_variant(tmp_path):
+    make_synthetic_resource(tmp_path, 'ADNI', n_hc=50, n_disease={0: 20},
+                            effect=1.2)
+    bootstrap.main(_args('all'), project_root=tmp_path)
+
+    model_dir = tmp_path / 'outputs' / 'bootstrap_analysis' / 'supervised_cvae'
+    for b in range(3):
+        rep = model_dir / f'{b:03d}'
+        assert (rep / 'cVAE_model.ckpt').exists()
+        assert (rep / 'cVAE_model.json').exists()
+        dev = pd.read_csv(rep / 'deviation_3modalities.csv')
+        assert list(dev.columns) == ['participant_id', 'DIA', 'AGE',
+                                     'PTGENDER', 'Reconstruction deviation']
+        assert np.isfinite(dev['Reconstruction deviation']).all()
+
+    report = (tmp_path / 'result_baseline' / 'result_bootstrap.txt')
+    assert 'Bootstrap settings: CVAE.' in report.read_text()
+    aucs = pd.read_csv(tmp_path / 'bootstrap_auc.csv')
+    assert set(aucs['pair']) == {'2vs0'}
+    assert len(aucs) == 3
+    # injected disease effect must be detectable out-of-bag
+    assert aucs['auc'].mean() > 0.6
+
+    # unconditioned (plain-VAE) variant: separate model dir, c_dim == 1
+    bootstrap.main(_args('all', unconditioned=True), project_root=tmp_path)
+    vae_dir = tmp_path / 'outputs' / 'bootstrap_analysis' / 'supervised_vae'
+    import json
+
+    config = json.loads((vae_dir / '000' / 'cVAE_model.json').read_text())
+    assert config['c_dim'] == 1 and config['unconditioned'] is True
+    assert 'Bootstrap settings: VAE.' in report.read_text()
