@@ -102,6 +102,12 @@ def create_ids(args, project_root=None) -> None:
     group = ids_df[ids_df['DIA'] == training_label]
     other = ids_df[ids_df['DIA'] != training_label]
 
+    # stale replicate files from an earlier, larger -B run would otherwise
+    # survive and be picked up by the train/test stages
+    for old in list(boot_dir.glob('train_ids_*.csv')) + list(
+            boot_dir.glob('test_ids_*.csv')):
+        old.unlink()
+
     np.random.seed(42)
     group_ids = group['IID'].to_numpy()
     n = len(group_ids)
@@ -264,10 +270,15 @@ def analyze(args, project_root=None) -> dict:
     from sklearn.metrics import roc_auc_score
 
     project_root = Path(project_root) if project_root else Path.cwd()
-    _, model_dir = _dirs(project_root, args.unconditioned)
+    boot_dir, model_dir = _dirs(project_root, args.unconditioned)
     reps = sorted(int(p.name) for p in model_dir.iterdir()
                   if p.is_dir() and p.name.isdigit()
                   and (p / f'deviation_{args.dataset}.csv').exists())
+    if any(boot_dir.glob('train_ids_*.csv')):
+        # only the CURRENT bootstrap set: model dirs from an earlier,
+        # larger -B run may still hold deviation CSVs
+        current = set(_replicates(boot_dir))
+        reps = [b for b in reps if b in current]
     if not reps:
         raise FileNotFoundError(
             f'no deviation_{args.dataset}.csv under {model_dir}; '
