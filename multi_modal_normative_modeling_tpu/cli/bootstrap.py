@@ -47,7 +47,7 @@ import pandas as pd
 from .. import registry
 from ..parallel import MultiFoldTrainer, stack_fold_batches, stack_params
 from ..parallel.folds import unstack_params
-from ..train import TrainConfig, checkpoint_exists, load_checkpoint
+from ..train import TrainConfig, checkpoint_exists
 from . import common
 
 
@@ -146,15 +146,22 @@ def train(args, project_root=None) -> None:
                          'y.csv')
     reps = _replicates(boot_dir)
 
-    xs, covs = [], []
-    for b in reps:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep_one(b):
         prep = _prepare(project_root, args.dataset_resourse, args.dataset,
                         participants_path, boot_dir / f'train_ids_{b:03d}.csv')
         x = prep['train_data']
         cov = (np.zeros((x.shape[0], 1), np.float32) if args.unconditioned
                else prep['train_cov'])
-        xs.append(x)
-        covs.append(cov)
+        return x, cov
+
+    # threaded like prepare_folds: the merge+scaler+qcut host work per
+    # replicate is where bootstrap wall-clock would otherwise live
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        prepped = list(pool.map(prep_one, reps))
+    xs = [p[0] for p in prepped]
+    covs = [p[1] for p in prepped]
 
     config_dict = {
         'model': 'cVAE_multimodal',
@@ -189,8 +196,10 @@ def train(args, project_root=None) -> None:
     per_rep = unstack_params(host_params, n_reps)
     per_rep_logs = [{k: v[i] for k, v in host_logs.items()}
                     for i in range(n_reps)]
+    # dirs keyed by replicate id, not position: the id set may be
+    # non-contiguous and test()/analyze() look dirs up by id
     common.emit_fold_artifacts(model_dir, per_rep_logs, per_rep, config_dict,
-                               n_reps)
+                               n_reps, fold_ids=reps)
     finals = {k: float(np.asarray(v)[:, -1].mean())
               for k, v in host_logs.items()}
     print(f'bootstrap train: {n_reps} replicates x {args.epochs} epochs '
@@ -210,8 +219,9 @@ def test(args, project_root=None) -> None:
                          'y.csv')
     reps = _replicates(boot_dir)
 
-    jobs = []
-    for b in reps:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def job_for(b):
         rep_dir = model_dir / f'{b:03d}'
         if not checkpoint_exists(rep_dir):
             raise FileNotFoundError(
@@ -223,20 +233,16 @@ def test(args, project_root=None) -> None:
         cov = (np.zeros((prep['test_data'].shape[0], 1), np.float32)
                if args.unconditioned
                else common.require_test_cov(prep, f'bootstrap test rep {b}'))
-        jobs.append({'b': b, 'dir': rep_dir,
-                     'x': np.asarray(prep['test_data'], np.float32),
-                     'cov': cov, 'df': prep['test_df']})
+        return {'b': b, 'dir': rep_dir,
+                'x': np.asarray(prep['test_data'], np.float32),
+                'cov': cov, 'df': prep['test_df']}
 
-    import json
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        jobs = list(pool.map(job_for, reps))
 
-    config = json.loads((jobs[0]['dir'] / 'cVAE_model.json').read_text())
-    model = common.build_model_from_config(config)
-    shapes = jax.eval_shape(model.init_params,
-                            jax.ShapeDtypeStruct((2,), np.uint32))
-    template = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), shapes)
-    params_list = [load_checkpoint(j['dir'], template_params=template)[0]
-                   for j in jobs]
+    model, params0, config = common.load_model_and_params(jobs[0]['dir'])
+    params_list = [params0] + [
+        common.load_model_and_params(j['dir'])[1] for j in jobs[1:]]
 
     max_rows = max(j['x'].shape[0] for j in jobs)
     padded = -(-max_rows // 64) * 64
@@ -292,24 +298,26 @@ def analyze(args, project_root=None) -> dict:
     results = {}
     rows = []
     for hc, disease in pairs:
-        aucs = []
+        # (replicate, auc) pairs so a skipped replicate (OOB subset with a
+        # single class) cannot shift attribution of the surviving AUCs
+        rep_aucs = []
         for b, df in zip(reps, frames):
             sub = df[df['DIA'].isin([hc, disease])]
             if sub['DIA'].nunique() < 2:
                 continue
             labels = (sub['DIA'] != hc).astype(int)  # nm: patient = 1
-            aucs.append(roc_auc_score(labels,
-                                      sub['Reconstruction deviation']))
-        if not aucs:
+            rep_aucs.append((b, roc_auc_score(
+                labels, sub['Reconstruction deviation'])))
+        if not rep_aucs:
             continue
-        aucs = np.asarray(aucs)
+        aucs = np.asarray([a for _, a in rep_aucs])
         lo, hi = np.percentile(aucs, [2.5, 97.5])
         results[f'{hc}vs{disease}'] = {
             'n_replicates': len(aucs), 'mean': float(aucs.mean()),
             'std': float(aucs.std()), 'ci_low': float(lo),
             'ci_high': float(hi),
         }
-        for b, a in zip(reps, aucs):
+        for b, a in rep_aucs:
             rows.append({'pair': f'{hc}vs{disease}', 'replicate': b,
                          'auc': a})
 

@@ -358,29 +358,54 @@ def assert_modalities_aligned(frames, context: str,
 
 def emit_fold_artifacts(model_dir: Path, per_fold_logs, per_fold_params,
                         model_config: dict, n_folds: int,
-                        plot: bool = True) -> None:
+                        plot: bool = True, fold_ids=None) -> None:
     """Threaded per-fold artifact emission shared by every trainer CLI:
-    loss plot + checkpoint into ``model_dir/{fold:03d}``. Safe to thread —
+    loss plot + checkpoint into ``model_dir/{fold_id:03d}``. Safe to thread —
     plot_losses is OO-Agg (no pyplot global state) and save_checkpoint
-    writes atomically. ``per_fold_logs[fold]`` feeds Logger.extend; pass
+    writes atomically. ``per_fold_logs[i]`` feeds Logger.extend; pass
     plot=False to skip plots (sweep intermediate milestones, matching the
-    reference loop's transient per-point plots)."""
+    reference loop's transient per-point plots). ``fold_ids`` names the
+    output dirs when they are not simply 0..n_folds-1 (bootstrap replicate
+    sets can be non-contiguous)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..train.checkpoints import save_checkpoint
     from ..utils.logging import Logger, plot_losses
 
-    def emit(fold):
-        fold_dir = model_dir / f'{fold:03d}'
+    if fold_ids is None:
+        fold_ids = range(n_folds)
+
+    def emit(i):
+        fold_dir = model_dir / f'{fold_ids[i]:03d}'
         fold_dir.mkdir(parents=True, exist_ok=True)
         if plot:
             logger = Logger()
-            logger.extend(per_fold_logs[fold])
+            logger.extend(per_fold_logs[i])
             plot_losses(logger, fold_dir, 'training')
-        save_checkpoint(fold_dir, per_fold_params[fold], model_config)
+        save_checkpoint(fold_dir, per_fold_params[i], model_config)
 
     with ThreadPoolExecutor(max_workers=8) as pool:
         list(pool.map(emit, range(n_folds)))
+
+
+def load_model_and_params(fold_dir: Path):
+    """Restore (model, params, config) from a fold/replicate checkpoint dir:
+    cVAE_model.json -> model, abstract-shaped zero template (eager init costs
+    a round trip per op through the remote-TPU tunnel) -> load_checkpoint."""
+    import json
+
+    import jax
+
+    from ..train import load_checkpoint
+
+    config = json.loads((Path(fold_dir) / 'cVAE_model.json').read_text())
+    model = build_model_from_config(config)
+    shapes = jax.eval_shape(model.init_params,
+                            jax.ShapeDtypeStruct((2,), np.uint32))
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
+    params, _ = load_checkpoint(fold_dir, template_params=template)
+    return model, params, config
 
 
 def require_test_cov(prep: dict, context: str) -> np.ndarray:
@@ -432,6 +457,9 @@ def fuse_preps(base_preps: List[dict], base_names: List[str],
         fused['test_data'] = np.concatenate(
             [p['test_data'] for p in base_preps], axis=1)
         fused['test_cov'] = base_preps[-1]['test_cov']
+        if 'test_cov_error' in base_preps[-1]:
+            # preserve the qcut failure reason for require_test_cov
+            fused['test_cov_error'] = base_preps[-1]['test_cov_error']
     return fused
 
 

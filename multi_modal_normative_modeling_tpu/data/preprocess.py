@@ -148,10 +148,22 @@ def train_binned_covariates(train_cov: pd.DataFrame, new_cov: pd.DataFrame,
             new = np.asarray(new_vals, dtype=np.float64)
         except (TypeError, ValueError):
             # categorical covariates (e.g. string PTGENDER): codes by the
-            # sorted train categories (lexicographic, like pandas rank);
-            # unseen categories clamp into the last bin
+            # sorted train categories (lexicographic, like pandas rank).
+            # A category absent from the train cohort has NO meaningful
+            # bin — silently clamping would condition the subject on the
+            # wrong demographic (this also catches type mismatches like a
+            # numeric-coded train cohort scored against string labels)
             cats = np.unique(np.asarray(train_vals, dtype=str))
-            codes = np.searchsorted(cats, np.asarray(new_vals, dtype=str))
+            new = np.asarray(new_vals, dtype=str)
+            codes = np.searchsorted(cats, new)
+            bad = (codes >= len(cats)) | (cats[np.minimum(codes,
+                                                          len(cats) - 1)]
+                                          != new)
+            if bad.any():
+                raise ValueError(
+                    f'covariate value(s) {sorted(set(new[bad]))} not in the '
+                    f'training cohort categories {list(cats)}; cannot bin '
+                    'for serving')
             return np.eye(q)[np.clip(codes, 0, q - 1)]
         edges = np.quantile(train, np.linspace(0.0, 1.0, q + 1)[1:-1])
         codes = np.searchsorted(edges, new, side="right")

@@ -64,23 +64,11 @@ def ensure_demo_project(root="outputs/notebook_demo", epochs: int = 60,
 
 def load_fold_model(project_root, fold: int = 0):
     """(model, params, config) from a demo-project fold checkpoint."""
-    import jax
-
-    from .cli.common import build_model_from_config
-    from .train import load_checkpoint
+    from .cli.common import load_model_and_params
 
     fold_dir = (Path(project_root) / "outputs" / "kfold_analysis" /
                 "supervised_cvae" / f"{fold:03d}")
-    import json
-
-    config = json.loads((fold_dir / "cVAE_model.json").read_text())
-    model = build_model_from_config(config)
-    shapes = jax.eval_shape(model.init_params,
-                            jax.ShapeDtypeStruct((2,), np.uint32))
-    template = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), shapes)
-    params, config = load_checkpoint(fold_dir, template_params=template)
-    return model, params, config
+    return load_model_and_params(fold_dir)
 
 
 def cohort_latents(project_root, model, params, combine: str = "gpoe"):

@@ -41,11 +41,13 @@ def save_checkpoint(directory, params, model_config: dict,
     else:
         import os
 
-        # atomic: a kill mid-write must never leave a truncated blob OR a
-        # new-config json next to an old-architecture blob (the test stage
-        # would mis-restore instead of retraining). Both files go through
-        # tmp + os.replace; config first, blob last — consumers gate on the
-        # .ckpt, so a consistent pair exists once it appears.
+        # Each file is individually atomic (tmp + os.replace): a kill can
+        # never leave a truncated json or blob. First creation is also
+        # pair-consistent (consumers gate on the .ckpt, written last). A
+        # RE-save over an existing checkpoint still has a window between
+        # the two replaces where new json sits beside the old blob — two
+        # files cannot be swapped atomically on POSIX — so load_checkpoint
+        # turns the resulting restore mismatch into an actionable error.
         jtmp = directory / f".{name}.json.{os.getpid()}.tmp"
         jtmp.write_text(json.dumps(model_config, indent=1))
         os.replace(jtmp, directory / f"{name}.json")
@@ -83,10 +85,34 @@ def load_checkpoint(directory, template_params=None,
             params = checkpointer.restore(orbax_dir.resolve())
         return params, config
     blob = (directory / f"{name}.ckpt").read_bytes()
+
+    def mismatch_error(detail):
+        return ValueError(
+            f"checkpoint blob {directory / f'{name}.ckpt'} does not match "
+            f"its {name}.json config (likely a save killed between the "
+            "config and blob writes, or a re-train with a different "
+            "architecture that died mid-save): delete the directory and "
+            f"retrain. Underlying error: {detail}")
+
+    try:
+        if template_params is not None:
+            params = serialization.from_bytes(template_params, blob)
+        else:
+            params = serialization.msgpack_restore(blob)
+    except Exception as e:
+        raise mismatch_error(e) from e
     if template_params is not None:
-        params = serialization.from_bytes(template_params, blob)
-    else:
-        params = serialization.msgpack_restore(blob)
+        # from_bytes restores by key structure without validating leaf
+        # shapes — a torn json/blob pair would otherwise surface later as
+        # a cryptic dot-shape error inside the jitted program
+        bad = []
+        jax.tree_util.tree_map(
+            lambda t, p: bad.append((np.shape(t), np.shape(p)))
+            if np.shape(t) != np.shape(p) else None,
+            template_params, params)
+        if bad:
+            raise mismatch_error(
+                f"leaf shape mismatches (template vs stored): {bad[:4]}")
     return params, config
 
 

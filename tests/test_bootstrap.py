@@ -77,3 +77,55 @@ def test_bootstrap_end_to_end_and_vae_variant(tmp_path):
     config = json.loads((vae_dir / '000' / 'cVAE_model.json').read_text())
     assert config['c_dim'] == 1 and config['unconditioned'] is True
     assert 'Bootstrap settings: VAE.' in report.read_text()
+
+
+def test_bootstrap_analyze_attribution_with_skipped_replicate(tmp_path):
+    """A replicate whose pair subset has one class is skipped WITHOUT
+    shifting the surviving AUCs onto the wrong replicate ids."""
+    boot_dir = tmp_path / 'outputs' / 'bootstrap_analysis'
+    model_dir = boot_dir / 'supervised_cvae'
+    rng = np.random.default_rng(0)
+    for b in range(3):
+        pd.DataFrame({'IID': [f's{i}' for i in range(5)]}).to_csv(
+            boot_dir.mkdir(parents=True, exist_ok=True) or
+            boot_dir / f'train_ids_{b:03d}.csv', index=False)
+        rep = model_dir / f'{b:03d}'
+        rep.mkdir(parents=True, exist_ok=True)
+        if b == 1:  # single-class replicate: must be skipped
+            dia = [2] * 6
+        else:
+            dia = [2, 2, 2, 0, 0, 0]
+        dev = (np.where(np.asarray(dia) == 0, 5.0, 1.0)
+               + rng.normal(scale=0.01, size=6))
+        pd.DataFrame({
+            'participant_id': [f's{i}' for i in range(6)], 'DIA': dia,
+            'AGE': 70, 'PTGENDER': 1, 'Reconstruction deviation': dev,
+        }).to_csv(rep / 'deviation_3modalities.csv', index=False)
+
+    bootstrap.analyze(_args('analyze'), project_root=tmp_path)
+    aucs = pd.read_csv(tmp_path / 'bootstrap_auc.csv')
+    # replicate 1 skipped; 0 and 2 keep their own (perfect) AUCs
+    assert sorted(aucs['replicate']) == [0, 2]
+    assert (aucs['auc'] == 1.0).all()
+
+
+def test_train_binned_covariates_rejects_unseen_category():
+    """Serving must fail loudly when a subject's categorical covariate was
+    never seen in the train cohort (silent clamping would condition on the
+    wrong demographic), including numeric-train vs string-serving skew."""
+    from multi_modal_normative_modeling_tpu.data.preprocess import (
+        train_binned_covariates,
+    )
+
+    train = pd.DataFrame({'AGE': np.linspace(60, 80, 30),
+                          'PTGENDER': ['Female', 'Male'] * 15})
+    ok = train_binned_covariates(train, train.iloc[:3])
+    assert ok.shape[0] == 3
+    bad = pd.DataFrame({'AGE': [70.0], 'PTGENDER': ['Unknown']})
+    with pytest.raises(ValueError, match='Unknown'):
+        train_binned_covariates(train, bad)
+    num_train = pd.DataFrame({'AGE': np.linspace(60, 80, 30),
+                              'PTGENDER': [1, 2] * 15})
+    skew = pd.DataFrame({'AGE': [70.0], 'PTGENDER': ['Male']})
+    with pytest.raises(ValueError, match='Male'):
+        train_binned_covariates(num_train, skew)

@@ -234,3 +234,27 @@ def test_cli_kill_and_resume(tmp_path):
         p_ref, _ = load_checkpoint(ref_dir)
         p_res, _ = load_checkpoint(res_dir)
         _assert_trees_equal(p_res, p_ref)
+
+
+def test_load_checkpoint_mismatch_is_actionable(tmp_path):
+    """A config/blob pair torn by a kill between the two atomic writes (a
+    re-train with a different -H dying mid-save) must fail with an error
+    that names the cause, not a cryptic deserialization traceback."""
+    from multi_modal_normative_modeling_tpu.cli.common import (
+        host_init_params,
+        load_model_and_params,
+    )
+    from multi_modal_normative_modeling_tpu.train import save_checkpoint
+
+    model_a = build_model('cVAE_multimodal', [12], [8, 8], 3, 29, 1)
+    config_a = {'model': 'cVAE_multimodal', 'input_dim_list': [12],
+                'hidden_dim': [8, 8], 'latent_dim': 3, 'c_dim': 29,
+                'modalities': 1, 'non_linear': True, 'combine': 'gpoe'}
+    save_checkpoint(tmp_path, host_init_params(model_a), config_a)
+    # simulate the torn re-save: new-architecture json beside the old blob
+    import json
+
+    config_b = dict(config_a, hidden_dim=[16, 16], latent_dim=5)
+    (tmp_path / 'cVAE_model.json').write_text(json.dumps(config_b))
+    with pytest.raises(ValueError, match='does not match'):
+        load_model_and_params(tmp_path)
