@@ -110,7 +110,12 @@ def load_demographic_data(demographic_path, ids_path) -> pd.DataFrame:
         return merged.drop(columns=["uid"])
 
     ids_df = ids_df.copy()
-    ids_df["participant_id"] = ids_df["IID"]
+    if "participant_id" not in demographic_df.columns:
+        # plain-IID tables (the common case) get participant_id synthesized
+        # from IID; when the demographic table already carries one, adding
+        # it here would collide in the merge (suffixed _x/_y columns that
+        # break every downstream participant_id consumer)
+        ids_df["participant_id"] = ids_df["IID"]
     return fast_inner_merge(ids_df, demographic_df, on="IID")
 
 

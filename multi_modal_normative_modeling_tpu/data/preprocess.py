@@ -142,35 +142,57 @@ def train_binned_covariates(train_cov: pd.DataFrame, new_cov: pd.DataFrame,
     defined for any batch size.
     """
 
-    def one_hot(train_vals, new_vals, q):
+    def by_identity(cats, new, q, label):
+        # low-cardinality covariates (string or numeric-coded gender) bin by
+        # value identity, one bin per sorted train category. Quantile edges
+        # are WRONG here: with a majority-low binary (36x'1'/24x'2') the
+        # median edge is 1.0 and side='right' maps both genders into one
+        # bin, silently dropping the conditioning. A value absent from the
+        # train cohort (incl. type skew like numeric-train vs string-
+        # serving) has no meaningful bin, and more train categories than
+        # bins would force two demographics to share an encoding — both
+        # raise rather than silently mis-condition.
+        if len(cats) > q:
+            raise ValueError(
+                f'{label}: {len(cats)} distinct training categories '
+                f'{list(cats)} exceed the {q} covariate bins; cannot bin '
+                'for serving without merging demographics')
+        codes = np.searchsorted(cats, new)
+        bad = (codes >= len(cats)) | (cats[np.minimum(codes, len(cats) - 1)]
+                                      != new)
+        if bad.any():
+            raise ValueError(
+                f'{label}: covariate value(s) {sorted(set(new[bad]))} not '
+                f'in the training cohort categories {list(cats)}; cannot '
+                'bin for serving')
+        return np.eye(q)[codes]
+
+    def one_hot(train_vals, new_vals, q, label):
         try:
             train = np.asarray(train_vals, dtype=np.float64)
             new = np.asarray(new_vals, dtype=np.float64)
         except (TypeError, ValueError):
-            # categorical covariates (e.g. string PTGENDER): codes by the
-            # sorted train categories (lexicographic, like pandas rank).
-            # A category absent from the train cohort has NO meaningful
-            # bin — silently clamping would condition the subject on the
-            # wrong demographic (this also catches type mismatches like a
-            # numeric-coded train cohort scored against string labels)
-            cats = np.unique(np.asarray(train_vals, dtype=str))
-            new = np.asarray(new_vals, dtype=str)
-            codes = np.searchsorted(cats, new)
-            bad = (codes >= len(cats)) | (cats[np.minimum(codes,
-                                                          len(cats) - 1)]
-                                          != new)
-            if bad.any():
-                raise ValueError(
-                    f'covariate value(s) {sorted(set(new[bad]))} not in the '
-                    f'training cohort categories {list(cats)}; cannot bin '
-                    'for serving')
-            return np.eye(q)[np.clip(codes, 0, q - 1)]
+            # categorical covariates (e.g. string PTGENDER), lexicographic
+            # category order (like pandas rank)
+            return by_identity(np.unique(np.asarray(train_vals, dtype=str)),
+                               np.asarray(new_vals, dtype=str), q, label)
+        uniq = np.unique(train)
+        if len(uniq) <= q:
+            # nearest-train-value binning for low-cardinality numerics:
+            # quantile edges collapse a majority-low binary (36x'1'/24x'2'
+            # -> median edge 1.0 maps BOTH genders into one bin, silently
+            # dropping the conditioning), while strict identity would
+            # reject in-between values (a tiny cohort whose AGE has <= q
+            # distinct values must still bin a new age of 70.5)
+            codes = np.argmin(np.abs(new[:, None] - uniq[None, :]), axis=1)
+            return np.eye(q)[codes]
         edges = np.quantile(train, np.linspace(0.0, 1.0, q + 1)[1:-1])
         codes = np.searchsorted(edges, new, side="right")
         return np.eye(q)[codes]
 
     return np.concatenate(
-        (one_hot(train_cov["AGE"], new_cov["AGE"], n_bins_age),
-         one_hot(train_cov["PTGENDER"], new_cov["PTGENDER"], n_bins_gender)),
+        (one_hot(train_cov["AGE"], new_cov["AGE"], n_bins_age, 'AGE'),
+         one_hot(train_cov["PTGENDER"], new_cov["PTGENDER"], n_bins_gender,
+                 'PTGENDER')),
         axis=1,
     ).astype("float32")

@@ -95,11 +95,21 @@ def classification_thresholds(error_hc, error_patient):
     return roc_auc, accuracy, optimal_threshold
 
 
+def _threshold_grid(predictions):
+    # the reference scans linspace(0, 1) (group_analysis:63-141), which is
+    # only meaningful for probability-like scores; these finders are live
+    # here via --threshold_method on raw deviation scores (often all > 1),
+    # where a [0,1] scan degenerates to "everything positive". Scan the
+    # observed score range instead (same 100-point granularity).
+    predictions = np.asarray(predictions, dtype=float)
+    return np.linspace(predictions.min(), predictions.max(), 100)
+
+
 def find_best_threshold_by_f1(labels, predictions):
     from sklearn.metrics import f1_score
 
     best_threshold, best_f1 = 0.0, 0.0
-    for threshold in np.linspace(0, 1, 100):
+    for threshold in _threshold_grid(predictions):
         predicted = (np.asarray(predictions) >= threshold).astype(int)
         f1 = f1_score(labels, predicted)
         if f1 > best_f1:
@@ -123,7 +133,7 @@ def find_best_threshold_by_pr(labels, predictions):
 def find_best_threshold_by_cost(labels, predictions, cost_fn, cost_fp):
     labels = np.asarray(labels)
     best_threshold, best_cost = 0.0, float("inf")
-    for threshold in np.linspace(0, 1, 100):
+    for threshold in _threshold_grid(predictions):
         predicted = (np.asarray(predictions) >= threshold).astype(int)
         fp = np.sum((predicted == 1) & (labels == 0))
         fn = np.sum((predicted == 0) & (labels == 1))
@@ -155,11 +165,14 @@ def binary_prediction_metrics(all_labels, all_preds) -> dict:
         auroc = roc_auc_score(all_labels, all_preds)
     except ValueError:
         auroc = float("nan")
-    tn, fp, fn, tp = confusion_matrix(all_labels, all_preds).ravel()
+    # labels pinned so a degenerate single-class fold (the case the
+    # roc_auc try/except above already anticipates) still yields a 2x2
+    tn, fp, fn, tp = confusion_matrix(all_labels, all_preds,
+                                      labels=[0, 1]).ravel()
     return {
         "accuracy": accuracy_score(all_labels, all_preds),
         "auroc": auroc,
         "sensitivity": recall_score(all_labels, all_preds),
-        "specificity": tn / (tn + fp),
+        "specificity": (tn / (tn + fp) if (tn + fp) else float("nan")),
         "f1_score": f1_score(all_labels, all_preds),
     }

@@ -52,13 +52,15 @@ def _ols_pvalues(y, X):
     n, k = X.shape
     beta, *_ = np.linalg.lstsq(X, y, rcond=None)
     resid = y - X @ beta
-    dof = n - k
+    # statsmodels uses df_resid = n - rank(X), not n - k: a rank-deficient
+    # design (e.g. a posterior-collapsed constant latent dim) keeps the
+    # residual dof of the effective model
+    dof = n - np.linalg.matrix_rank(X)
     if dof <= 0:
         return np.full(k, np.nan)
     sigma2 = resid @ resid / dof
     # pinv, not inv: statsmodels OLS is pinv-based, so a rank-deficient
-    # design (e.g. a posterior-collapsed constant latent dim) yields NaN/inf
-    # statistics instead of raising LinAlgError
+    # design yields finite statistics instead of raising LinAlgError
     cov = sigma2 * np.linalg.pinv(X.T @ X)
     with np.errstate(divide="ignore", invalid="ignore"):
         t_stat = beta / np.sqrt(np.diag(cov))
@@ -70,6 +72,14 @@ def _logit_pvalues(y, X, max_iter: int = 100, tol: float = 1e-8):
     (statsmodels Logit semantics)."""
     from scipy import stats
     from scipy.special import expit
+
+    # statsmodels Logit raises for non-binary targets ('endog must be in
+    # the unit interval'); without this the Newton iteration would happily
+    # run on e.g. raw DIA labels {1, 2} and return meaningless p-values
+    if not np.isin(y, (0.0, 1.0)).all():
+        raise ValueError(
+            f'logit target must be binary 0/1, got values '
+            f'{sorted(set(np.asarray(y).tolist()))[:6]}')
 
     beta = np.zeros(X.shape[1])
     for _ in range(max_iter):

@@ -19,6 +19,8 @@ from typing import Dict, List, Sequence
 import numpy as np
 import pandas as pd
 
+from .deviation import reconstruction_deviation_roi
+
 
 def write_csv(path, frame: pd.DataFrame) -> None:
     """frame.to_csv(path, index=False), through the native multithreaded
@@ -79,7 +81,8 @@ class DeviationEmitter:
         reconstruction = with_features(prediction)
         error = prefix.copy()
         error["Reconstruction error"] = np.asarray(deviation)
-        roi = with_features((np.asarray(test_data) - np.asarray(prediction)) ** 2)
+        roi = with_features(reconstruction_deviation_roi(test_data,
+                                                         prediction))
         numbered = list(map(str, range(1, len(columns_name) + 1)))
         importance = roi.rename(columns=dict(zip(columns_name, numbered)))
 

@@ -362,3 +362,54 @@ def test_require_test_cov_raises_with_reason():
 
     cov = np.ones((4, 3), np.float32)
     assert require_test_cov({'test_cov': cov}, 'ctx') is cov
+
+
+def test_train_binned_covariates_imbalanced_numeric_gender():
+    """A majority-low numeric-coded binary gender must keep both bins: the
+    old quantile-edge path put BOTH genders in one bin whenever the lower
+    code was the train majority (median edge + side='right')."""
+    from multi_modal_normative_modeling_tpu.data.preprocess import (
+        train_binned_covariates,
+    )
+
+    train = pd.DataFrame({'AGE': np.linspace(60, 80, 60),
+                          'PTGENDER': [1] * 36 + [2] * 24})
+    new = pd.DataFrame({'AGE': [70.0, 70.0], 'PTGENDER': [1, 2]})
+    out = train_binned_covariates(train, new)
+    g = out[:, -2:]  # trailing 2 gender columns
+    np.testing.assert_array_equal(g, [[1, 0], [0, 1]])
+
+    # unseen numeric values map to the NEAREST train value's bin (tiny
+    # cohorts where AGE has <= q distinct values must accept new ages);
+    # unseen STRING categories still raise (strict identity path)
+    near = train_binned_covariates(
+        train, pd.DataFrame({'AGE': [70.0], 'PTGENDER': [3]}))
+    np.testing.assert_array_equal(near[:, -2:], [[0, 1]])
+
+    # more train categories than bins cannot be encoded faithfully
+    train3 = pd.DataFrame({'AGE': np.linspace(60, 80, 60),
+                           'PTGENDER': ['F', 'M', 'X'] * 20})
+    with pytest.raises(ValueError, match='exceed'):
+        train_binned_covariates(train3, train3.iloc[:2])
+
+
+def test_load_demographic_data_existing_participant_id():
+    """A y.csv that already carries participant_id must not collide with
+    the synthesized column (suffixed _x/_y would break every consumer)."""
+    import tempfile
+    from pathlib import Path
+
+    from multi_modal_normative_modeling_tpu.data.loading import (
+        load_demographic_data,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        d = Path(d)
+        pd.DataFrame({
+            'IID': ['a', 'b', 'c'], 'participant_id': ['pa', 'pb', 'pc'],
+            'DIA': [2, 2, 0], 'AGE': [70, 71, 72], 'PTGENDER': [1, 2, 1],
+        }).to_csv(d / 'y.csv', index=False)
+        pd.DataFrame({'IID': ['a', 'c']}).to_csv(d / 'ids.csv', index=False)
+        out = load_demographic_data(d / 'y.csv', d / 'ids.csv')
+        assert list(out['participant_id']) == ['pa', 'pc']
+        assert not any(c.endswith(('_x', '_y')) for c in out.columns)

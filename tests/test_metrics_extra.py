@@ -21,8 +21,9 @@ def test_threshold_finder_f1(scored):
     from sklearn.metrics import f1_score
 
     threshold, best = metrics.find_best_threshold_by_f1(labels, predictions)
-    # re-check: no other grid threshold beats it
-    for t in np.linspace(0, 1, 100):
+    # re-check: no other grid threshold beats it (the grid spans the
+    # OBSERVED score range — see metrics._threshold_grid)
+    for t in np.linspace(predictions.min(), predictions.max(), 100):
         f1 = f1_score(labels, (predictions >= t).astype(int))
         assert f1 <= best + 1e-12
 
@@ -97,3 +98,45 @@ def test_bad_fusion_name():
     with pytest.raises(ValueError, match="No such combination"):
         fusion.combine_latent(jnp.ones((2, 3, 4)), jnp.ones((2, 3, 4)),
                               "nope")
+
+
+def test_binary_prediction_metrics_single_class_fold():
+    """A degenerate fold where labels and predictions are one class must
+    yield metrics, not a confusion-matrix unpack crash (the roc try/except
+    two lines up already anticipates this case)."""
+    import numpy as np
+
+    from multi_modal_normative_modeling_tpu.evaluation.metrics import (
+        binary_prediction_metrics,
+    )
+
+    m = binary_prediction_metrics(np.zeros(8, int), np.zeros(8, int))
+    assert m["accuracy"] == 1.0
+    assert np.isnan(m["auroc"])
+    assert m["specificity"] == 1.0
+
+    m1 = binary_prediction_metrics(np.ones(8, int), np.ones(8, int))
+    assert m1["accuracy"] == 1.0 and m1["sensitivity"] == 1.0
+
+
+def test_threshold_finders_scan_observed_score_range():
+    """--threshold_method f1/cost run on raw deviation scores (often all
+    > 1); a linspace(0,1) scan would classify everything positive and
+    return threshold 0."""
+    import numpy as np
+
+    from multi_modal_normative_modeling_tpu.evaluation.metrics import (
+        find_best_threshold_by_cost,
+        find_best_threshold_by_f1,
+    )
+
+    rng = np.random.default_rng(0)
+    neg = rng.normal(5.0, 0.3, 50)     # scores far outside [0, 1]
+    pos = rng.normal(8.0, 0.3, 50)
+    labels = np.r_[np.zeros(50), np.ones(50)]
+    scores = np.r_[neg, pos]
+
+    thr_f1, best_f1 = find_best_threshold_by_f1(labels, scores)
+    assert 5.0 < thr_f1 < 8.5 and best_f1 > 0.95
+    thr_cost, _ = find_best_threshold_by_cost(labels, scores, 1.0, 1.0)
+    assert 5.0 < thr_cost < 8.5
