@@ -193,7 +193,11 @@ def load_dataset_cached(demographic_path, ids_path, modality_path):
         demographic = load_demographic_data(demographic_path, ids_path)
     else:
         ids_df = ids_df.copy()
-        ids_df['participant_id'] = ids_df['IID']
+        if 'participant_id' not in demographic_df.columns:
+            # mirror data/loading.load_demographic_data: synthesizing the
+            # column when the demographic table already carries one would
+            # collide in the merge (suffixed _x/_y columns downstream)
+            ids_df['participant_id'] = ids_df['IID']
         demographic = fast_inner_merge(ids_df, demographic_df, on='IID')
     modality_df = read_csv_cached(modality_path)
     return fast_inner_merge(modality_df, demographic, on='IID')
@@ -305,6 +309,9 @@ def prepare_modality(project_root: Path, resource: str, dataset_name: str,
         'train_df': train_df,
         'train_data': train_data.astype(np.float32),
         'train_cov': one_hot_covariates(train_df[['DIA', 'PTGENDER', 'AGE']]),
+        # center/scale arrays for servers that scale NEW payloads against
+        # this fold's train cohort (cli/serve.py does it on-device)
+        'scaler': scaler,
     }
     if test_ids_path is not None:
         test_df = load_dataset_cached(participants_path, test_ids_path,

@@ -1,0 +1,340 @@
+"""Resident normative-model scoring service (serving daemon).
+
+Beyond-reference capability. The reference has no serving story at all —
+its only scoring path is the k-fold test script re-run from scratch
+(multimodal_kfold_test_cvae_supervised.py), which on this stack would pay
+the per-process device-session attach (~0.4 s healthy, measured minutes
+when the tunnel is degraded — RESULTS.md) plus model/data load on EVERY
+request. This daemon pays them once:
+
+  * at startup it loads every fold checkpoint, re-fits each fold's
+    RobustScaler from its train ids (the reference's serving convention,
+    test script:82-90), bins covariates by train quantiles
+    (data/preprocess.train_binned_covariates), and compiles ONE
+    fold-vmapped device program that scales -> encodes -> decodes ->
+    deviates all folds of the ensemble in a single dispatch —
+    per-request work is one jitted call plus a few host microseconds;
+  * requests are served over HTTP (stdlib, loopback by default):
+      GET  /healthz            liveness + model/config introspection
+      POST /score              {"ids": [...]} resolved against the
+                               project's modality tables, or raw payloads
+                               {"features": {modality: [[...], ...]},
+                                "covariates": {"AGE": [...],
+                                               "PTGENDER": [...]}}
+                               (+ optional "roi": true, "fold": int)
+  * batch sizes are padded to a bucket multiple so repeat request shapes
+    reuse the compiled program (the persistent compile cache,
+    utils/jaxconfig.py, covers daemon restarts).
+
+Scoring semantics match cli/score.py (same per-fold scalers, train-binned
+covariates, per-fold PRNG streams, fold-ensemble mean), with the per-fold
+loop replaced by one vmap over stacked params — tested against score.py
+in tests/test_serve.py.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from .. import registry
+from ..data.preprocess import train_binned_covariates
+from ..parallel.folds import stack_params
+from . import common
+
+
+class ServeError(ValueError):
+    """Client-visible request error (HTTP 400)."""
+
+
+class ScoringService:
+    """Fold-ensemble deviation scoring with all state resident in memory.
+
+    One instance per trained experiment directory; thread-safe (device
+    dispatch is serialized on a lock, host prep runs concurrently).
+    """
+
+    def __init__(self, resource: str, procedure: str, combine: str = None,
+                 n_splits: int = 10, project_root=None, seed: int = 42,
+                 pad_to: int = 64):
+        import jax
+
+        from ..utils.jaxconfig import warm_device_session
+
+        warm_device_session()  # overlap the session attach with host prep
+        self.resource = resource
+        self.procedure = procedure
+        self.combine = combine or procedure.split('-')[1]
+        self.n_splits = n_splits
+        self.seed = seed
+        self.pad_to = pad_to
+        self.project_root = Path(project_root) if project_root else Path.cwd()
+        self.started = time.time()
+        self.requests_served = 0
+        self._lock = threading.Lock()
+
+        kfold_dir = self.project_root / 'outputs' / 'kfold_analysis'
+        model_dir = kfold_dir / 'supervised_cvae'
+        participants_path = (self.project_root / 'data' / resource / 'y.csv')
+        self.dataset_names = registry.get_datasets_name(resource, procedure)
+
+        # ---- per-fold state: params, scalers, train covariate cohorts ----
+        params_list, centers, scales = [], [], []
+        self._train_covs = []  # per fold: AGE/PTGENDER frame of train ids
+        self.model = None
+        self.config = None
+        for fold in range(n_splits):
+            fold_dir = model_dir / f'{fold:03d}'
+            train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
+            model, params, config = common.load_model_and_params(fold_dir)
+            if self.model is None:
+                self.model, self.config = model, config
+            params_list.append(params)
+            fold_centers, fold_scales = [], []
+            for name in self.dataset_names:
+                prep = common.prepare_modality(
+                    self.project_root, resource, name, participants_path,
+                    train_ids_path)
+                fold_centers.append(
+                    np.asarray(prep['scaler'].center, np.float32))
+                fold_scales.append(
+                    np.asarray(prep['scaler'].scale, np.float32))
+            centers.append(fold_centers)
+            scales.append(fold_scales)
+            self._train_covs.append(prep['train_df'][['AGE', 'PTGENDER']])
+        self._stacked_params = stack_params(params_list)
+        # tuples of [K, F_m] arrays, one per modality
+        self._centers = tuple(np.stack([c[m] for c in centers])
+                              for m in range(len(self.dataset_names)))
+        self._scales = tuple(np.stack([s[m] for s in scales])
+                             for m in range(len(self.dataset_names)))
+        self._seeds = np.arange(n_splits, dtype=np.int32) + seed
+
+        # ---- full-cohort modality frames for ids-mode resolution ----
+        self.columns = [registry.get_column_name(resource, n)
+                        for n in self.dataset_names]
+        self._frames = []
+        all_ids = kfold_dir / 'serve_all_ids.csv'
+        all_ids.parent.mkdir(parents=True, exist_ok=True)
+        pd.DataFrame({'IID': pd.read_csv(participants_path)['IID']}).to_csv(
+            all_ids, index=False)
+        for name in self.dataset_names:
+            frame = common.load_dataset_cached(
+                participants_path, all_ids,
+                self.project_root / 'data' / resource / f'{name}.csv')
+            self._frames.append(frame.set_index('participant_id'))
+
+        # ---- the one device program: all folds, scale->infer->deviate ----
+        model, combine_name = self.model, self.combine
+        n_mod = len(self.dataset_names)
+
+        def infer_one(params, center, scale, cov, fold_seed, xes):
+            xs = [(x - c) / s for x, c, s in zip(xes, center, scale)]
+            key = jax.random.PRNGKey(fold_seed)
+            recons = model.pred_recon(params, xs, [cov] * n_mod, key,
+                                      combine_name)
+            devs = jax.numpy.stack(
+                [model.reconstruction_deviation(xs[m], recons[m])
+                 for m in range(n_mod)])                      # [M, N]
+            roi = jax.numpy.concatenate(
+                [(xs[m] - recons[m]) ** 2 for m in range(n_mod)],
+                axis=1)                                       # [N, sum F]
+            return devs, roi
+
+        # params/scalers/covs/seeds carry the fold axis; raw features are
+        # shared across folds and broadcast
+        self._infer = jax.jit(jax.vmap(
+            infer_one, in_axes=(0, 0, 0, 0, 0, None)))
+
+    # ------------------------------------------------------------- scoring
+    def score_ids(self, ids, roi: bool = False, fold: int = None) -> dict:
+        """Score subjects already present in the project's modality tables."""
+        if not ids:
+            raise ServeError('empty ids list')
+        rows = []
+        for name, frame in zip(self.dataset_names, self._frames):
+            missing = [i for i in ids if i not in frame.index]
+            if missing:
+                raise ServeError(
+                    f'unknown participant id(s) in modality {name}: '
+                    f'{missing[:5]}')
+            rows.append(frame.loc[list(ids)])
+        features = [r[cols].to_numpy(np.float32)
+                    for r, cols in zip(rows, self.columns)]
+        covariates = rows[-1][['AGE', 'PTGENDER']]  # last-modality
+        result = self._score(features, covariates, roi=roi, fold=fold)
+        result['participant_id'] = list(ids)
+        return result
+
+    def score_raw(self, features: dict, covariates: dict, roi: bool = False,
+                  fold: int = None) -> dict:
+        """Score raw feature payloads (no project-table lookup)."""
+        mats = []
+        for name, cols in zip(self.dataset_names, self.columns):
+            if name not in features:
+                raise ServeError(f'missing features for modality {name!r} '
+                                 f'(need {list(features)} + {name})')
+            mat = np.asarray(features[name], np.float32)
+            if mat.ndim != 2 or mat.shape[1] != len(cols):
+                raise ServeError(
+                    f'modality {name!r}: expected [n_subjects, {len(cols)}] '
+                    f'features, got {list(mat.shape)}')
+            mats.append(mat)
+        ns = {m.shape[0] for m in mats}
+        if len(ns) != 1:
+            raise ServeError(f'modalities disagree on subject count: {ns}')
+        try:
+            cov_frame = pd.DataFrame({'AGE': covariates['AGE'],
+                                      'PTGENDER': covariates['PTGENDER']})
+        except (KeyError, TypeError, ValueError) as e:
+            raise ServeError(f'covariates must carry equal-length AGE and '
+                             f'PTGENDER lists: {e}')
+        if len(cov_frame) != ns.pop():
+            raise ServeError('covariate length != subject count')
+        return self._score(mats, cov_frame, roi=roi, fold=fold)
+
+    def _score(self, features, cov_frame, roi: bool, fold) -> dict:
+        if fold is not None and not 0 <= fold < self.n_splits:
+            raise ServeError(f'fold must be in [0, {self.n_splits})')
+        n = features[0].shape[0]
+        padded = -(-n // self.pad_to) * self.pad_to
+        xes = tuple(np.pad(f, ((0, padded - n), (0, 0))) for f in features)
+        try:
+            covs = np.stack([
+                train_binned_covariates(tc, cov_frame).astype(np.float32)
+                for tc in self._train_covs])               # [K, n, C]
+        except ValueError as e:
+            raise ServeError(f'covariate binning failed: {e}')
+        covs = np.pad(covs, ((0, 0), (0, padded - n), (0, 0)))
+        with self._lock:
+            devs, rois = self._infer(self._stacked_params, self._centers,
+                                     self._scales, covs, self._seeds, xes)
+            devs = np.asarray(devs)[:, :, :n]              # [K, M, n]
+            rois = np.asarray(rois)[:, :n] if roi else None
+            self.requests_served += 1
+        folds = slice(None) if fold is None else slice(fold, fold + 1)
+        per_mod = devs[folds].mean(axis=0)                 # [M, n]
+        out = {
+            'deviation': per_mod.mean(axis=0).tolist(),
+            'per_modality': {name: per_mod[m].tolist()
+                             for m, name in enumerate(self.dataset_names)},
+            'n_folds': self.n_splits if fold is None else 1,
+        }
+        if roi:
+            out['roi_columns'] = [f'{c}_{name}' for cols, name
+                                  in zip(self.columns, self.dataset_names)
+                                  for c in cols]
+            out['roi'] = rois[folds].mean(axis=0).tolist()
+        return out
+
+    def health(self) -> dict:
+        import jax
+        return {
+            'status': 'ok',
+            'resource': self.resource,
+            'procedure': self.procedure,
+            'combine': self.combine,
+            'n_folds': self.n_splits,
+            'modalities': list(self.dataset_names),
+            'feature_dims': [len(c) for c in self.columns],
+            'model': self.config.get('variant', 'cvae'),
+            'backend': jax.default_backend(),
+            'uptime_seconds': round(time.time() - self.started, 1),
+            'requests_served': self.requests_served,
+        }
+
+
+# ------------------------------------------------------------------ HTTP
+def make_server(service: ScoringService, host: str = '127.0.0.1',
+                port: int = 0) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        server_version = 'mmnm-serve/1.0'
+
+        def log_message(self, fmt, *args):  # route through logging, not
+            import logging                   # stderr-per-request
+            logging.getLogger('mmnm.serve').info(fmt, *args)
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.rstrip('/') in ('', '/healthz'.rstrip('/')):
+                self._reply(200, service.health())
+            else:
+                self._reply(404, {'error': f'no route {self.path}'})
+
+        def do_POST(self):
+            if self.path.rstrip('/') != '/score':
+                self._reply(404, {'error': f'no route {self.path}'})
+                return
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                req = json.loads(self.rfile.read(length) or b'{}')
+                roi = bool(req.get('roi', False))
+                fold = req.get('fold')
+                if 'ids' in req:
+                    out = service.score_ids(req['ids'], roi=roi, fold=fold)
+                elif 'features' in req:
+                    out = service.score_raw(req['features'],
+                                            req.get('covariates', {}),
+                                            roi=roi, fold=fold)
+                else:
+                    raise ServeError(
+                        "request needs 'ids' or 'features'+'covariates'")
+                self._reply(200, out)
+            except (ServeError, json.JSONDecodeError) as e:
+                self._reply(400, {'error': str(e)})
+            except Exception as e:  # keep the daemon alive on surprises
+                self._reply(500, {'error': f'{type(e).__name__}: {e}'})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description='Serve a trained normative model over HTTP.')
+    parser.add_argument('-R', '--dataset_resourse', type=str, default='ADNI')
+    parser.add_argument('-P', '--procedure', type=str, default='UCA-gPoE')
+    parser.add_argument('-C', '--combine', type=str, default=None)
+    parser.add_argument('-K', '--n_splits', type=int, default=10)
+    parser.add_argument('--host', default='127.0.0.1')
+    parser.add_argument('--port', type=int, default=8465)
+    parser.add_argument('--seed', type=int, default=42)
+    parser.add_argument('--ready_file', default=None,
+                        help='write host:port here once listening (for '
+                             'scripts/tests that need the bound port).')
+    return parser
+
+
+def run(argv=None, project_root=None):
+    args = build_parser().parse_args(argv)
+    service = ScoringService(
+        args.dataset_resourse, args.procedure, combine=args.combine,
+        n_splits=args.n_splits, project_root=project_root, seed=args.seed)
+    server = make_server(service, args.host, args.port)
+    host, port = server.server_address[:2]
+    if args.ready_file:
+        Path(args.ready_file).write_text(f'{host}:{port}\n')
+    print(f'serving {args.dataset_resourse}/{args.procedure} '
+          f'({args.n_splits}-fold ensemble) on http://{host}:{port} '
+          f'— POST /score, GET /healthz')
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return server
+
+
+if __name__ == '__main__':
+    run()

@@ -413,3 +413,17 @@ def test_load_demographic_data_existing_participant_id():
         out = load_demographic_data(d / 'y.csv', d / 'ids.csv')
         assert list(out['participant_id']) == ['pa', 'pc']
         assert not any(c.endswith(('_x', '_y')) for c in out.columns)
+
+        # the cached CLI loader takes the same plain-IID branch and must
+        # apply the same guard
+        from multi_modal_normative_modeling_tpu.cli.common import (
+            load_dataset_cached,
+        )
+
+        feats = pd.DataFrame({'IID': ['a', 'b', 'c'],
+                              'f1': [0.1, 0.2, 0.3]})
+        feats.to_csv(d / 'mod.csv', index=False)
+        merged = load_dataset_cached(d / 'y.csv', d / 'ids.csv',
+                                     d / 'mod.csv')
+        assert list(merged['participant_id']) == ['pa', 'pc']
+        assert not any(c.endswith(('_x', '_y')) for c in merged.columns)

@@ -1,0 +1,148 @@
+"""Serving daemon: resident fold-vmapped ensemble scoring over HTTP."""
+import argparse
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multi_modal_normative_modeling_tpu.cli import score, serve, train_supervised
+from multi_modal_normative_modeling_tpu.data.synthetic import (
+    make_synthetic_resource,
+)
+
+
+@pytest.fixture(scope="module")
+def trained_project(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_project")
+    make_synthetic_resource(root, "ADNI", n_hc=60, n_disease={0: 30},
+                            effect=1.2)
+    train_args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 6],
+        procedure="SM-av45", combine="PoE", epochs=30, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=False, precision="fp32",
+    )
+    train_supervised.main(train_args, project_root=root)
+    return root
+
+
+@pytest.fixture(scope="module")
+def service(trained_project):
+    return serve.ScoringService("ADNI", "SM-av45", combine="PoE",
+                                n_splits=2, project_root=trained_project)
+
+
+def test_service_matches_score_cli(trained_project, service):
+    """The daemon's one vmapped ensemble program must reproduce
+    cli/score.py's per-fold loop (same scalers, covariate binning, PRNG
+    streams) up to on-device float32 scaling."""
+    root = trained_project
+    y = pd.read_csv(root / "data" / "ADNI" / "y.csv")
+    ids_path = root / "serve_ids.csv"
+    y[["IID"]].to_csv(ids_path, index=False)
+    score_args = argparse.Namespace(
+        dataset_resourse="ADNI", procedure="SM-av45", combine="PoE",
+        n_splits=2, ids=str(ids_path), fold=None, output=None,
+        roi_output=None, seed=42)
+    expected = score.score(score_args, project_root=root)
+
+    # request in score.py's row order so the per-fold PRNG streams align
+    # subject-for-subject (sampling is positional within the batch)
+    out = service.score_ids(list(expected["participant_id"]), roi=True)
+    np.testing.assert_allclose(out["deviation"],
+                               expected["deviation"].values, rtol=2e-4)
+    assert out["participant_id"] == list(expected["participant_id"])
+    assert list(out["per_modality"]) == ["av45"]
+    assert len(out["roi_columns"]) == 90
+    assert np.isfinite(np.asarray(out["roi"])).all()
+
+    # disease subjects still separate from HC through the daemon
+    merged = pd.DataFrame({"participant_id": out["participant_id"],
+                           "deviation": out["deviation"]}).merge(
+        y, left_on="participant_id", right_on="IID")
+    assert (merged[merged["DIA"] == 0]["deviation"].mean()
+            > merged[merged["DIA"] == 2]["deviation"].mean())
+
+
+def test_raw_payload_matches_ids_mode(service):
+    """Raw feature payloads (no project-table lookup) must score
+    identically to the same subjects resolved by id."""
+    ids = list(service._frames[0].index[:5])
+    by_id = service.score_ids(ids)
+
+    rows = service._frames[0].loc[ids]
+    raw = service.score_raw(
+        {"av45": rows[service.columns[0]].to_numpy(float).tolist()},
+        {"AGE": rows["AGE"].tolist(), "PTGENDER": rows["PTGENDER"].tolist()},
+    )
+    np.testing.assert_allclose(raw["deviation"], by_id["deviation"],
+                               rtol=1e-6)
+
+    # single-fold scoring is a strict subset of the same program's output
+    one_fold = service.score_ids(ids, fold=1)
+    assert one_fold["n_folds"] == 1
+    assert not np.allclose(one_fold["deviation"], by_id["deviation"])
+
+
+def test_request_validation(service):
+    with pytest.raises(serve.ServeError, match="unknown participant"):
+        service.score_ids(["nope"])
+    with pytest.raises(serve.ServeError, match="empty"):
+        service.score_ids([])
+    with pytest.raises(serve.ServeError, match="expected"):
+        service.score_raw({"av45": [[1.0, 2.0]]},
+                          {"AGE": [70], "PTGENDER": [1]})
+    with pytest.raises(serve.ServeError, match="fold"):
+        service.score_ids(list(service._frames[0].index[:1]), fold=7)
+
+
+def test_http_surface(service):
+    """Drive the real HTTP server: health, ids scoring, raw scoring, and
+    client-error mapping."""
+    server = serve.make_server(service, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        with urllib.request.urlopen(base + "/healthz") as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["modalities"] == ["av45"]
+        assert health["n_folds"] == 2
+
+        ids = list(service._frames[0].index[:3])
+        status, body = post("/score", {"ids": ids})
+        assert status == 200
+        assert len(body["deviation"]) == 3
+        np.testing.assert_allclose(body["deviation"],
+                                   service.score_ids(ids)["deviation"],
+                                   rtol=1e-6)
+
+        status, body = post("/score", {"ids": ["nope"]})
+        assert status == 400 and "unknown participant" in body["error"]
+
+        status, body = post("/score", {})
+        assert status == 400 and "ids" in body["error"]
+
+        status, _ = post("/nope", {})
+        assert status == 404
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
