@@ -43,9 +43,8 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
-from .. import registry
 from ..data.preprocess import train_binned_covariates
-from ..parallel.folds import stack_params
+from ..infer.ensemble import fold_infer_fn, load_ensemble
 from . import common
 
 
@@ -80,45 +79,23 @@ class ScoringService:
         self._lock = threading.Lock()
 
         kfold_dir = self.project_root / 'outputs' / 'kfold_analysis'
-        model_dir = kfold_dir / 'supervised_cvae'
         participants_path = (self.project_root / 'data' / resource / 'y.csv')
-        self.dataset_names = registry.get_datasets_name(resource, procedure)
 
         # ---- per-fold state: params, scalers, train covariate cohorts ----
-        params_list, centers, scales = [], [], []
-        self._train_covs = []  # per fold: AGE/PTGENDER frame of train ids
-        self.model = None
-        self.config = None
-        for fold in range(n_splits):
-            fold_dir = model_dir / f'{fold:03d}'
-            train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
-            model, params, config = common.load_model_and_params(fold_dir)
-            if self.model is None:
-                self.model, self.config = model, config
-            params_list.append(params)
-            fold_centers, fold_scales = [], []
-            for name in self.dataset_names:
-                prep = common.prepare_modality(
-                    self.project_root, resource, name, participants_path,
-                    train_ids_path)
-                fold_centers.append(
-                    np.asarray(prep['scaler'].center, np.float32))
-                fold_scales.append(
-                    np.asarray(prep['scaler'].scale, np.float32))
-            centers.append(fold_centers)
-            scales.append(fold_scales)
-            self._train_covs.append(prep['train_df'][['AGE', 'PTGENDER']])
-        self._stacked_params = stack_params(params_list)
-        # tuples of [K, F_m] arrays, one per modality
-        self._centers = tuple(np.stack([c[m] for c in centers])
-                              for m in range(len(self.dataset_names)))
-        self._scales = tuple(np.stack([s[m] for s in scales])
-                             for m in range(len(self.dataset_names)))
-        self._seeds = np.arange(n_splits, dtype=np.int32) + seed
+        state = load_ensemble(resource, procedure, combine=self.combine,
+                              n_splits=n_splits,
+                              project_root=self.project_root, seed=seed)
+        self.state = state
+        self.dataset_names = state.dataset_names
+        self.model, self.config = state.model, state.config
+        self._train_covs = state.train_covs
+        self._stacked_params = state.stacked_params
+        self._centers = state.centers  # tuples of [K, F_m], one per modality
+        self._scales = state.scales
+        self._seeds = state.seeds
 
         # ---- full-cohort modality frames for ids-mode resolution ----
-        self.columns = [registry.get_column_name(resource, n)
-                        for n in self.dataset_names]
+        self.columns = state.columns
         self._frames = []
         all_ids = kfold_dir / 'serve_all_ids.csv'
         all_ids.parent.mkdir(parents=True, exist_ok=True)
@@ -131,26 +108,10 @@ class ScoringService:
             self._frames.append(frame.set_index('participant_id'))
 
         # ---- the one device program: all folds, scale->infer->deviate ----
-        model, combine_name = self.model, self.combine
-        n_mod = len(self.dataset_names)
-
-        def infer_one(params, center, scale, cov, fold_seed, xes):
-            xs = [(x - c) / s for x, c, s in zip(xes, center, scale)]
-            key = jax.random.PRNGKey(fold_seed)
-            recons = model.pred_recon(params, xs, [cov] * n_mod, key,
-                                      combine_name)
-            devs = jax.numpy.stack(
-                [model.reconstruction_deviation(xs[m], recons[m])
-                 for m in range(n_mod)])                      # [M, N]
-            roi = jax.numpy.concatenate(
-                [(xs[m] - recons[m]) ** 2 for m in range(n_mod)],
-                axis=1)                                       # [N, sum F]
-            return devs, roi
-
         # params/scalers/covs/seeds carry the fold axis; raw features are
         # shared across folds and broadcast
         self._infer = jax.jit(jax.vmap(
-            infer_one, in_axes=(0, 0, 0, 0, 0, None)))
+            fold_infer_fn(state), in_axes=(0, 0, 0, 0, 0, None)))
 
     # ------------------------------------------------------------- scoring
     def score_ids(self, ids, roi: bool = False, fold: int = None) -> dict:

@@ -196,3 +196,62 @@ def train_binned_covariates(train_cov: pd.DataFrame, new_cov: pd.DataFrame,
                  'PTGENDER')),
         axis=1,
     ).astype("float32")
+
+
+def binned_covariate_graph_spec(train_cov: pd.DataFrame,
+                                n_bins_age: int = 27,
+                                n_bins_gender: int = 2) -> list:
+    """Constants for an in-graph (jax-traceable) equivalent of
+    train_binned_covariates, so an AOT-exported scoring program
+    (cli/export.py) can bin NEW subjects' covariates on-device.
+
+    Only numeric covariates can be baked into an exported program — the
+    categorical by-identity path needs string comparison, which has no
+    device representation; such cohorts must be served by cli/serve.py
+    (host-side binning) instead, so they raise here.
+
+    Returns one dict per covariate: ``mode='nearest'`` carries the sorted
+    train uniques (nearest-train-value coding, the <= q-category branch) or
+    ``mode='quantile'`` carries the inner quantile edges (searchsorted
+    side='right') — exactly train_binned_covariates' numeric branches.
+    """
+    spec = []
+    for col, q in (('AGE', n_bins_age), ('PTGENDER', n_bins_gender)):
+        try:
+            train = np.asarray(train_cov[col], dtype=np.float64)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f'{col}: categorical (non-numeric) training covariates '
+                'cannot be compiled into an exported scoring program; '
+                'serve this model with cli/serve.py (host-side binning) '
+                'instead') from None
+        uniq = np.unique(train)
+        if len(uniq) > q:
+            edges = np.quantile(train, np.linspace(0.0, 1.0, q + 1)[1:-1])
+            spec.append({'mode': 'quantile', 'values': edges, 'q': q,
+                         'col': col})
+        else:
+            spec.append({'mode': 'nearest', 'values': uniq, 'q': q,
+                         'col': col})
+    return spec
+
+
+def apply_binned_covariate_spec(spec: list, age, gender):
+    """One-hot covariates [n, n_bins_age + n_bins_gender] from a
+    binned_covariate_graph_spec, built from jnp ops only (traceable,
+    symbolic batch dims ok). Matches train_binned_covariates on numeric
+    cohorts up to float32 rounding of the bin edges
+    (tests/test_export.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    outs = []
+    for entry, new in zip(spec, (age, gender)):
+        vals = jnp.asarray(entry['values'], jnp.float32)
+        new = jnp.asarray(new, jnp.float32)
+        if entry['mode'] == 'nearest':
+            codes = jnp.argmin(jnp.abs(new[:, None] - vals[None, :]), axis=1)
+        else:
+            codes = jnp.searchsorted(vals, new, side='right')
+        outs.append(jax.nn.one_hot(codes, entry['q'], dtype=jnp.float32))
+    return jnp.concatenate(outs, axis=1)
