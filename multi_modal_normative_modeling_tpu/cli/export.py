@@ -13,10 +13,14 @@ program with the trained state baked in as constants:
   * per-fold covariate bin edges (train-quantile/nearest-value binning,
     data/preprocess.binned_covariate_graph_spec) applied ON DEVICE,
   * per-fold PRNG seeds (stochastic reconstruction, SURVEY.md Q2),
+  * per-fold train-cohort latent statistics (latent_deviation z-scoring,
+    utils_vae.py:155-161, when the variant has a deterministic fused
+    latent),
   * all fold checkpoints, vmapped into one ensemble dispatch.
 
 The program takes raw per-modality feature matrices plus numeric AGE /
-PTGENDER vectors and returns per-fold deviations; the batch dimension is
+PTGENDER vectors and returns per-fold reconstruction (and latent)
+deviations; the batch dimension is
 shape-polymorphic (jax.export symbolic shapes), and the artifact carries
 both CPU and TPU lowerings by default — callable from any JAX process via
 `load_scorer`, with none of this package's model code on the unpickle path.
@@ -43,7 +47,12 @@ from ..data.preprocess import (
     apply_binned_covariate_spec,
     binned_covariate_graph_spec,
 )
-from ..infer.ensemble import EnsembleState, fold_infer_fn, load_ensemble
+from ..infer.ensemble import (
+    EnsembleState,
+    fold_infer_fn,
+    fold_latent_fn,
+    load_ensemble,
+)
 
 FORMAT = 'mmnm-export/1'
 PROGRAM_MEMBER = 'scoring.stablehlo'
@@ -56,8 +65,10 @@ def build_score_fn(state: EnsembleState):
     closed over as constants.
 
     Signature: (x_0, ..., x_{M-1}, age, gender) -> (devs [K, M, n],
-    roi [K, n, sum F]) where x_m is [n, F_m] raw (unscaled) features and
-    age/gender are [n] numeric covariate vectors.
+    roi [K, n, sum F]) — plus (latent_dev [K, n], latent_z [K, n, D]) when
+    the variant exposes a deterministic fused latent — where x_m is [n, F_m]
+    raw (unscaled) features and age/gender are [n] numeric covariate
+    vectors.
     """
     import jax
     import jax.numpy as jnp
@@ -69,14 +80,25 @@ def build_score_fn(state: EnsembleState):
     scales = tuple(jnp.asarray(s) for s in state.scales)
     seeds = jnp.asarray(state.seeds)
     infer_one = fold_infer_fn(state)
+    has_latent = state.latent_mean is not None
+    if has_latent:
+        latent_one = fold_latent_fn(state)
+        lat_mean = jnp.asarray(state.latent_mean)
+        lat_var = jnp.asarray(state.latent_var)
 
     def score(*args):
         xes = tuple(args[:n_mod])
         age, gender = args[n_mod], args[n_mod + 1]
         covs = jnp.stack([apply_binned_covariate_spec(spec, age, gender)
                           for spec in specs])             # [K, n, C]
-        return jax.vmap(infer_one, in_axes=(0, 0, 0, 0, 0, None))(
+        devs, roi = jax.vmap(infer_one, in_axes=(0, 0, 0, 0, 0, None))(
             stacked, centers, scales, covs, seeds, xes)
+        if not has_latent:
+            return devs, roi
+        lat_s, lat_z = jax.vmap(
+            latent_one, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            stacked, centers, scales, covs, lat_mean, lat_var, xes)
+        return devs, roi, lat_s, lat_z
 
     return jax.jit(score)
 
@@ -109,12 +131,17 @@ def export_artifact(state: EnsembleState, out_path,
         'covariates': list(COVARIATES),
         'platforms': list(exported.platforms),
         'jax_version': jax.__version__,
+        'has_latent': state.latent_mean is not None,
         'inputs': [f'{name}[n, {len(cols)}] float32 raw features'
                    for name, cols in zip(state.dataset_names, state.columns)]
                   + [f'{c}[n] float32' for c in COVARIATES],
         'outputs': ['deviations[n_folds, n_modalities, n] float32',
                     f'roi_sq_error[n_folds, n, '
-                    f'{sum(len(c) for c in state.columns)}] float32'],
+                    f'{sum(len(c) for c in state.columns)}] float32']
+                   + (['latent_deviation[n_folds, n] float32',
+                       f'latent_z[n_folds, n, '
+                       f'{state.latent_mean.shape[1]}] float32']
+                      if state.latent_mean is not None else []),
     }
     out_path = Path(out_path)
     tmp = out_path.with_name(out_path.name + '.tmp')
@@ -143,12 +170,18 @@ class ExportedScorer:
             self._exported = jexport.deserialize(z.read(PROGRAM_MEMBER))
 
     def score(self, features: dict, covariates: dict, roi: bool = False,
-              fold: int = None) -> dict:
+              fold: int = None, latent: bool = False) -> dict:
         """serve.py-shaped result dict: fold-ensemble mean deviation per
-        subject, per-modality means, optional per-ROI squared errors."""
+        subject, per-modality means, optional per-ROI squared errors and
+        latent z-scores."""
         meta = self.meta
         if fold is not None and not 0 <= fold < meta['n_folds']:
             raise ValueError(f"fold must be in [0, {meta['n_folds']})")
+        if latent and not meta.get('has_latent'):
+            raise ValueError(
+                'this artifact was exported without latent outputs (model '
+                f"variant {meta.get('variant')!r} has no deterministic "
+                'fused latent)')
         mats = []
         for name, dim in zip(meta['modalities'], meta['feature_dims']):
             if name not in features:
@@ -177,7 +210,7 @@ class ExportedScorer:
                                  f'got {list(vec.shape)}')
             covs.append(vec)
 
-        devs, rois = self._exported.call(*mats, *covs)
+        devs, rois, *lat = self._exported.call(*mats, *covs)
         devs = np.asarray(devs)                            # [K, M, n]
         folds = slice(None) if fold is None else slice(fold, fold + 1)
         per_mod = devs[folds].mean(axis=0)                 # [M, n]
@@ -191,6 +224,10 @@ class ExportedScorer:
             out['roi_columns'] = [f'{c}_{name}' for name in meta['modalities']
                                   for c in meta['columns'][name]]
             out['roi'] = np.asarray(rois)[folds].mean(axis=0).tolist()
+        if latent:
+            lat_s, lat_z = (np.asarray(a) for a in lat)
+            out['latent_deviation'] = lat_s[folds].mean(axis=0).tolist()
+            out['latent_per_dim'] = lat_z[folds].mean(axis=0).tolist()
         return out
 
 

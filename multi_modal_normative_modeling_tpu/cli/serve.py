@@ -21,7 +21,10 @@ request. This daemon pays them once:
                                {"features": {modality: [[...], ...]},
                                 "covariates": {"AGE": [...],
                                                "PTGENDER": [...]}}
-                               (+ optional "roi": true, "fold": int)
+                               (+ optional "roi": true, "fold": int,
+                                "latent": true for latent z-scores against
+                                each fold's train-cohort latent statistics,
+                                utils_vae.py:155-161)
   * batch sizes are padded to a bucket multiple so repeat request shapes
     reuse the compiled program (the persistent compile cache,
     utils/jaxconfig.py, covers daemon restarts).
@@ -44,7 +47,7 @@ import numpy as np
 import pandas as pd
 
 from ..data.preprocess import train_binned_covariates
-from ..infer.ensemble import fold_infer_fn, load_ensemble
+from ..infer.ensemble import fold_infer_fn, fold_latent_fn, load_ensemble
 from . import common
 
 
@@ -112,9 +115,27 @@ class ScoringService:
         # shared across folds and broadcast
         self._infer = jax.jit(jax.vmap(
             fold_infer_fn(state), in_axes=(0, 0, 0, 0, 0, None)))
+        # latent z-scoring program compiled lazily on the first latent
+        # request (separate trace; most deployments never ask for it)
+        self._latent_prog = None
+
+    def _latent_infer(self):
+        import jax
+
+        if self.state.latent_mean is None:
+            raise ServeError(
+                f"model variant {self.config.get('variant', 'cvae')!r} has "
+                'no deterministic fused latent; latent deviation scoring is '
+                'unavailable')
+        if self._latent_prog is None:
+            self._latent_prog = jax.jit(jax.vmap(
+                fold_latent_fn(self.state),
+                in_axes=(0, 0, 0, 0, 0, 0, None)))
+        return self._latent_prog
 
     # ------------------------------------------------------------- scoring
-    def score_ids(self, ids, roi: bool = False, fold: int = None) -> dict:
+    def score_ids(self, ids, roi: bool = False, fold: int = None,
+                  latent: bool = False) -> dict:
         """Score subjects already present in the project's modality tables."""
         if not ids:
             raise ServeError('empty ids list')
@@ -129,12 +150,13 @@ class ScoringService:
         features = [r[cols].to_numpy(np.float32)
                     for r, cols in zip(rows, self.columns)]
         covariates = rows[-1][['AGE', 'PTGENDER']]  # last-modality
-        result = self._score(features, covariates, roi=roi, fold=fold)
+        result = self._score(features, covariates, roi=roi, fold=fold,
+                             latent=latent)
         result['participant_id'] = list(ids)
         return result
 
     def score_raw(self, features: dict, covariates: dict, roi: bool = False,
-                  fold: int = None) -> dict:
+                  fold: int = None, latent: bool = False) -> dict:
         """Score raw feature payloads (no project-table lookup)."""
         mats = []
         for name, cols in zip(self.dataset_names, self.columns):
@@ -158,11 +180,14 @@ class ScoringService:
                              f'PTGENDER lists: {e}')
         if len(cov_frame) != ns.pop():
             raise ServeError('covariate length != subject count')
-        return self._score(mats, cov_frame, roi=roi, fold=fold)
+        return self._score(mats, cov_frame, roi=roi, fold=fold,
+                           latent=latent)
 
-    def _score(self, features, cov_frame, roi: bool, fold) -> dict:
+    def _score(self, features, cov_frame, roi: bool, fold,
+               latent: bool = False) -> dict:
         if fold is not None and not 0 <= fold < self.n_splits:
             raise ServeError(f'fold must be in [0, {self.n_splits})')
+        latent_prog = self._latent_infer() if latent else None
         n = features[0].shape[0]
         padded = -(-n // self.pad_to) * self.pad_to
         xes = tuple(np.pad(f, ((0, padded - n), (0, 0))) for f in features)
@@ -178,6 +203,12 @@ class ScoringService:
                                      self._scales, covs, self._seeds, xes)
             devs = np.asarray(devs)[:, :, :n]              # [K, M, n]
             rois = np.asarray(rois)[:, :n] if roi else None
+            if latent:
+                lat_s, lat_z = latent_prog(
+                    self._stacked_params, self._centers, self._scales, covs,
+                    self.state.latent_mean, self.state.latent_var, xes)
+                lat_s = np.asarray(lat_s)[:, :n]           # [K, n]
+                lat_z = np.asarray(lat_z)[:, :n]           # [K, n, D]
             self.requests_served += 1
         folds = slice(None) if fold is None else slice(fold, fold + 1)
         per_mod = devs[folds].mean(axis=0)                 # [M, n]
@@ -192,6 +223,9 @@ class ScoringService:
                                   in zip(self.columns, self.dataset_names)
                                   for c in cols]
             out['roi'] = rois[folds].mean(axis=0).tolist()
+        if latent:
+            out['latent_deviation'] = lat_s[folds].mean(axis=0).tolist()
+            out['latent_per_dim'] = lat_z[folds].mean(axis=0).tolist()
         return out
 
     def health(self) -> dict:
@@ -205,6 +239,7 @@ class ScoringService:
             'modalities': list(self.dataset_names),
             'feature_dims': [len(c) for c in self.columns],
             'model': self.config.get('variant', 'cvae'),
+            'latent_scoring': self.state.latent_mean is not None,
             'backend': jax.default_backend(),
             'uptime_seconds': round(time.time() - self.started, 1),
             'requests_served': self.requests_served,
@@ -244,12 +279,15 @@ def make_server(service: ScoringService, host: str = '127.0.0.1',
                 req = json.loads(self.rfile.read(length) or b'{}')
                 roi = bool(req.get('roi', False))
                 fold = req.get('fold')
+                latent = bool(req.get('latent', False))
                 if 'ids' in req:
-                    out = service.score_ids(req['ids'], roi=roi, fold=fold)
+                    out = service.score_ids(req['ids'], roi=roi, fold=fold,
+                                            latent=latent)
                 elif 'features' in req:
                     out = service.score_raw(req['features'],
                                             req.get('covariates', {}),
-                                            roi=roi, fold=fold)
+                                            roi=roi, fold=fold,
+                                            latent=latent)
                 else:
                     raise ServeError(
                         "request needs 'ids' or 'features'+'covariates'")

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -42,6 +42,12 @@ class EnsembleState:
     scales: Tuple[np.ndarray, ...]   # per modality [K, F_m] scaler scales
     seeds: np.ndarray        # [K] int32 per-fold PRNG seeds
     train_covs: list         # per fold: AGE/PTGENDER frame of the train ids
+    # per-fold train-cohort fused-latent statistics ([K, D] each), feeding
+    # latent_deviation / separate_latent_deviation (utils_vae.py:155-161)
+    # for NEW subjects; None when the variant has no deterministic latent
+    # (DMVAE family splits private/shared latents and exposes none)
+    latent_mean: Optional[np.ndarray] = None
+    latent_var: Optional[np.ndarray] = None
 
 
 def load_ensemble(resource: str, procedure: str, combine: str = None,
@@ -58,6 +64,7 @@ def load_ensemble(resource: str, procedure: str, combine: str = None,
     dataset_names = registry.get_datasets_name(resource, procedure)
 
     params_list, centers, scales, train_covs = [], [], [], []
+    fold_train_data, fold_train_onehot = [], []
     model = config = None
     for fold in range(n_splits):
         fold_dir = model_dir / f'{fold:03d}'
@@ -67,19 +74,22 @@ def load_ensemble(resource: str, procedure: str, combine: str = None,
         if model is None:
             model, config = fold_model, fold_config
         params_list.append(params)
-        fold_centers, fold_scales = [], []
+        fold_centers, fold_scales, fold_data = [], [], []
         for name in dataset_names:
             prep = common.prepare_modality(
                 project_root, resource, name, participants_path,
                 train_ids_path)
             fold_centers.append(np.asarray(prep['scaler'].center, np.float32))
             fold_scales.append(np.asarray(prep['scaler'].scale, np.float32))
+            fold_data.append(prep['train_data'])
         centers.append(fold_centers)
         scales.append(fold_scales)
+        fold_train_data.append(fold_data)
+        fold_train_onehot.append(prep['train_cov'])
         # covariates ride the demographic merge, identical across modalities
         train_covs.append(prep['train_df'][['AGE', 'PTGENDER']])
 
-    return EnsembleState(
+    state = EnsembleState(
         resource=resource,
         procedure=procedure,
         combine=combine or procedure.split('-')[1],
@@ -98,6 +108,47 @@ def load_ensemble(resource: str, procedure: str, combine: str = None,
         seeds=np.arange(n_splits, dtype=np.int32) + seed,
         train_covs=train_covs,
     )
+    if hasattr(model, 'latent_stats'):
+        state.latent_mean, state.latent_var = _train_latent_stats(
+            state, fold_train_data, fold_train_onehot)
+    return state
+
+
+def _train_latent_stats(state: EnsembleState, fold_train_data,
+                        fold_train_onehot):
+    """Per-fold mean/var ([K, D]) of the fused latent posterior means over
+    each fold's (oversampled) train cohort — the ``mu_train`` statistics of
+    latent_deviation (utils_vae.py:155-157) — as ONE jitted fold-vmapped
+    program (ragged folds padded + masked; masked moments match np.mean /
+    np.var ddof=0 on the unpadded rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    model, combine = state.model, state.combine
+    n_mod = len(state.dataset_names)
+    sizes = [c.shape[0] for c in fold_train_onehot]
+    n_max = max(sizes)
+
+    def pad(a):
+        return np.pad(np.asarray(a, np.float32),
+                      ((0, n_max - a.shape[0]), (0, 0)))
+
+    xs = tuple(np.stack([pad(data[m]) for data in fold_train_data])
+               for m in range(n_mod))
+    covs = np.stack([pad(c) for c in fold_train_onehot])
+    mask = np.stack([np.arange(n_max) < s for s in sizes]).astype(np.float32)
+
+    def fold_moments(params, xes, cov, msk):
+        mu, _ = model.latent_stats(params, list(xes), [cov] * n_mod, combine)
+        w = msk[:, None]
+        denom = jnp.sum(msk)
+        mean = jnp.sum(mu * w, axis=0) / denom
+        var = jnp.sum(w * (mu - mean) ** 2, axis=0) / denom
+        return mean, var
+
+    mean, var = jax.jit(jax.vmap(fold_moments))(
+        state.stacked_params, xs, covs, mask)
+    return np.asarray(mean), np.asarray(var)
 
 
 def fold_infer_fn(state: EnsembleState):
@@ -128,3 +179,26 @@ def fold_infer_fn(state: EnsembleState):
         return devs, roi
 
     return infer_one
+
+
+def fold_latent_fn(state: EnsembleState):
+    """One-fold latent deviation body: scale raw features, deterministic
+    fused-latent posterior (model.latent_stats — no sampling), then z-score
+    against the fold's train-cohort latent statistics. Returns
+    (scalar [n], per_dim [n, D]) matching latent_deviation /
+    separate_latent_deviation (utils_vae.py:155-161); vmap over the fold
+    axis of (params, centers, scales, cov, latent_mean, latent_var) with
+    features broadcast."""
+    import jax.numpy as jnp
+
+    model, combine = state.model, state.combine
+    n_mod = len(state.dataset_names)
+
+    def latent_one(params, center, scale, cov, mean_train, var_train, xes):
+        xs = [(x - c) / s for x, c, s in zip(xes, center, scale)]
+        mu, var = model.latent_stats(params, xs, [cov] * n_mod, combine)
+        z = (mu - mean_train) / jnp.sqrt(var_train + var)  # [n, D]
+        scalar = jnp.sum(jnp.abs(z), axis=1) / mu.shape[1]
+        return scalar, z
+
+    return latent_one

@@ -98,6 +98,8 @@ def test_artifact_meta(artifact):
     assert meta["n_folds"] == 2
     assert set(meta["platforms"]) == {"cpu", "tpu"}
     assert meta["covariates"] == ["AGE", "PTGENDER"]
+    assert meta["has_latent"] is True
+    assert len(meta["outputs"]) == 4
 
 
 def test_exported_scoring_matches_serve(scorer, service):
@@ -127,6 +129,31 @@ def test_exported_scoring_matches_serve(scorer, service):
             scorer.score(features, covariates, fold=fold)["deviation"],
             service.score_raw(features, covariates, fold=fold)["deviation"],
             rtol=1e-5)
+
+
+def test_exported_latent_matches_serve(scorer, service):
+    """The artifact's baked-in train-latent statistics must reproduce the
+    daemon's latent z-scoring (deterministic: no PRNG involved)."""
+    rows = service._frames[0].loc[list(service._frames[0].index[:8])]
+    features = {"av45": rows[service.columns[0]].to_numpy(np.float32)}
+    covariates = {"AGE": rows["AGE"].tolist(),
+                  "PTGENDER": rows["PTGENDER"].tolist()}
+
+    expected = service.score_raw(features, covariates, latent=True)
+    got = scorer.score(features, covariates, latent=True)
+    np.testing.assert_allclose(got["latent_deviation"],
+                               expected["latent_deviation"], rtol=1e-5)
+    np.testing.assert_allclose(got["latent_per_dim"],
+                               expected["latent_per_dim"],
+                               rtol=1e-4, atol=1e-6)
+
+    # a latent-less artifact refuses latent requests with a clear error
+    scorer.meta = dict(scorer.meta, has_latent=False)
+    try:
+        with pytest.raises(ValueError, match="without latent"):
+            scorer.score(features, covariates, latent=True)
+    finally:
+        scorer.meta["has_latent"] = True
 
 
 def test_batch_dimension_is_polymorphic(scorer, service):
@@ -189,7 +216,8 @@ with zipfile.ZipFile({str(path)!r}) as z:
 x = np.load({str(tmp_path / 'x.npy')!r})
 age = np.load({str(tmp_path / 'age.npy')!r})
 gender = np.load({str(tmp_path / 'gender.npy')!r})
-devs, roi = program.call(x, age, gender)
+devs, roi, *latent = program.call(x, age, gender)
+assert len(latent) == (2 if meta["has_latent"] else 0)
 print(json.dumps(np.asarray(devs).mean(axis=(0, 1)).tolist()))
 """
     env = {k: v for k, v in os.environ.items()}

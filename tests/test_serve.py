@@ -89,6 +89,92 @@ def test_raw_payload_matches_ids_mode(service):
     assert not np.allclose(one_fold["deviation"], by_id["deviation"])
 
 
+def test_latent_scoring_matches_sequential_oracle(trained_project, service):
+    """Latent deviation through the daemon's fold-vmapped program must match
+    a per-fold sequential path built independently from the raw model and
+    infer.deviation's numpy utilities (utils_vae.py:155-161 semantics)."""
+    from multi_modal_normative_modeling_tpu.cli import common
+    from multi_modal_normative_modeling_tpu.data.preprocess import (
+        train_binned_covariates,
+    )
+    from multi_modal_normative_modeling_tpu.infer.deviation import (
+        latent_deviation,
+        separate_latent_deviation,
+    )
+
+    root = trained_project
+    ids = list(service._frames[0].index[:7])
+    rows = service._frames[0].loc[ids]
+    feats = rows[service.columns[0]].to_numpy(np.float32)
+    got = service.score_raw(
+        {"av45": feats.tolist()},
+        {"AGE": rows["AGE"].tolist(), "PTGENDER": rows["PTGENDER"].tolist()},
+        latent=True)
+
+    kfold = root / "outputs" / "kfold_analysis"
+    participants = root / "data" / "ADNI" / "y.csv"
+    scalars, zs = [], []
+    for fold in range(2):
+        model, params, _ = common.load_model_and_params(
+            kfold / "supervised_cvae" / f"{fold:03d}")
+        prep = common.prepare_modality(
+            root, "ADNI", "av45", participants,
+            kfold / f"train_ids_{fold:03d}.csv")
+        mu_train, _ = model.latent_stats(
+            params, [prep["train_data"]], [prep["train_cov"]], "PoE")
+        x = ((feats - np.asarray(prep["scaler"].center, np.float32))
+             / np.asarray(prep["scaler"].scale, np.float32))
+        cov = train_binned_covariates(
+            prep["train_df"][["AGE", "PTGENDER"]],
+            rows[["AGE", "PTGENDER"]]).astype(np.float32)
+        mu_s, var_s = model.latent_stats(params, [x], [cov], "PoE")
+        mu_train, mu_s, var_s = (np.asarray(a)
+                                 for a in (mu_train, mu_s, var_s))
+        scalars.append(latent_deviation(mu_train, mu_s, var_s))
+        zs.append(separate_latent_deviation(mu_train, mu_s, var_s))
+
+    np.testing.assert_allclose(got["latent_deviation"],
+                               np.mean(scalars, axis=0),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got["latent_per_dim"], np.mean(zs, axis=0),
+                               rtol=1e-4, atol=1e-6)
+    # single-fold selection picks that fold's z-scores
+    one = service.score_raw(
+        {"av45": feats.tolist()},
+        {"AGE": rows["AGE"].tolist(), "PTGENDER": rows["PTGENDER"].tolist()},
+        latent=True, fold=1)
+    np.testing.assert_allclose(one["latent_deviation"], scalars[1],
+                               rtol=1e-4, atol=1e-6)
+    # latent scoring is deterministic (no sampling): repeat call identical
+    again = service.score_ids(ids, latent=True)
+    np.testing.assert_array_equal(again["latent_deviation"],
+                                  got["latent_deviation"])
+
+
+def test_latent_unavailable_for_dmvae(tmp_path):
+    """A split-latent variant (no deterministic fused latent) still serves
+    reconstruction deviation but refuses latent requests with a clear
+    error, and advertises that in /healthz."""
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=40, n_disease={0: 10},
+                            effect=1.2)
+    train_args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 6],
+        procedure="SM-av45", combine="PoE", epochs=3, n_splits=2,
+        oversample_percentage=1, model="DMVAE",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=False, precision="fp32",
+    )
+    train_supervised.main(train_args, project_root=tmp_path)
+    svc = serve.ScoringService("ADNI", "SM-av45", combine="PoE",
+                               n_splits=2, project_root=tmp_path)
+    assert svc.health()["latent_scoring"] is False
+    ids = list(svc._frames[0].index[:3])
+    assert len(svc.score_ids(ids)["deviation"]) == 3  # recon path works
+    with pytest.raises(serve.ServeError, match="latent"):
+        svc.score_ids(ids, latent=True)
+
+
 def test_request_validation(service):
     with pytest.raises(serve.ServeError, match="unknown participant"):
         service.score_ids(["nope"])
@@ -126,11 +212,19 @@ def test_http_surface(service):
         assert health["status"] == "ok"
         assert health["modalities"] == ["av45"]
         assert health["n_folds"] == 2
+        assert health["latent_scoring"] is True
 
         ids = list(service._frames[0].index[:3])
         status, body = post("/score", {"ids": ids})
         assert status == 200
         assert len(body["deviation"]) == 3
+
+        status, body = post("/score", {"ids": ids, "latent": True})
+        assert status == 200
+        np.testing.assert_allclose(
+            body["latent_deviation"],
+            service.score_ids(ids, latent=True)["latent_deviation"],
+            rtol=1e-6)
         np.testing.assert_allclose(body["deviation"],
                                    service.score_ids(ids)["deviation"],
                                    rtol=1e-6)
