@@ -49,9 +49,11 @@ from ..data.preprocess import (
 )
 from ..infer.ensemble import (
     EnsembleState,
+    ensure_latent_stats,
     fold_infer_fn,
     fold_latent_fn,
     load_ensemble,
+    validate_features,
 )
 
 FORMAT = 'mmnm-export/1'
@@ -80,8 +82,9 @@ def build_score_fn(state: EnsembleState):
     scales = tuple(jnp.asarray(s) for s in state.scales)
     seeds = jnp.asarray(state.seeds)
     infer_one = fold_infer_fn(state)
-    has_latent = state.latent_mean is not None
+    has_latent = state.supports_latent
     if has_latent:
+        ensure_latent_stats(state)
         latent_one = fold_latent_fn(state)
         lat_mean = jnp.asarray(state.latent_mean)
         lat_var = jnp.asarray(state.latent_var)
@@ -131,7 +134,7 @@ def export_artifact(state: EnsembleState, out_path,
         'covariates': list(COVARIATES),
         'platforms': list(exported.platforms),
         'jax_version': jax.__version__,
-        'has_latent': state.latent_mean is not None,
+        'has_latent': state.supports_latent,
         'inputs': [f'{name}[n, {len(cols)}] float32 raw features'
                    for name, cols in zip(state.dataset_names, state.columns)]
                   + [f'{c}[n] float32' for c in COVARIATES],
@@ -141,7 +144,7 @@ def export_artifact(state: EnsembleState, out_path,
                    + (['latent_deviation[n_folds, n] float32',
                        f'latent_z[n_folds, n, '
                        f'{state.latent_mean.shape[1]}] float32']
-                      if state.latent_mean is not None else []),
+                      if state.supports_latent else []),
     }
     out_path = Path(out_path)
     tmp = out_path.with_name(out_path.name + '.tmp')
@@ -182,21 +185,8 @@ class ExportedScorer:
                 'this artifact was exported without latent outputs (model '
                 f"variant {meta.get('variant')!r} has no deterministic "
                 'fused latent)')
-        mats = []
-        for name, dim in zip(meta['modalities'], meta['feature_dims']):
-            if name not in features:
-                raise ValueError(f'missing features for modality {name!r} '
-                                 f"(need {meta['modalities']})")
-            mat = np.asarray(features[name], np.float32)
-            if mat.ndim != 2 or mat.shape[1] != dim:
-                raise ValueError(
-                    f'modality {name!r}: expected [n_subjects, {dim}] '
-                    f'features, got {list(mat.shape)}')
-            mats.append(mat)
-        ns = {m.shape[0] for m in mats}
-        if len(ns) != 1:
-            raise ValueError(f'modalities disagree on subject count: {ns}')
-        n = ns.pop()
+        mats, n = validate_features(features, meta['modalities'],
+                                    meta['feature_dims'])
         covs = []
         for name in meta['covariates']:
             try:
@@ -252,12 +242,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(argv=None, project_root=None):
+    from ..utils.jaxconfig import warm_device_session
+
     args = build_parser().parse_args(argv)
+    platforms = [p.strip() for p in args.platforms.split(',') if p.strip()]
+    if not platforms:
+        raise SystemExit(f'--platforms {args.platforms!r}: no lowering '
+                         'targets given')
+    warm_device_session()  # overlap the session attach with host prep
     state = load_ensemble(
         args.dataset_resourse, args.procedure, combine=args.combine,
         n_splits=args.n_splits, project_root=project_root, seed=args.seed)
-    meta = export_artifact(state, args.output,
-                           platforms=args.platforms.split(','))
+    meta = export_artifact(state, args.output, platforms=platforms)
     size = Path(args.output).stat().st_size
     print(f"exported {meta['resource']}/{meta['procedure']} "
           f"({meta['n_folds']}-fold {meta['variant']} ensemble, "

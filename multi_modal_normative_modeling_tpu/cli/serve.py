@@ -47,7 +47,13 @@ import numpy as np
 import pandas as pd
 
 from ..data.preprocess import train_binned_covariates
-from ..infer.ensemble import fold_infer_fn, fold_latent_fn, load_ensemble
+from ..infer.ensemble import (
+    ensure_latent_stats,
+    fold_infer_fn,
+    fold_latent_fn,
+    load_ensemble,
+    validate_features,
+)
 from . import common
 
 
@@ -122,12 +128,11 @@ class ScoringService:
     def _latent_infer(self):
         import jax
 
-        if self.state.latent_mean is None:
-            raise ServeError(
-                f"model variant {self.config.get('variant', 'cvae')!r} has "
-                'no deterministic fused latent; latent deviation scoring is '
-                'unavailable')
         if self._latent_prog is None:
+            try:
+                ensure_latent_stats(self.state)
+            except ValueError as e:
+                raise ServeError(str(e))
             self._latent_prog = jax.jit(jax.vmap(
                 fold_latent_fn(self.state),
                 in_axes=(0, 0, 0, 0, 0, 0, None)))
@@ -158,27 +163,16 @@ class ScoringService:
     def score_raw(self, features: dict, covariates: dict, roi: bool = False,
                   fold: int = None, latent: bool = False) -> dict:
         """Score raw feature payloads (no project-table lookup)."""
-        mats = []
-        for name, cols in zip(self.dataset_names, self.columns):
-            if name not in features:
-                raise ServeError(f'missing features for modality {name!r} '
-                                 f'(need {list(features)} + {name})')
-            mat = np.asarray(features[name], np.float32)
-            if mat.ndim != 2 or mat.shape[1] != len(cols):
-                raise ServeError(
-                    f'modality {name!r}: expected [n_subjects, {len(cols)}] '
-                    f'features, got {list(mat.shape)}')
-            mats.append(mat)
-        ns = {m.shape[0] for m in mats}
-        if len(ns) != 1:
-            raise ServeError(f'modalities disagree on subject count: {ns}')
+        mats, n = validate_features(features, self.dataset_names,
+                                    [len(c) for c in self.columns],
+                                    error_cls=ServeError)
         try:
             cov_frame = pd.DataFrame({'AGE': covariates['AGE'],
                                       'PTGENDER': covariates['PTGENDER']})
         except (KeyError, TypeError, ValueError) as e:
             raise ServeError(f'covariates must carry equal-length AGE and '
                              f'PTGENDER lists: {e}')
-        if len(cov_frame) != ns.pop():
+        if len(cov_frame) != n:
             raise ServeError('covariate length != subject count')
         return self._score(mats, cov_frame, roi=roi, fold=fold,
                            latent=latent)
@@ -239,7 +233,7 @@ class ScoringService:
             'modalities': list(self.dataset_names),
             'feature_dims': [len(c) for c in self.columns],
             'model': self.config.get('variant', 'cvae'),
-            'latent_scoring': self.state.latent_mean is not None,
+            'latent_scoring': self.state.supports_latent,
             'backend': jax.default_backend(),
             'uptime_seconds': round(time.time() - self.started, 1),
             'requests_served': self.requests_served,

@@ -228,9 +228,24 @@ def binned_covariate_graph_spec(train_cov: pd.DataFrame,
         uniq = np.unique(train)
         if len(uniq) > q:
             edges = np.quantile(train, np.linspace(0.0, 1.0, q + 1)[1:-1])
-            spec.append({'mode': 'quantile', 'values': edges, 'q': q,
+            # the exported program compares in float32: round each float64
+            # edge UP to the nearest float32. For any float32 input x this
+            # makes (edge_f32 <= x) <=> (edge_f64 <= x) — i.e. searchsorted
+            # side='right' bins exactly like the float64 host path
+            # (train_binned_covariates) — because no float32 can lie
+            # strictly between edge_f64 and its round-up. Rounding to
+            # nearest instead would flip edge-adjacent subjects into the
+            # wrong bin.
+            e32 = edges.astype(np.float32)
+            e32 = np.where(e32.astype(np.float64) < edges,
+                           np.nextafter(e32, np.float32(np.inf)), e32)
+            spec.append({'mode': 'quantile', 'values': e32, 'q': q,
                          'col': col})
         else:
+            # nearest-train-value coding; float32 rounding of the train
+            # uniques can flip a subject sitting within one float32 ulp of
+            # the midpoint between two adjacent train values — inherent to
+            # an f32 program, and far below covariate measurement noise
             spec.append({'mode': 'nearest', 'values': uniq, 'q': q,
                          'col': col})
     return spec

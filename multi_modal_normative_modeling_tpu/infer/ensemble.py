@@ -42,12 +42,42 @@ class EnsembleState:
     scales: Tuple[np.ndarray, ...]   # per modality [K, F_m] scaler scales
     seeds: np.ndarray        # [K] int32 per-fold PRNG seeds
     train_covs: list         # per fold: AGE/PTGENDER frame of the train ids
+    project_root: Optional[Path] = None  # for lazy train-cohort re-reads
     # per-fold train-cohort fused-latent statistics ([K, D] each), feeding
     # latent_deviation / separate_latent_deviation (utils_vae.py:155-161)
-    # for NEW subjects; None when the variant has no deterministic latent
-    # (DMVAE family splits private/shared latents and exposes none)
+    # for NEW subjects; computed lazily by ensure_latent_stats (an extra
+    # compile + full-train-cohort encode that most recon-only deployments
+    # never need)
     latent_mean: Optional[np.ndarray] = None
     latent_var: Optional[np.ndarray] = None
+
+    @property
+    def supports_latent(self) -> bool:
+        """Whether the variant has a deterministic fused latent (the DMVAE
+        family splits private/shared latents and exposes none)."""
+        return hasattr(self.model, 'latent_stats')
+
+
+def validate_features(features: dict, modalities, feature_dims,
+                      error_cls=ValueError):
+    """Shared raw-payload feature validation for the scoring front-ends
+    (serve.score_raw, ExportedScorer.score): per-modality presence + shape,
+    cross-modality subject-count agreement. Returns (mats, n_subjects)."""
+    mats = []
+    for name, dim in zip(modalities, feature_dims):
+        if name not in features:
+            raise error_cls(f'missing features for modality {name!r} '
+                            f'(need {list(modalities)})')
+        mat = np.asarray(features[name], np.float32)
+        if mat.ndim != 2 or mat.shape[1] != dim:
+            raise error_cls(
+                f'modality {name!r}: expected [n_subjects, {dim}] '
+                f'features, got {list(mat.shape)}')
+        mats.append(mat)
+    ns = {m.shape[0] for m in mats}
+    if len(ns) != 1:
+        raise error_cls(f'modalities disagree on subject count: {ns}')
+    return mats, ns.pop()
 
 
 def load_ensemble(resource: str, procedure: str, combine: str = None,
@@ -64,7 +94,6 @@ def load_ensemble(resource: str, procedure: str, combine: str = None,
     dataset_names = registry.get_datasets_name(resource, procedure)
 
     params_list, centers, scales, train_covs = [], [], [], []
-    fold_train_data, fold_train_onehot = [], []
     model = config = None
     for fold in range(n_splits):
         fold_dir = model_dir / f'{fold:03d}'
@@ -74,22 +103,25 @@ def load_ensemble(resource: str, procedure: str, combine: str = None,
         if model is None:
             model, config = fold_model, fold_config
         params_list.append(params)
-        fold_centers, fold_scales, fold_data = [], [], []
+        fold_centers, fold_scales, fold_frames = [], [], []
         for name in dataset_names:
             prep = common.prepare_modality(
                 project_root, resource, name, participants_path,
                 train_ids_path)
             fold_centers.append(np.asarray(prep['scaler'].center, np.float32))
             fold_scales.append(np.asarray(prep['scaler'].scale, np.float32))
-            fold_data.append(prep['train_data'])
+            fold_frames.append(prep['train_df'])
+        # the per-fold covariates (and latent stats) pair modality-0 row
+        # order with the last modality's frame — only coherent when every
+        # modality CSV covers the same subjects in the same order
+        common.assert_modalities_aligned(
+            fold_frames, f'{resource}/{procedure} fold {fold} train cohort')
         centers.append(fold_centers)
         scales.append(fold_scales)
-        fold_train_data.append(fold_data)
-        fold_train_onehot.append(prep['train_cov'])
         # covariates ride the demographic merge, identical across modalities
         train_covs.append(prep['train_df'][['AGE', 'PTGENDER']])
 
-    state = EnsembleState(
+    return EnsembleState(
         resource=resource,
         procedure=procedure,
         combine=combine or procedure.split('-')[1],
@@ -107,11 +139,41 @@ def load_ensemble(resource: str, procedure: str, combine: str = None,
                      for m in range(len(dataset_names))),
         seeds=np.arange(n_splits, dtype=np.int32) + seed,
         train_covs=train_covs,
+        project_root=project_root,
     )
-    if hasattr(model, 'latent_stats'):
-        state.latent_mean, state.latent_var = _train_latent_stats(
-            state, fold_train_data, fold_train_onehot)
-    return state
+
+
+def ensure_latent_stats(state: EnsembleState) -> None:
+    """Fill state.latent_mean/latent_var on first need (idempotent).
+
+    Deferred out of load_ensemble so recon-only serving startups skip the
+    extra compile + full-train-cohort encode; the per-fold train matrices
+    are re-derived through common.prepare_modality's memo (cheap when the
+    load_ensemble entries are still cached, correct either way)."""
+    from ..cli import common
+
+    if not state.supports_latent:
+        raise ValueError(
+            f"model variant {state.config.get('variant', 'cvae')!r} has no "
+            'deterministic fused latent; latent deviation scoring is '
+            'unavailable')
+    if state.latent_mean is not None:
+        return
+    kfold_dir = state.project_root / 'outputs' / 'kfold_analysis'
+    participants_path = (state.project_root / 'data' / state.resource
+                         / 'y.csv')
+    fold_train_data, fold_train_onehot = [], []
+    for fold in range(state.n_splits):
+        fold_data = []
+        for name in state.dataset_names:
+            prep = common.prepare_modality(
+                state.project_root, state.resource, name, participants_path,
+                kfold_dir / f'train_ids_{fold:03d}.csv')
+            fold_data.append(prep['train_data'])
+        fold_train_data.append(fold_data)
+        fold_train_onehot.append(prep['train_cov'])
+    state.latent_mean, state.latent_var = _train_latent_stats(
+        state, fold_train_data, fold_train_onehot)
 
 
 def _train_latent_stats(state: EnsembleState, fold_train_data,

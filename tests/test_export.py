@@ -46,6 +46,32 @@ def test_graph_binning_matches_host_path(n_train):
     np.testing.assert_array_equal(got, expected)
 
 
+def test_quantile_edges_exact_for_float32_inputs():
+    """Float64 quantile edges are rarely float32-representable; the spec
+    rounds each edge UP to float32 so that for every float32-representable
+    input the in-graph searchsorted bins exactly like the float64 host
+    path — including subjects sitting one float32 ulp on either side of
+    every edge (the worst case for round-to-nearest)."""
+    rng = np.random.RandomState(7)
+    train = _cov(rng.uniform(55.0, 95.0, 500), rng.choice([1, 2], 500))
+    spec = binned_covariate_graph_spec(train)
+    age_entry = next(e for e in spec if e["col"] == "AGE")
+    assert age_entry["mode"] == "quantile"
+
+    edges64 = np.quantile(np.asarray(train["AGE"], np.float64),
+                          np.linspace(0.0, 1.0, 28)[1:-1])
+    assert (np.float32(edges64) != edges64).any()  # worst case is exercised
+    # float32 neighbors straddling every edge
+    hi = np.asarray(age_entry["values"], np.float32)
+    lo = np.nextafter(hi, np.float32(-np.inf))
+    probes = np.concatenate([hi, lo])
+    gender = np.ones(len(probes), np.float32)
+
+    expected = train_binned_covariates(train, _cov(probes, gender))
+    got = np.asarray(apply_binned_covariate_spec(spec, probes, gender))
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_categorical_covariates_not_exportable():
     train = _cov([60, 61, 62], ["Male", "Female", "Male"])
     with pytest.raises(ValueError, match="categorical"):
@@ -229,6 +255,41 @@ print(json.dumps(np.asarray(devs).mean(axis=(0, 1)).tolist()))
         {"av45": feats},
         {"AGE": rows["AGE"].tolist(), "PTGENDER": rows["PTGENDER"].tolist()})
     np.testing.assert_allclose(standalone, expected["deviation"], rtol=1e-6)
+
+
+def test_load_ensemble_rejects_misaligned_modalities(tmp_path):
+    """A modality CSV missing a train subject must fail ensemble load
+    loudly (the per-fold covariates and latent statistics pair modality-0
+    rows with the last modality's frame) instead of silently skewing every
+    serve/export score."""
+    from multi_modal_normative_modeling_tpu.infer.ensemble import (
+        load_ensemble,
+    )
+
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=40, n_disease={0: 10},
+                            effect=1.2)
+    train_args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 6],
+        procedure="SE-MoE", combine="MoE", epochs=2, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=False, precision="fp32",
+    )
+    train_supervised.main(train_args, project_root=tmp_path)
+    load_ensemble("ADNI", "SE-MoE", combine="MoE", n_splits=2,
+                  project_root=tmp_path)  # aligned: loads fine
+
+    # drop a subject that IS in fold 0's train cohort from one modality
+    vbm = tmp_path / "data" / "ADNI" / "vbm.csv"
+    victim = pd.read_csv(
+        tmp_path / "outputs" / "kfold_analysis" / "train_ids_000.csv"
+    ).iloc[0, 0]
+    frame = pd.read_csv(vbm)
+    frame[frame["IID"] != victim].to_csv(vbm, index=False)
+    with pytest.raises(ValueError, match="same subjects in the same order"):
+        load_ensemble("ADNI", "SE-MoE", combine="MoE", n_splits=2,
+                      project_root=tmp_path)
 
 
 def test_format_guard(tmp_path):

@@ -106,6 +106,9 @@ def test_latent_scoring_matches_sequential_oracle(trained_project, service):
     ids = list(service._frames[0].index[:7])
     rows = service._frames[0].loc[ids]
     feats = rows[service.columns[0]].to_numpy(np.float32)
+    # latent statistics are computed lazily on the first latent request,
+    # keeping recon-only startups free of the extra compile + train encode
+    assert service.state.latent_mean is None
     got = service.score_raw(
         {"av45": feats.tolist()},
         {"AGE": rows["AGE"].tolist(), "PTGENDER": rows["PTGENDER"].tolist()},
