@@ -41,11 +41,13 @@ def score(args, project_root=None) -> pd.DataFrame:
                                                args.procedure)
 
     folds = (range(args.n_splits) if args.fold is None else [args.fold])
+    emit_latent = getattr(args, 'latent', False)
     model = None
-    infer_fn = None
+    infer_fn = stats_fn = None
     template = None
     per_fold_dev = []
     per_fold_roi = []
+    per_fold_lat = []
     subject_ids = None
 
     for fold in folds:
@@ -55,7 +57,7 @@ def score(args, project_root=None) -> pd.DataFrame:
                 f'no checkpoint in {fold_model_dir}; train first')
         train_ids_path = kfold_dir / f'train_ids_{fold:03d}.csv'
 
-        data_list, columns_list, frames = [], [], []
+        data_list, columns_list, frames, train_data_list = [], [], [], []
         for dataset_name in dataset_names:
             prep = common.prepare_modality(
                 project_root, args.dataset_resourse, dataset_name,
@@ -64,6 +66,7 @@ def score(args, project_root=None) -> pd.DataFrame:
             data_list.append(prep['test_data'])
             columns_list.append(prep['columns'])
             frames.append(prep['test_df'])
+            train_data_list.append(prep['train_data'])
             subject_df = prep['test_df']
         common.assert_modalities_aligned(frames, f'score fold {fold}')
         # serving covariates: train-quantile binning, NOT the k-fold
@@ -90,6 +93,15 @@ def score(args, project_root=None) -> pd.DataFrame:
                         for m in range(len(xes))]
                 return recons, devs
 
+            if emit_latent:
+                if not hasattr(model, 'latent_stats'):
+                    raise SystemExit(
+                        f"--latent: model variant "
+                        f"{config.get('variant', 'cvae')!r} has no "
+                        'deterministic fused latent')
+                stats_fn = jax.jit(lambda p, xes, cs: model.latent_stats(
+                    p, list(xes), list(cs), combine))
+
         if template is None:
             # abstract shapes/dtypes only (eager init costs a round trip
             # per op through the remote-TPU tunnel)
@@ -113,11 +125,29 @@ def score(args, project_root=None) -> pd.DataFrame:
              for m in range(len(dataset_names))], axis=1)
         per_fold_roi.append(roi)
 
+        if emit_latent:
+            # latent z-scores vs this fold's train-cohort latent stats
+            # (utils_vae.py:155-157; deterministic — no sampling)
+            from ..infer.deviation import latent_deviation
+
+            mu_train, _ = stats_fn(
+                params, tuple(np.asarray(t, np.float32)
+                              for t in train_data_list),
+                (prep['train_cov'],) * len(dataset_names))
+            mu_s, var_s = stats_fn(params,
+                                   tuple(pad(x) for x in data_list),
+                                   (pad(cov),) * len(dataset_names))
+            per_fold_lat.append(latent_deviation(
+                np.asarray(mu_train), np.asarray(mu_s)[:n_rows],
+                np.asarray(var_s)[:n_rows]))
+
     deviation = np.mean(per_fold_dev, axis=0)
     roi_dev = np.mean(per_fold_roi, axis=0)
 
     out = pd.DataFrame({'participant_id': subject_ids,
                         'deviation': deviation})
+    if emit_latent:
+        out['latent_deviation'] = np.mean(per_fold_lat, axis=0)
     if args.output:
         out.to_csv(args.output, index=False)
         if args.roi_output:
@@ -150,6 +180,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--output', default='deviation_scores.csv')
     parser.add_argument('--roi_output', default=None,
                         help='also write per-ROI squared deviations here.')
+    parser.add_argument('--latent', action='store_true',
+                        help='add a latent_deviation column (latent '
+                             'z-scores against each fold train cohort, '
+                             'utils_vae.py:155-157 semantics).')
     parser.add_argument('--seed', type=int, default=42)
     return parser
 

@@ -33,10 +33,21 @@ def test_score_ensemble(tmp_path):
         dataset_resourse="ADNI", procedure="SM-av45", combine="PoE",
         n_splits=2, ids=str(ids_path), fold=None,
         output=str(root / "scores.csv"),
-        roi_output=str(root / "roi_scores.csv"), seed=42,
+        roi_output=str(root / "roi_scores.csv"), seed=42, latent=True,
     )
     out = score.score(score_args, project_root=root)
     assert len(out) == len(y)
+
+    # --latent column must match the serving daemon's latent program
+    # (deterministic: no PRNG involved, same scalers/binning/train stats)
+    from multi_modal_normative_modeling_tpu.cli import serve
+
+    service = serve.ScoringService("ADNI", "SM-av45", combine="PoE",
+                                   n_splits=2, project_root=root)
+    served = service.score_ids(list(out["participant_id"]), latent=True)
+    np.testing.assert_allclose(out["latent_deviation"],
+                               served["latent_deviation"],
+                               rtol=1e-4, atol=1e-6)
 
     merged = out.merge(y, left_on="participant_id", right_on="IID")
     hc_dev = merged[merged["DIA"] == 2]["deviation"]
