@@ -89,10 +89,15 @@ class MultiFoldTrainer:
 
     def __init__(self, model, config: TrainConfig, n_samples: int,
                  loss_fn: Optional[Callable] = None, mesh=None,
-                 state_update: Optional[Callable] = None):
+                 state_update: Optional[Callable] = None,
+                 shardings_fn: Optional[Callable] = None):
         self.model = model
         self.config = config
         self.mesh = mesh
+        # how (params, batches, keys) map onto the mesh; the default is
+        # fold/data (mesh.py), tensor.fold_model_shardings adds the
+        # tensor-parallel 'model' axis for wide layer stacks
+        self._shardings_fn = shardings_fn or fold_data_shardings
         optimizer = build_optimizer(config, n_samples)
         if loss_fn is None:
             from ..train.trainer import default_loss_fn
@@ -109,7 +114,7 @@ class MultiFoldTrainer:
     def run(self, stacked_params, stacked_batches, keys) -> Tuple[dict, dict]:
         """keys: [F, 2] PRNG keys (one stream per fold)."""
         if self.mesh is not None:
-            shardings = fold_data_shardings(
+            shardings = self._shardings_fn(
                 self.mesh, stacked_params, stacked_batches, keys)
             if self._jitted is None:
                 self._jitted = jax.jit(self._vtrain, in_shardings=shardings)
@@ -133,7 +138,7 @@ class MultiFoldTrainer:
         import time
 
         if self.mesh is not None and self._jitted is None:
-            shardings = fold_data_shardings(
+            shardings = self._shardings_fn(
                 self.mesh, stacked_params, stacked_batches, keys)
             self._jitted = jax.jit(self._vtrain, in_shardings=shardings)
         elif self._jitted is None:
@@ -141,6 +146,20 @@ class MultiFoldTrainer:
         t0 = time.perf_counter()
         self._jitted.lower(stacked_params, stacked_batches, keys).compile()
         return time.perf_counter() - t0
+
+    def _opt_sh(self, opt_state, params, params_sh):
+        """Shardings for an explicit optimizer-state argument. Strategy
+        modules that shard params non-uniformly (tensor.py) expose an
+        ``opt`` attribute mirroring the param shardings into the optax
+        momentum blocks; the fold/data default shards every leaf on its
+        leading fold axis."""
+        custom = getattr(self._shardings_fn, "opt", None)
+        if custom is not None:
+            return custom(self.mesh, opt_state, params, params_sh)
+        return jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(
+                self.mesh, _spec_for_leaf(np.ndim(leaf), "param")),
+            opt_state)
 
     def _globalize(self, tree, sh_tree):
         """Host numpy pytree -> global sharded arrays (multi-process: every
@@ -166,12 +185,9 @@ class MultiFoldTrainer:
                                                n_epochs))
             if self.mesh is not None and example_args is not None:
                 params, opt_state, keys, batches = example_args
-                p_sh, b_sh, k_sh = fold_data_shardings(
+                p_sh, b_sh, k_sh = self._shardings_fn(
                     self.mesh, params, batches, keys)
-                o_sh = jax.tree_util.tree_map(
-                    lambda leaf: NamedSharding(
-                        self.mesh, _spec_for_leaf(np.ndim(leaf), "param")),
-                    opt_state)
+                o_sh = self._opt_sh(opt_state, params, p_sh)
                 self._chunk_cache[n_epochs] = jax.jit(
                     chunk, in_shardings=(p_sh, o_sh, k_sh, b_sh))
             else:
@@ -259,12 +275,9 @@ class MultiFoldTrainer:
                 opt_state = init_opt(p)
             fn = self._chunk_fn(n, example_args=(p, opt_state, k, batches))
             if self.mesh is not None and multiproc:
-                p_sh, b_sh, k_sh = fold_data_shardings(self.mesh, p, batches,
-                                                       k)
-                o_sh = jax.tree_util.tree_map(
-                    lambda leaf: NamedSharding(
-                        self.mesh, _spec_for_leaf(np.ndim(leaf), "param")),
-                    opt_state)
+                p_sh, b_sh, k_sh = self._shardings_fn(self.mesh, p, batches,
+                                                      k)
+                o_sh = self._opt_sh(opt_state, p, p_sh)
                 p = self._globalize(p, p_sh)
                 opt_state = self._globalize(opt_state, o_sh)
                 k = self._globalize(k, k_sh)
