@@ -107,8 +107,8 @@ def _read_modality_fast(path) -> "pd.DataFrame | None":
     """Parse an IID + all-numeric-columns table with the native fastcsv
     loader (or return None to fall back to pandas, logging why on
     'mmnm.data'). Values are correctly rounded (std::from_chars); pandas'
-    default parser may differ by 1 ulp. Quoted fields are supported
-    (RFC4180, no embedded newlines)."""
+    default parser may differ by 1 ulp. Quoted fields are fully supported
+    (RFC4180 incl. embedded newlines; quote-parity row index)."""
     memo = fast_path_reasons.get(str(path))
     if memo is not None:
         if memo[0] == _mtime(path):

@@ -48,11 +48,10 @@ struct File {
     }
 };
 
-// Split one CSV line into string_views. RFC4180 quoted fields are supported
-// (commas inside quotes, doubled "" escapes); embedded NEWLINES inside quoted
-// fields are not — the parallel row index is newline-delimited. Research
-// feature tables never embed newlines; pandas fallback covers anything else.
-// Returned views keep their surrounding quotes; see unquote()/parse_cell.
+// Split one CSV record into string_views. RFC4180 quoted fields are fully
+// supported: commas inside quotes, doubled "" escapes, and embedded newlines
+// (the row index is quote-parity aware, see fc_open). Returned views keep
+// their surrounding quotes; see unquote()/parse_cell.
 void split_line(std::string_view line, std::vector<std::string_view>& out) {
     out.clear();
     size_t start = 0;
@@ -143,54 +142,82 @@ void* fc_open(const char* path) {
     if (f->data == MAP_FAILED) { delete f; return nullptr; }
 
     // header (a file may be header-only with no trailing newline: pandas
-    // yields an empty 0-row frame for it, so must we)
-    const char* nl = static_cast<const char*>(
-        memchr(f->data, '\n', f->size));
-    size_t header_len = nl ? static_cast<size_t>(nl - f->data) : f->size;
+    // yields an empty 0-row frame for it, so must we). The scan is
+    // quote-aware: a quoted header cell may embed a newline.
+    size_t header_len = f->size;
+    {
+        bool in_quote = false;
+        for (size_t i = 0; i < f->size; ++i) {
+            char c = f->data[i];
+            if (c == '"') in_quote = !in_quote;
+            else if (c == '\n' && !in_quote) { header_len = i; break; }
+        }
+    }
+    bool have_rows = header_len < f->size;
     std::string_view header_line(f->data,
                                  header_len > 0 && f->data[header_len - 1] == '\r'
                                      ? header_len - 1 : header_len);
     std::vector<std::string_view> cells;
     split_line(header_line, cells);
     for (auto c : cells) f->header.push_back(unquote(c));
-    if (!nl) return f;  // header-only: zero data rows
+    if (!have_rows) return f;  // header-only: zero data rows
 
-    // index data-row starts (chunk-parallel: each thread scans a byte range
-    // that begins at the first newline boundary after its nominal start)
+    // Index data-row starts. Record delimiters quote-aware so RFC4180
+    // fields may embed newlines, in two parallel passes:
+    //   pass 1: each chunk collects its newline offsets and its '"' count
+    //           (a doubled "" escape toggles twice — parity is exact)
+    //   fix-up: prefix quote-parity tells each chunk whether it begins
+    //           inside a quoted field; quote-free chunks starting outside
+    //           a quote (the overwhelmingly common case) keep their list,
+    //           the rest re-scan with the known starting state.
     size_t begin = header_len + 1;
     size_t span = f->size - begin;
     unsigned n_threads = span > (4u << 20) ? 16 : 1;
-    std::vector<std::vector<size_t>> partials(n_threads);
+    std::vector<std::vector<size_t>> newlines(n_threads);
+    std::vector<size_t> quote_count(n_threads, 0);
+    size_t chunk = span / n_threads + 1;
     {
         std::vector<std::thread> pool;
-        size_t chunk = span / n_threads + 1;
         for (unsigned t = 0; t < n_threads; ++t) {
             pool.emplace_back([&, t] {
                 size_t lo = begin + t * chunk;
                 size_t hi = std::min(f->size, lo + chunk);
-                if (lo >= f->size) return;
-                if (t > 0) {
-                    // advance to the first row that starts in this chunk
-                    const char* nl = static_cast<const char*>(
-                        memchr(f->data + lo - 1, '\n', hi - lo + 1));
-                    if (!nl) return;
-                    lo = static_cast<size_t>(nl - f->data) + 1;
-                    if (lo >= hi) return;  // row spans past this chunk
-                }
-                size_t pos = lo;
-                while (pos < hi) {
-                    partials[t].push_back(pos);
-                    const char* next = static_cast<const char*>(
-                        memchr(f->data + pos, '\n', f->size - pos));
-                    if (!next) break;
-                    pos = static_cast<size_t>(next - f->data) + 1;
+                for (size_t i = lo; i < hi; ++i) {
+                    char c = f->data[i];
+                    if (c == '\n') newlines[t].push_back(i);
+                    else if (c == '"') ++quote_count[t];
                 }
             });
         }
         for (auto& th : pool) th.join();
     }
-    for (auto& part : partials)
-        f->row_starts.insert(f->row_starts.end(), part.begin(), part.end());
+    {
+        std::vector<std::thread> pool;
+        size_t parity = 0;
+        for (unsigned t = 0; t < n_threads; ++t) {
+            bool starts_in_quote = parity & 1;
+            if (starts_in_quote || quote_count[t] > 0) {
+                pool.emplace_back([&, t, starts_in_quote] {
+                    size_t lo = begin + t * chunk;
+                    size_t hi = std::min(f->size, lo + chunk);
+                    newlines[t].clear();
+                    bool in_quote = starts_in_quote;
+                    for (size_t i = lo; i < hi; ++i) {
+                        char c = f->data[i];
+                        if (c == '"') in_quote = !in_quote;
+                        else if (c == '\n' && !in_quote)
+                            newlines[t].push_back(i);
+                    }
+                });
+            }
+            parity += quote_count[t];
+        }
+        for (auto& th : pool) th.join();
+    }
+    f->row_starts.push_back(begin);
+    for (auto& part : newlines)
+        for (size_t nl_pos : part)
+            if (nl_pos + 1 < f->size) f->row_starts.push_back(nl_pos + 1);
     // skip blank lines anywhere, like pandas' skip_blank_lines=True (a
     // kept row's view may then span the dropped line's bytes, but
     // row_view trims every trailing '\n'/'\r')

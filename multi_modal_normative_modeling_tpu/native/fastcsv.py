@@ -114,7 +114,15 @@ class FastCSV:
         buf = ctypes.create_string_buffer(int(needed))
         self._lib.fc_read_strings(self._handle, np.int32(ci), buf, needed)
         raw = buf.raw[:needed].decode()
-        return raw.split("\n")[:-1]
+        cells = raw.split("\n")[:-1]
+        if len(cells) != self.n_rows:
+            # a string cell embeds a newline: the '\n'-joined transport is
+            # ambiguous. Refuse rather than mis-align rows; callers fall
+            # back to pandas (cli/common.py latches the reason).
+            raise RuntimeError(
+                f"fastcsv: string column {name!r} has embedded newlines "
+                f"({len(cells)} cells for {self.n_rows} rows)")
+        return cells
 
     def close(self):
         if self._handle:

@@ -133,10 +133,10 @@ def test_quoted_numeric_edge_cases(tmp_path):
 
 
 def test_embedded_newline_falls_back_to_pandas(tmp_path, caplog):
-    """An embedded newline inside a quoted field (RFC4180) breaks the native
-    loader's newline-delimited row index — but every split fragment is
-    missing or corrupts a requested numeric column, so the NaN check always
-    catches it and the read falls back to pandas with a logged reason."""
+    """An embedded newline inside a quoted IID cell: the quote-parity row
+    index counts rows correctly, but the '\\n'-joined string-column transport
+    is ambiguous, so read_string_column refuses and the read falls back to
+    pandas with a logged reason (never a silent mis-alignment)."""
     import logging
 
     from multi_modal_normative_modeling_tpu.cli import common
@@ -320,3 +320,70 @@ def test_fastwrite_falls_back_on_nul_byte(tmp_path):
 
     frame = pd.DataFrame({"s": ["a\x00b", "cd"], "v": [1.0, 2.0]})
     assert write_frame(tmp_path / "out.csv", frame) is False
+
+
+def test_embedded_newlines_native_row_index(tmp_path):
+    """Full RFC4180: quoted cells embedding newlines (and CRLF endings) are
+    parsed natively — the quote-parity row index keeps rows aligned, numeric
+    parity with pandas holds, and only the ambiguous string-column transport
+    refuses."""
+    from multi_modal_normative_modeling_tpu.native.fastcsv import FastCSV
+
+    path = tmp_path / "embedded.csv"
+    path.write_text(
+        'IID,"a\nx",b\r\n'      # multi-line quoted header cell
+        '"S\n1",1.5," 2.5"\r\n'  # embedded newline in the id cell
+        'S2,"-3e1",+4\n'
+        'S3,"1""",7\n')          # doubled-quote escape -> non-numeric
+    ref = pd.read_csv(path)
+    r = FastCSV(path)
+    try:
+        assert (r.n_rows, r.n_cols) == (3, 3) == (len(ref), ref.shape[1])
+        vals = r.read_columns(["a\nx", "b"])
+        np.testing.assert_allclose(vals[:, 1], [2.5, 4.0, 7.0])
+        np.testing.assert_allclose(vals[:2, 0], [1.5, -30.0])
+        assert np.isnan(vals[2, 0])  # '1"' is a string for pandas too
+        with pytest.raises(RuntimeError, match="embedded newlines"):
+            r.read_string_column("IID")
+    finally:
+        r.close()
+
+
+def test_multichunk_quote_parity(tmp_path):
+    """Quoted fields spanning the parallel indexer's chunk boundaries: the
+    two-pass quote-parity scan must agree with pandas on a >4MB file (the
+    threshold where the 16-thread chunked index engages)."""
+    from multi_modal_normative_modeling_tpu.native.fastcsv import FastCSV
+
+    rng = np.random.default_rng(0)
+    rows, cols = 26000, 12
+    names = [f"c{j}" for j in range(cols)]
+    path = tmp_path / "big_quotes.csv"
+    with open(path, "w") as f:
+        f.write("IID," + ",".join(names) + "\n")
+        for i in range(rows):
+            cells = [f"S{i}"]
+            for j in range(cols):
+                v = rng.normal() * 10.0 ** int(rng.integers(-3, 4))
+                k = i * cols + j
+                if k % 499 == 0:
+                    cells.append(f'"{v!r}"')       # quoted numeric
+                elif k % 503 == 0:
+                    cells.append(f'" {v!r} "')     # quoted + padded
+                else:
+                    cells.append(repr(v))
+            f.write(",".join(cells) + "\n")
+    assert path.stat().st_size > (4 << 20)
+
+    # round_trip parser: pandas' default ('legacy'-style) float parser is
+    # lossy on full-precision repr strings; from_chars is correctly rounded
+    ref = pd.read_csv(path, float_precision="round_trip")
+    r = FastCSV(path)
+    try:
+        assert r.n_rows == rows == len(ref)
+        vals = r.read_columns(names)
+        ids = r.read_string_column("IID")
+    finally:
+        r.close()
+    np.testing.assert_array_equal(vals, ref[names].values)
+    assert ids == list(ref["IID"])
