@@ -522,6 +522,42 @@ def prepare_folds(args, project_root: Path, kfold_dir: Path, model_dir: Path,
     return folds, input_dim_list, c_dim
 
 
+def parse_mesh(spec, n_folds: int, batch_size: int):
+    """--mesh 'F,D' or 'F,D,M' -> (Mesh, shardings_fn or None).
+
+    Validates against the visible device count and the divisibility rules
+    the shardings rely on (stacked fold axis over F, batch rows over D).
+    Three axes engage the tensor-parallel strategy (parallel/tensor.py)."""
+    if not spec:
+        return None, None
+    import jax
+
+    try:
+        sizes = [int(s) for s in str(spec).replace('x', ',').split(',')]
+    except ValueError:
+        raise SystemExit(f"--mesh {spec!r}: expected comma-separated axis "
+                         "sizes, e.g. 2,4 or 2,2,2 (fold,data[,model])")
+    if len(sizes) not in (2, 3):
+        raise SystemExit("--mesh takes 2 or 3 axis sizes: fold,data[,model]")
+    total = int(np.prod(sizes))
+    if total != jax.device_count():
+        raise SystemExit(f"--mesh {spec}: {total} mesh slots != "
+                         f"{jax.device_count()} visible devices")
+    if n_folds % sizes[0]:
+        raise SystemExit(f"--mesh {spec}: {n_folds} folds not divisible by "
+                         f"the fold axis ({sizes[0]})")
+    n_data = sizes[1]
+    if n_data > 1 and batch_size % n_data:
+        raise SystemExit(f"--mesh {spec}: batch size {batch_size} not "
+                         f"divisible by the data axis ({n_data})")
+    from ..parallel import fold_model_shardings, make_mesh, make_mesh3
+
+    if len(sizes) == 2:
+        return make_mesh(n_fold=sizes[0], n_data=sizes[1]), None
+    return (make_mesh3(n_fold=sizes[0], n_data=sizes[1], n_model=sizes[2]),
+            fold_model_shardings)
+
+
 def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
               loss_fn=None, state_update=None, per_fold_extras=None):
     """Train every fold — sequentially with a shared compiled trainer, or all

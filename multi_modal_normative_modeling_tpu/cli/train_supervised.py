@@ -31,6 +31,11 @@ def main(args, project_root=None):
     # the tunnel makes device phases hard to attribute from outside)
     from ..utils.jaxconfig import warm_device_session
 
+    if getattr(args, 'mesh', None) and not getattr(args, 'fold_parallel',
+                                                   False):
+        raise SystemExit('--mesh requires --fold_parallel (the mesh shards '
+                         'the stacked fold-parallel program)')
+
     warm_device_session()  # attach the remote device session during host prep
 
     timing = os.environ.get('MMNM_TRAIN_TIMING')
@@ -115,6 +120,9 @@ def main(args, project_root=None):
     fold_parallel = getattr(args, 'fold_parallel', False)
     checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
     resume = getattr(args, 'resume', False)
+    mesh, mesh_shardings = common.parse_mesh(getattr(args, 'mesh', None),
+                                             n_folds,
+                                             train_config.batch_size)
 
     def covariates_uniform():
         # the packed/fused layouts feed ONE covariate block to every
@@ -129,6 +137,12 @@ def main(args, project_root=None):
         return True
 
     fused_trainer = None
+    if mesh is not None and (getattr(args, 'fused_train_step', False)
+                             or getattr(args, 'packed_xla', False)):
+        print('--mesh runs on the standard fold-parallel path; ignoring '
+              '--fused_train_step/--packed_xla')
+        args.fused_train_step = False
+        args.packed_xla = False
     if getattr(args, 'fused_train_step', False) and (
             checkpoint_every or getattr(args, 'warmup_only', False)):
         print('fused train step unavailable (--checkpoint_every/--warmup_only '
@@ -228,28 +242,34 @@ def main(args, project_root=None):
         )
         from ..parallel.folds import unstack_params
 
-        print('train model (all folds fold-parallel)')
+        if mesh is not None:
+            axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            print(f'train model (all folds fold-parallel, mesh {axes})')
+        else:
+            print('train model (all folds fold-parallel)')
         max_n = max(f[0][0].shape[0] for f in folds)
-        mft = MultiFoldTrainer(model, train_config, max_n)
+        mft = MultiFoldTrainer(model, train_config, max_n, mesh=mesh,
+                               shardings_fn=mesh_shardings)
         stacked = stack_params(params_list)
         batches = stack_fold_batches([f[0] for f in folds],
                                      [f[1] for f in folds],
                                      train_config.batch_size)
+        # with a mesh, keep batches on the host: jit's in_shardings place the
+        # shards; a plain device_put would commit them to one device first
+        batches = jax.device_put(batches) if mesh is None else batches
         if getattr(args, 'warmup_only', False):
-            secs = mft.compile(stacked, jax.device_put(batches),
-                               jnp.stack(keys))
+            secs = mft.compile(stacked, batches, jnp.stack(keys))
             print(f'warmup: fold-parallel train program compiled in '
                   f'{secs:.1f}s (persistent cache populated)')
             run_log.event('warmup_done', seconds=secs)
             return
         if checkpoint_every:
             out_params, logs = mft.run_resumable(
-                stacked, jax.device_put(batches), jnp.stack(keys),
+                stacked, batches, jnp.stack(keys),
                 state_dir=model_dir, checkpoint_every=checkpoint_every,
                 resume=resume)
         else:
-            out_params, logs = mft.run(stacked, jax.device_put(batches),
-                                       jnp.stack(keys))
+            out_params, logs = mft.run(stacked, batches, jnp.stack(keys))
         # one bulk device->host fetch, then numpy slicing: per-fold device
         # indexing would issue an eager (compile + RTT) op per leaf per fold
         host_params = jax.tree_util.tree_map(np.asarray,
@@ -316,6 +336,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help='train every CV fold concurrently as one '
                              'vmapped device program (numerics identical to '
                              'the sequential run).')
+    parser.add_argument('--mesh', dest='mesh', default=None,
+                        help='shard the fold-parallel program over a device '
+                             'mesh: F,D (folds x data-parallel) or F,D,M '
+                             '(adds Megatron-style tensor parallelism over '
+                             'the weight matrices). Axis product must equal '
+                             'the visible device count; requires '
+                             '--fold_parallel.')
     parser.add_argument('--precision', dest='precision', default='fp32',
                         choices=['fp32', 'bf16'],
                         help='bf16 runs the MXU matmuls in bfloat16 with '

@@ -56,3 +56,64 @@ def test_fold_parallel_matches_sequential_auc(tmp_path):
     # identical synthetic cohorts + identical numerics => identical AUCs
     np.testing.assert_allclose(par_stats["auc"], seq_stats["auc"],
                                atol=1e-6)
+
+
+def test_mesh_flag_tensor_parallel_matches_unmeshed(tmp_path):
+    """--mesh F,D,M shards the fold-parallel program over the virtual
+    8-device mesh (tensor-parallel weights); downstream numerics match the
+    unmeshed fold-parallel run to partial-sum-order tolerance."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        load_checkpoint,
+    )
+
+    plain_root = tmp_path / "plain"
+    mesh_root = tmp_path / "mesh"
+    for root in (plain_root, mesh_root):
+        make_synthetic_resource(root, "ADNI", n_hc=60,
+                                n_disease={0: 30, 1: 30}, effect=1.0)
+
+    plain_args = _args(fold_parallel=True, n_splits=2,
+                       hz_para_list=[16, 16, 4], epochs=8)
+    train_supervised.main(plain_args, project_root=plain_root)
+
+    mesh_args = _args(fold_parallel=True, n_splits=2,
+                      hz_para_list=[16, 16, 4], epochs=8, mesh="2,2,2")
+    train_supervised.main(mesh_args, project_root=mesh_root)
+
+    for fold in ("000", "001"):
+        plain_params, _ = load_checkpoint(
+            plain_root / "outputs/kfold_analysis/supervised_cvae" / fold)
+        mesh_params, _ = load_checkpoint(
+            mesh_root / "outputs/kfold_analysis/supervised_cvae" / fold)
+        import jax.tree_util as jtu
+        jtu.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            plain_params, mesh_params)
+
+    test_supervised.main(mesh_args, project_root=mesh_root)
+    stats = group_analysis.main(mesh_args, project_root=mesh_root)
+    assert np.isfinite(stats["auc"]).all()
+
+
+def test_mesh_flag_validation():
+    """--mesh without --fold_parallel, or with a bad axis product, exits
+    with an actionable message."""
+    import pytest
+
+    args = _args(fold_parallel=False, mesh="2,4")
+    with pytest.raises(SystemExit, match="fold_parallel"):
+        train_supervised.main(args, project_root=".")
+
+    from multi_modal_normative_modeling_tpu.cli import common
+
+    with pytest.raises(SystemExit, match="visible devices"):
+        common.parse_mesh("3,5", n_folds=3, batch_size=256)
+    with pytest.raises(SystemExit, match="not divisible"):
+        common.parse_mesh("4,2", n_folds=3, batch_size=256)
