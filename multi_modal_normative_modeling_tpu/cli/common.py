@@ -539,6 +539,8 @@ def parse_mesh(spec, n_folds: int, batch_size: int):
                          "sizes, e.g. 2,4 or 2,2,2 (fold,data[,model])")
     if len(sizes) not in (2, 3):
         raise SystemExit("--mesh takes 2 or 3 axis sizes: fold,data[,model]")
+    if any(s < 1 for s in sizes):
+        raise SystemExit(f"--mesh {spec}: axis sizes must be positive")
     total = int(np.prod(sizes))
     if total != jax.device_count():
         raise SystemExit(f"--mesh {spec}: {total} mesh slots != "

@@ -50,8 +50,8 @@ struct File {
 
 // Split one CSV record into string_views. RFC4180 quoted fields are fully
 // supported: commas inside quotes, doubled "" escapes, and embedded newlines
-// (the row index is quote-parity aware, see fc_open). Returned views keep
-// their surrounding quotes; see unquote()/parse_cell.
+// (the row index is quote-aware, see scan_unquoted_newlines / fc_open).
+// Returned views keep their surrounding quotes; see unquote()/parse_cell.
 void split_line(std::string_view line, std::vector<std::string_view>& out) {
     out.clear();
     size_t start = 0;
@@ -91,6 +91,41 @@ std::string unquote(std::string_view cell) {
         if (cell[i] == '"' && i + 1 < cell.size() && cell[i + 1] == '"') ++i;
     }
     return out;
+}
+
+// Walk [begin, end) with pandas-compatible CSV quoting semantics: a '"'
+// opens a quoted field ONLY at field start (after ',' / record start); a
+// stray quote inside an unquoted field is literal (pandas QUOTE_MINIMAL
+// reads it verbatim); inside quotes, '""' is an escaped quote and a lone
+// '"' closes the field. Newlines outside quotes end records.
+// If stop_at_first: returns the offset of the first record-ending newline
+// (or end). Otherwise appends every record-ending newline offset to *out
+// and returns end.
+size_t scan_unquoted_newlines(const char* data, size_t begin, size_t end,
+                              bool stop_at_first,
+                              std::vector<size_t>* out) {
+    bool in_quote = false;
+    bool at_field_start = true;
+    for (size_t i = begin; i < end; ++i) {
+        char c = data[i];
+        if (in_quote) {
+            if (c == '"') {
+                if (i + 1 < end && data[i + 1] == '"') ++i;  // "" escape
+                else { in_quote = false; at_field_start = false; }
+            }
+        } else if (c == '"' && at_field_start) {
+            in_quote = true;
+        } else if (c == ',') {
+            at_field_start = true;
+        } else if (c == '\n') {
+            if (stop_at_first) return i;
+            if (out) out->push_back(i);
+            at_field_start = true;
+        } else if (c != '\r') {
+            at_field_start = false;
+        }
+    }
+    return end;
 }
 
 std::string_view row_view(const File& f, size_t row) {
@@ -144,15 +179,8 @@ void* fc_open(const char* path) {
     // header (a file may be header-only with no trailing newline: pandas
     // yields an empty 0-row frame for it, so must we). The scan is
     // quote-aware: a quoted header cell may embed a newline.
-    size_t header_len = f->size;
-    {
-        bool in_quote = false;
-        for (size_t i = 0; i < f->size; ++i) {
-            char c = f->data[i];
-            if (c == '"') in_quote = !in_quote;
-            else if (c == '\n' && !in_quote) { header_len = i; break; }
-        }
-    }
+    size_t header_len = scan_unquoted_newlines(
+        f->data, 0, f->size, /*stop_at_first=*/true, nullptr);
     bool have_rows = header_len < f->size;
     std::string_view header_line(f->data,
                                  header_len > 0 && f->data[header_len - 1] == '\r'
@@ -162,16 +190,16 @@ void* fc_open(const char* path) {
     for (auto c : cells) f->header.push_back(unquote(c));
     if (!have_rows) return f;  // header-only: zero data rows
 
-    // Index data-row starts. Record delimiters quote-aware so RFC4180
-    // fields may embed newlines, in two parallel passes:
-    //   pass 1: each chunk collects its newline offsets and its '"' count
-    //           (a doubled "" escape toggles twice — parity is exact)
-    //   fix-up: prefix quote-parity tells each chunk whether it begins
-    //           inside a quoted field; quote-free chunks starting outside
-    //           a quote (the overwhelmingly common case) keep their list,
-    //           the rest re-scan with the known starting state.
+    // Index data-row starts, quote-aware so RFC4180 fields may embed
+    // newlines. Quote-free files (the overwhelmingly common case for
+    // numeric feature tables) take a chunk-parallel newline scan; any file
+    // containing a '"' takes one serial pass of the pandas-semantics state
+    // machine instead — quote state is inherently sequential once stray
+    // unquoted quotes (which pandas reads as literals) are allowed, and
+    // correctness beats the rare quoted file's index time (~0.2 s / 200 MB;
+    // the threaded fc_fill still dominates).
     size_t begin = header_len + 1;
-    size_t span = f->size - begin;
+    size_t span = f->size > begin ? f->size - begin : 0;
     unsigned n_threads = span > (4u << 20) ? 16 : 1;
     std::vector<std::vector<size_t>> newlines(n_threads);
     std::vector<size_t> quote_count(n_threads, 0);
@@ -191,28 +219,12 @@ void* fc_open(const char* path) {
         }
         for (auto& th : pool) th.join();
     }
-    {
-        std::vector<std::thread> pool;
-        size_t parity = 0;
-        for (unsigned t = 0; t < n_threads; ++t) {
-            bool starts_in_quote = parity & 1;
-            if (starts_in_quote || quote_count[t] > 0) {
-                pool.emplace_back([&, t, starts_in_quote] {
-                    size_t lo = begin + t * chunk;
-                    size_t hi = std::min(f->size, lo + chunk);
-                    newlines[t].clear();
-                    bool in_quote = starts_in_quote;
-                    for (size_t i = lo; i < hi; ++i) {
-                        char c = f->data[i];
-                        if (c == '"') in_quote = !in_quote;
-                        else if (c == '\n' && !in_quote)
-                            newlines[t].push_back(i);
-                    }
-                });
-            }
-            parity += quote_count[t];
-        }
-        for (auto& th : pool) th.join();
+    size_t total_quotes = 0;
+    for (size_t q : quote_count) total_quotes += q;
+    if (total_quotes > 0) {
+        newlines.assign(1, {});
+        scan_unquoted_newlines(f->data, begin, f->size,
+                               /*stop_at_first=*/false, &newlines[0]);
     }
     f->row_starts.push_back(begin);
     for (auto& part : newlines)

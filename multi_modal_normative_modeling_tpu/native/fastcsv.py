@@ -147,9 +147,14 @@ def read_feature_matrix(path, columns: Sequence[str],
         try:
             ids = f.read_string_column(id_column)
             data = f.read_columns(columns, n_threads)
+            return ids, data
+        except RuntimeError:
+            # e.g. an id cell embeds a newline ('\n'-joined transport is
+            # ambiguous — read_string_column refuses): honor the documented
+            # contract and fall back to pandas, which parses such files fine
+            pass
         finally:
             f.close()
-        return ids, data
     import pandas as pd
 
     frame = pd.read_csv(path)

@@ -117,3 +117,6 @@ def test_mesh_flag_validation():
         common.parse_mesh("3,5", n_folds=3, batch_size=256)
     with pytest.raises(SystemExit, match="not divisible"):
         common.parse_mesh("4,2", n_folds=3, batch_size=256)
+    # (-2)*(-4) == 8 passes the product check; must still be rejected
+    with pytest.raises(SystemExit, match="positive"):
+        common.parse_mesh("-2,-4", n_folds=10, batch_size=256)

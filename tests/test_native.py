@@ -349,10 +349,38 @@ def test_embedded_newlines_native_row_index(tmp_path):
         r.close()
 
 
+def test_stray_unquoted_quote_is_literal(tmp_path):
+    """A stray '\"' inside an unquoted field is a literal character for
+    pandas (QUOTE_MINIMAL read); the row index must not treat it as opening
+    a quoted run that swallows the following newlines."""
+    path = tmp_path / "stray.csv"
+    path.write_text('IID,a,b\nS"1,1.5,2.5\nS2,3.0,4.0\nS3,5.0,6.0\n')
+    ref = pd.read_csv(path)
+    r = FastCSV(path)
+    try:
+        assert r.n_rows == 3 == len(ref)
+        assert r.read_string_column("IID") == ['S"1', "S2", "S3"]
+        np.testing.assert_allclose(r.read_columns(["a", "b"]),
+                                   ref[["a", "b"]].values)
+    finally:
+        r.close()
+
+
+def test_read_feature_matrix_falls_back_on_embedded_newline_ids(tmp_path):
+    """read_feature_matrix's documented contract is 'native when possible,
+    pandas otherwise': an id column with embedded newlines (which
+    read_string_column refuses) must fall back, not crash."""
+    path = tmp_path / "nl_ids.csv"
+    path.write_text('IID,a,b\n"S\n1",1.5,2.5\nS2,3.0,4.0\n')
+    ids, data = read_feature_matrix(path, ["a", "b"])
+    assert ids == ["S\n1", "S2"]
+    np.testing.assert_allclose(data, [[1.5, 2.5], [3.0, 4.0]])
+
+
 def test_multichunk_quote_parity(tmp_path):
-    """Quoted fields spanning the parallel indexer's chunk boundaries: the
-    two-pass quote-parity scan must agree with pandas on a >4MB file (the
-    threshold where the 16-thread chunked index engages)."""
+    """Quoted fields in a >4MB file (where the 16-thread chunked index would
+    engage): the quote-detecting scan must hand off to the serial pandas-
+    semantics state machine and agree with pandas on every row."""
     from multi_modal_normative_modeling_tpu.native.fastcsv import FastCSV
 
     rng = np.random.default_rng(0)
