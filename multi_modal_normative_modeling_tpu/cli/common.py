@@ -560,6 +560,39 @@ def parse_mesh(spec, n_folds: int, batch_size: int):
             fold_model_shardings)
 
 
+def parse_sweep_mesh(spec, n_configs: int, n_folds: int):
+    """--mesh 'S,F' -> ('config', 'fold') Mesh for the sweep engine.
+
+    Grid points shard over 'config' (embarrassingly parallel scale-out),
+    folds over 'fold'; both extents must divide evenly."""
+    if not spec:
+        return None
+    import jax
+
+    try:
+        sizes = [int(s) for s in str(spec).replace('x', ',').split(',')]
+    except ValueError:
+        sizes = []
+    if len(sizes) != 2:
+        raise SystemExit(f"--mesh {spec!r}: expected two comma-separated "
+                         "axis sizes, e.g. 4,2 (config,fold)")
+    if any(s < 1 for s in sizes):
+        raise SystemExit(f"--mesh {spec}: axis sizes must be positive")
+    total = sizes[0] * sizes[1]
+    if total != jax.device_count():
+        raise SystemExit(f"--mesh {spec}: {total} mesh slots != "
+                         f"{jax.device_count()} visible devices")
+    if n_configs % sizes[0]:
+        raise SystemExit(f"--mesh {spec}: {n_configs} grid configs not "
+                         f"divisible by the config axis ({sizes[0]})")
+    if n_folds % sizes[1]:
+        raise SystemExit(f"--mesh {spec}: {n_folds} folds not divisible by "
+                         f"the fold axis ({sizes[1]})")
+    from ..parallel.mesh import make_sweep_mesh
+
+    return make_sweep_mesh(n_config=sizes[0], n_fold=sizes[1])
+
+
 def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
               loss_fn=None, state_update=None, per_fold_extras=None):
     """Train every fold — sequentially with a shared compiled trainer, or all

@@ -129,10 +129,13 @@ def main(args, project_root=None):
     init_params = common.host_init_params(model)
     params_list = [init_params for _ in range(n_folds)]
 
+    mesh = common.parse_sweep_mesh(getattr(args, 'mesh', None),
+                                   len(configs), n_folds)
     print(f'training grid: {len(configs)} configs x {n_folds} folds '
-          f'in one program')
+          f'in one program'
+          + (f' over a {dict(mesh.shape)} device mesh' if mesh else ''))
     sweep = SweepTrainer(model, train_config, fold_data[0]['train'][0][0].shape[0],
-                         loss_fn, state_update)
+                         loss_fn, state_update, mesh=mesh)
     params_grid, _ = sweep.run(params_list, jax.device_put(batches), keys,
                                configs)
 
@@ -169,6 +172,10 @@ def build_parser() -> argparse.ArgumentParser:
                         nargs='+', type=float, default=[0.1, 1.0])
     parser.add_argument('-Layers', '--layers', nargs='+', type=int,
                         default=[128, 64, 32])
+    parser.add_argument('--mesh', default=None, metavar='S,F',
+                        help='shard the sweep over a (config,fold) device '
+                             'mesh, e.g. 4,2 (product must equal the '
+                             'visible device count)')
     return parser
 
 

@@ -74,3 +74,46 @@ def fold_data_shardings(mesh: Mesh, params_tree, batches_tree, keys):
     batches_sh = jax.tree_util.tree_map(shard("batch"), batches_tree)
     keys_sh = NamedSharding(mesh, P("fold", *([None] * (np.ndim(keys) - 1))))
     return params_sh, batches_sh, keys_sh
+
+
+def make_sweep_mesh(n_config: int, n_fold: Optional[int] = None,
+                    devices: Optional[Sequence] = None) -> Mesh:
+    """A ('config', 'fold') mesh for the hyperparameter-sweep engine.
+
+    Grid points are embarrassingly parallel (parameters and fold data are
+    broadcast, each config's training touches nothing of its neighbours'),
+    so sharding the config axis is pure scale-out: the only communication
+    GSPMD inserts is the output gather. ``n_fold`` defaults to filling the
+    remaining devices with the inner fold axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_fold is None:
+        if len(devices) % n_config:
+            raise ValueError(
+                f"{len(devices)} devices not divisible into "
+                f"{n_config} config groups")
+        n_fold = len(devices) // n_config
+    if n_config * n_fold != len(devices):
+        raise ValueError(
+            f"mesh {n_config}x{n_fold} != {len(devices)} devices")
+    grid = np.asarray(devices).reshape(n_config, n_fold)
+    return Mesh(grid, ("config", "fold"))
+
+
+def sweep_shardings(mesh: Mesh, params_tree, batches_tree, keys, hyper):
+    """jit in_shardings for SweepTrainer's (params, batches, keys, hyper).
+
+    params/batches carry a leading fold axis (replicated over 'config'),
+    keys are [S, F, ...], hyper leaves are [S].
+    """
+    def fold0(leaf):
+        return NamedSharding(mesh, P("fold", *([None] * (np.ndim(leaf) - 1))))
+
+    params_sh = jax.tree_util.tree_map(fold0, params_tree)
+    batches_sh = jax.tree_util.tree_map(fold0, batches_tree)
+    keys_sh = NamedSharding(
+        mesh, P("config", "fold", *([None] * (np.ndim(keys) - 2))))
+    hyper_sh = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(
+            mesh, P("config", *([None] * (np.ndim(leaf) - 1)))), hyper)
+    return params_sh, batches_sh, keys_sh, hyper_sh

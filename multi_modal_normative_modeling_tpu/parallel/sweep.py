@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..train.trainer import TrainConfig, build_optimizer, build_train_fn
 from .folds import stack_params
+from .mesh import sweep_shardings
 
 
 def stack_hypers(configs: Sequence[dict]) -> dict:
@@ -44,7 +45,7 @@ class SweepTrainer:
 
     def __init__(self, model, config: TrainConfig, n_samples: int,
                  loss_fn: Callable,
-                 state_update: Optional[Callable] = None):
+                 state_update: Optional[Callable] = None, mesh=None):
         # ``model`` is accepted for call-site symmetry with the other
         # trainers but unused: loss_fn fully defines the computation
         del model
@@ -55,8 +56,32 @@ class SweepTrainer:
         # inner: folds; outer: configs (params AND data broadcast across
         # configs by in_axes=None — no S-fold copies ever materialize)
         fold_vmap = jax.vmap(train, in_axes=(0, 0, 0, None))
-        self._train = jax.jit(jax.vmap(fold_vmap,
-                                       in_axes=(None, None, 0, 0)))
+        self._vtrain = jax.vmap(fold_vmap, in_axes=(None, None, 0, 0))
+        # with a ('config', 'fold') mesh the grid scales out across chips:
+        # configs are independent training runs, so GSPMD's only collective
+        # is the output gather (mesh.py make_sweep_mesh / sweep_shardings)
+        self.mesh = mesh
+        self._jitted = None
+        self._shardings = None
+
+    def _jit(self, fold_params, batches, keys, hyper):
+        if self._jitted is not None:
+            return self._jitted
+        if self.mesh is None:
+            self._jitted = jax.jit(self._vtrain)
+            return self._jitted
+        n_configs = len(jax.tree_util.tree_leaves(hyper)[0])
+        n_folds = jax.tree_util.tree_leaves(fold_params)[0].shape[0]
+        for axis, extent in (("config", n_configs), ("fold", n_folds)):
+            size = self.mesh.shape[axis]
+            if extent % size:
+                raise ValueError(
+                    f"sweep mesh: {extent} {axis}s not divisible by the "
+                    f"{axis!r} mesh axis ({size})")
+        self._shardings = sweep_shardings(self.mesh, fold_params, batches,
+                                          keys, hyper)
+        self._jitted = jax.jit(self._vtrain, in_shardings=self._shardings)
+        return self._jitted
 
     def run(self, params_list_per_fold, batches, keys, configs: Sequence[dict]
             ) -> Tuple[list, list]:
@@ -71,7 +96,17 @@ class SweepTrainer:
         n_folds = len(params_list_per_fold)
         fold_params = stack_params(params_list_per_fold)          # [F, ...]
         hyper = stack_hypers(configs)
-        out_params, logs = self._train(fold_params, batches, keys, hyper)
+        train = self._jit(fold_params, batches, keys, hyper)
+        if self.mesh is not None:
+            # reshard explicitly: callers may hand over arrays already
+            # committed to one device (e.g. an eager device_put), which jit
+            # would otherwise refuse to silently re-lay-out
+            p_sh, b_sh, k_sh, h_sh = self._shardings
+            fold_params = jax.device_put(fold_params, p_sh)
+            batches = jax.device_put(batches, b_sh)
+            keys = jax.device_put(keys, k_sh)
+            hyper = jax.device_put(hyper, h_sh)
+        out_params, logs = train(fold_params, batches, keys, hyper)
 
         host_params = jax.device_get(out_params)  # numpy leaves
         host_logs = jax.device_get(logs)

@@ -81,6 +81,69 @@ def test_sweep_matches_sequential():
                 np.asarray(ref_logs["total_loss"]), rtol=2e-3)
 
 
+def test_sweep_mesh_matches_unsharded():
+    """The ('config','fold') sweep mesh is pure scale-out: sharded grid
+    results match the single-device vmap (same math; GSPMD partitioning
+    reorders fusions and the tiny fp differences compound through Adam, so
+    tolerances mirror test_sweep_matches_sequential's)."""
+    from multi_modal_normative_modeling_tpu.parallel.mesh import (
+        make_sweep_mesh,
+    )
+
+    model, folds, params_list, keys = _problem()
+    config = TrainConfig(epochs=3, batch_size=16, combine="poe")
+    configs = [{"margin": m, "wcon": w}
+               for m in (0.5, 1.5) for w in (0.1, 1.0)]  # 4 configs
+
+    state_update = lambda p, aux: {**p, "bn_state": aux["__bn_state__"]}
+    loss_fn = _loss_fn(model)
+    batches = stack_fold_batches(
+        [f[0] for f in folds], [f[1] for f in folds], 16,
+        extras=[{"labels": f[2][:, None]} for f in folds])
+    sweep_keys = jnp.stack([jnp.stack(keys) for _ in configs])
+
+    plain = SweepTrainer(model, config, N, loss_fn, state_update)
+    ref_grid, ref_logs = plain.run(params_list, batches, sweep_keys, configs)
+
+    mesh = make_sweep_mesh(n_config=4, n_fold=2)  # 8 virtual devices
+    sharded = SweepTrainer(model, config, N, loss_fn, state_update,
+                           mesh=mesh)
+    # committed single-device inputs must be resharded, not refused
+    got_grid, got_logs = sharded.run(params_list, jax.device_put(batches),
+                                     sweep_keys, configs)
+    for s in range(len(configs)):
+        for f in range(2):
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+                ref_grid[s][f], got_grid[s][f])
+            np.testing.assert_allclose(got_logs[s][f]["total_loss"],
+                                       ref_logs[s][f]["total_loss"],
+                                       rtol=5e-3)
+
+
+def test_sweep_mesh_divisibility_validated():
+    import pytest
+
+    from multi_modal_normative_modeling_tpu.parallel.mesh import (
+        make_sweep_mesh,
+    )
+
+    model, folds, params_list, keys = _problem()
+    config = TrainConfig(epochs=1, batch_size=16, combine="poe")
+    configs = [{"margin": 0.5, "wcon": 0.1}, {"margin": 1.0, "wcon": 0.2},
+               {"margin": 2.0, "wcon": 0.3}]  # 3 configs on a 4-wide axis
+    batches = stack_fold_batches(
+        [f[0] for f in folds], [f[1] for f in folds], 16,
+        extras=[{"labels": f[2][:, None]} for f in folds])
+    sweep_keys = jnp.stack([jnp.stack(keys) for _ in configs])
+    sweep = SweepTrainer(model, config, N, _loss_fn(model),
+                         lambda p, aux: {**p, "bn_state": aux["__bn_state__"]},
+                         mesh=make_sweep_mesh(n_config=4, n_fold=2))
+    with pytest.raises(ValueError, match="not divisible"):
+        sweep.run(params_list, batches, sweep_keys, configs)
+
+
 def test_classifier_grid_matches_sequential():
     """sweep_classifiers: each grid point == its train_classifier run."""
     from multi_modal_normative_modeling_tpu.models.classifier import (
