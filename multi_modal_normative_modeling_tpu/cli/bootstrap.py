@@ -189,7 +189,17 @@ def train(args, project_root=None) -> None:
     # both the resampling and the reparameterization stream)
     keys = np.stack([common.host_prng_key(1000 + b) for b in reps])
 
-    trainer = MultiFoldTrainer(model, tconfig, xs[0].shape[0])
+    # --mesh R,D[,M] shards the replicate axis over the mesh's 'fold' axis
+    # (replicates are the embarrassingly-parallel unit here, exactly like
+    # CV folds elsewhere), batch rows over 'data'
+    mesh, mesh_shardings = common.parse_mesh(
+        getattr(args, 'mesh', None), n_folds=n_reps,
+        batch_size=tconfig.batch_size)
+    if mesh is not None:
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        print(f'bootstrap train over a {axes} device mesh')
+    trainer = MultiFoldTrainer(model, tconfig, xs[0].shape[0], mesh=mesh,
+                               shardings_fn=mesh_shardings)
     params, logs = trainer.run(stacked, batches, keys)
     host_params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
     host_logs = {k: np.asarray(v) for k, v in logs.items()}
@@ -360,6 +370,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('-O', '--oversample_percentage', type=float,
                         default=1)
     parser.add_argument('-TrainingClass', '--training_class', default='nm')
+    parser.add_argument('--mesh', dest='mesh', default=None, metavar='R,D',
+                        help='shard the replicate-parallel train program '
+                             'over a device mesh: R,D (replicates x '
+                             'data-parallel) or R,D,M (+ tensor-parallel '
+                             'model axis); product must equal the visible '
+                             'device count')
     parser.add_argument('--unconditioned', action='store_true',
                         help='plain-VAE variant: constant zero covariates')
     return parser

@@ -191,6 +191,13 @@ def main(args, project_root=None):
 
     records = []
     n_folds = args.n_splits
+    # --mesh F,D[,M]: every grid point's fold-parallel program shards over
+    # the same device mesh (the MultiFoldTrainer per point inherits it)
+    mesh, mesh_shardings = common.parse_mesh(getattr(args, 'mesh', None),
+                                             n_folds=n_folds, batch_size=256)
+    if mesh is not None:
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        print(f'sweep training programs run over a {axes} device mesh')
     for procedure in procedures:
         dataset_names = registry.get_datasets_name(args.dataset_resourse,
                                                    procedure)
@@ -201,8 +208,13 @@ def main(args, project_root=None):
                 prep_args, project_root, kfold_dir, model_dir, dataset_names,
                 participants_path)
             max_n = max(f[0][0].shape[0] for f in folds)
-            batches = jax.device_put(stack_fold_batches(
-                [f[0] for f in folds], [f[1] for f in folds], 256))
+            # with a mesh, keep batches on the host: jit's in_shardings
+            # place the shards (an eager device_put would commit them to
+            # one device first)
+            batches = stack_fold_batches(
+                [f[0] for f in folds], [f[1] for f in folds], 256)
+            if mesh is None:
+                batches = jax.device_put(batches)
 
         for hz in hz_grid:
             for base_lr, max_lr in lr_points:
@@ -223,7 +235,9 @@ def main(args, project_root=None):
                 init_params = common.host_init_params(model)
                 stacked = stack_params([init_params] * n_folds)
                 keys = jnp.stack([common.host_prng_key(42)] * n_folds)
-                mft = MultiFoldTrainer(model, train_config, max_n)
+                mft = MultiFoldTrainer(model, train_config, max_n,
+                                       mesh=mesh,
+                                       shardings_fn=mesh_shardings)
 
                 for epochs, host_params, logs in timed_iter(
                         mft.run_milestones(stacked, batches, keys,
@@ -332,6 +346,12 @@ def build_parser() -> argparse.ArgumentParser:
                         default='constant', choices=['constant', 'cyclic'])
     parser.add_argument('--precision', dest='precision', default='fp32',
                         choices=['fp32', 'bf16'])
+    parser.add_argument('--mesh', dest='mesh', default=None, metavar='F,D',
+                        help='shard every grid point\'s fold-parallel '
+                             'program over a device mesh: F,D (folds x '
+                             'data-parallel) or F,D,M (+ tensor-parallel '
+                             'model axis); product must equal the visible '
+                             'device count')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true')
     return parser

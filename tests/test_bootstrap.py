@@ -79,6 +79,39 @@ def test_bootstrap_end_to_end_and_vae_variant(tmp_path):
     assert 'Bootstrap settings: VAE.' in report.read_text()
 
 
+def test_bootstrap_train_mesh_matches_unsharded(tmp_path):
+    """--mesh R,D shards the replicate-parallel train program; results match
+    the single-device run (identical synthetic cohorts + seeded draws in two
+    project roots)."""
+    import jax
+
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        load_checkpoint,
+    )
+
+    roots = []
+    for sub in ('plain', 'meshed'):
+        root = tmp_path / sub
+        make_synthetic_resource(root, 'ADNI', n_hc=40, n_disease={0: 10},
+                                effect=1.2)
+        bootstrap.create_ids(_args('create_ids', n_bootstrap=4),
+                             project_root=root)
+        roots.append(root)
+
+    bootstrap.train(_args('train', n_bootstrap=4), project_root=roots[0])
+    bootstrap.train(_args('train', n_bootstrap=4, mesh='4,2'),
+                    project_root=roots[1])
+
+    for b in range(4):
+        rel = f'outputs/bootstrap_analysis/supervised_cvae/{b:03d}'
+        plain, _ = load_checkpoint(roots[0] / rel)
+        meshed, _ = load_checkpoint(roots[1] / rel)
+        jax.tree_util.tree_map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-4),
+            plain, meshed)
+
+
 def test_bootstrap_analyze_attribution_with_skipped_replicate(tmp_path):
     """A replicate whose pair subset has one class is skipped WITHOUT
     shifting the surviving AUCs onto the wrong replicate ids."""

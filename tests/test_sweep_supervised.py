@@ -136,6 +136,35 @@ def test_sweep_matches_sequential_grid(tmp_path):
         registry.HC_PATIENT_COMBINATIONS["ADNI"])
 
 
+def test_sweep_mesh_matches_unsharded(tmp_path):
+    """--mesh F,D: the sweep engine's per-point fold-parallel programs shard
+    over the device mesh; checkpoints match the unsharded engine within
+    GSPMD-partitioning fp drift."""
+    plain_root = tmp_path / "plain"
+    mesh_root = tmp_path / "meshed"
+    for root in (plain_root, mesh_root):
+        make_synthetic_resource(root, "ADNI", n_hc=48,
+                                n_disease={0: 24, 1: 24}, effect=1.0)
+
+    kwargs = dict(n_splits=2, epochs_list=[4], hz_grid="16 6",
+                  lr_grid="1e-4:5e-3")
+    sweep_supervised.main(_sweep_args(**kwargs), project_root=plain_root)
+    sweep_supervised.main(_sweep_args(mesh="2,4", **kwargs),
+                          project_root=mesh_root)
+
+    for fold in range(2):
+        plain_params, _ = load_checkpoint(
+            plain_root / "outputs" / "kfold_analysis" / "supervised_cvae" /
+            f"{fold:03d}")
+        mesh_params, _ = load_checkpoint(
+            mesh_root / "outputs" / "kfold_analysis" / "supervised_cvae" /
+            f"{fold:03d}")
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+            plain_params, mesh_params)
+
+
 def test_cyclic_lr_points_train_separately(tmp_path):
     """With --lr_schedule cyclic the lr axis is real: no dedupe, and
     different pairs give different checkpoints."""
