@@ -560,6 +560,37 @@ def parse_mesh(spec, n_folds: int, batch_size: int):
             fold_model_shardings)
 
 
+def parse_infer_mesh(spec):
+    """--mesh 'F,D' (or the train stage's 'F,D,M' — one flag set drives the
+    whole chain) -> ('fold', 'data') Mesh for the vmapped inference programs
+    (test stage): folds shard over 'fold', padded test rows over 'data'.
+    A tensor-parallel 'model' axis has no role in row-independent inference,
+    so it collapses into 'data'. Fold-count divisibility is checked at the
+    call site (the number of folds with restorable checkpoints isn't known
+    at parse time)."""
+    if not spec:
+        return None
+    import jax
+
+    try:
+        sizes = [int(s) for s in str(spec).replace('x', ',').split(',')]
+    except ValueError:
+        sizes = []
+    if any(s < 1 for s in sizes):
+        raise SystemExit(f"--mesh {spec}: axis sizes must be positive")
+    if len(sizes) == 3:
+        sizes = [sizes[0], sizes[1] * sizes[2]]
+    if len(sizes) != 2:
+        raise SystemExit(f"--mesh {spec!r}: expected two comma-separated "
+                         "axis sizes, e.g. 2,4 (fold,data)")
+    if sizes[0] * sizes[1] != jax.device_count():
+        raise SystemExit(f"--mesh {spec}: {sizes[0] * sizes[1]} mesh slots "
+                         f"!= {jax.device_count()} visible devices")
+    from ..parallel import make_mesh
+
+    return make_mesh(n_fold=sizes[0], n_data=sizes[1])
+
+
 def parse_sweep_mesh(spec, n_configs: int, n_folds: int):
     """--mesh 'S,F' -> ('config', 'fold') Mesh for the sweep engine.
 

@@ -25,13 +25,19 @@ from . import common
 _INFER_CACHE: dict = {}
 
 
-def _infer_program(config: dict, combine: str, use_fused: bool):
+def _infer_program(config: dict, combine: str, use_fused: bool, mesh=None):
     """Returns (model, vinfer, template) where ``vinfer`` runs ALL folds'
     inference as one vmapped device program over stacked per-fold params —
     the inference mirror of the fold-parallel trainer (rows are independent
     through the whole model, so per-fold outputs are identical to sequential
-    calls; tests/test_pipeline_smoke.py schema/value checks cover it)."""
-    key = (json.dumps(config, sort_keys=True), combine, bool(use_fused))
+    calls; tests/test_pipeline_smoke.py schema/value checks cover it).
+    With a ('fold', 'data') ``mesh`` the program shards folds over 'fold'
+    and the padded test rows over 'data' (rows are independent, so this is
+    pure scale-out)."""
+    mesh_key = (tuple(zip(mesh.axis_names, mesh.devices.shape))
+                if mesh is not None else None)
+    key = (json.dumps(config, sort_keys=True), combine, bool(use_fused),
+           mesh_key)
     if key not in _INFER_CACHE:
         model = common.build_model_from_config(config)
         fused = use_fused and hasattr(model, 'pred_recon_fused')
@@ -55,7 +61,17 @@ def _infer_program(config: dict, combine: str, use_fused: bool):
             ]
             return recons, devs
 
-        vinfer = jax.jit(jax.vmap(infer_one))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # pytree-prefix shardings: params leaves carry a leading fold
+            # axis; x/c leaves are [F, rows, dim]; keys are [F]
+            sh = lambda spec: NamedSharding(mesh, spec)
+            vinfer = jax.jit(jax.vmap(infer_one), in_shardings=(
+                sh(P('fold')), sh(P('fold', 'data')), sh(P('fold', 'data')),
+                sh(P('fold'))))
+        else:
+            vinfer = jax.jit(jax.vmap(infer_one))
         # numpy template for checkpoint restore: shapes/dtypes only, built
         # abstractly — running init_params eagerly costs ~0.4s per op
         # through the remote-compile tunnel (~30s for the whole tree)
@@ -107,6 +123,7 @@ def main(args, project_root=None):
         raise ValueError(f'Unknown procedure: {args.procedure}')
 
     emitter = DeviationEmitter(dataset_names)
+    infer_mesh = common.parse_infer_mesh(getattr(args, 'mesh', None))
     model = None
     vinfer = None
     template = None
@@ -158,7 +175,7 @@ def main(args, project_root=None):
             # round trip per op; sweep engines re-enter per grid milestone)
             model, vinfer, template, stats_fn = _infer_program(
                 config, args.combine,
-                getattr(args, 'fused_inference', False))
+                getattr(args, 'fused_inference', False), mesh=infer_mesh)
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
         pending.append({
             'fold': fold,
@@ -182,7 +199,19 @@ def main(args, project_root=None):
         # (fold sizes differ by +-1; retracing costs ~30s on the tunnel);
         # rows are independent through the model, so pad rows change nothing
         max_rows = max(j['test_data_list'][0].shape[0] for j in pending)
-        padded_rows = -(-max_rows // 64) * 64
+        tile = 64
+        if infer_mesh is not None:
+            n_fold_ax = infer_mesh.shape['fold']
+            if len(pending) % n_fold_ax:
+                raise SystemExit(
+                    f"--mesh: {len(pending)} folds with checkpoints not "
+                    f"divisible by the fold axis ({n_fold_ax})")
+            # pad rows to a multiple of the data axis too, so the row shard
+            # boundaries land evenly
+            import math
+
+            tile = math.lcm(64, infer_mesh.shape['data'])
+        padded_rows = -(-max_rows // tile) * tile
 
         def pad(a):
             a = np.asarray(a, dtype=np.float32)
@@ -214,8 +243,8 @@ def main(args, project_root=None):
             # train step's fallback)
             print(f'fused inference failed to compile ({exc!r}); '
                   'using the XLA path')
-            model, vinfer, template, stats_fn = _infer_program(config, args.combine,
-                                                     False)
+            model, vinfer, template, stats_fn = _infer_program(
+                config, args.combine, False, mesh=infer_mesh)
             predictions, _ = vinfer(stacked_params, xes, cs, keys)
             mark('vmapped inference dispatch')
             host_preds = [np.asarray(p) for p in predictions]
@@ -303,6 +332,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help='run inference through the fused Pallas '
                              'encoder/decode-and-deviate kernels (TPU; '
                              'interpret-mode fallback elsewhere).')
+    parser.add_argument('--mesh', dest='mesh', default=None, metavar='F,D',
+                        help='shard the vmapped inference program over a '
+                             '(fold, data) device mesh: folds over F, '
+                             'padded test rows over D; product must equal '
+                             'the visible device count')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true',
                         help='build the UCA early-fusion modality by '

@@ -102,6 +102,43 @@ def test_mesh_flag_tensor_parallel_matches_unmeshed(tmp_path):
     assert np.isfinite(stats["auc"]).all()
 
 
+def test_test_stage_mesh_matches_unmeshed(tmp_path):
+    """test-stage --mesh F,D shards the vmapped inference program; emitted
+    deviations match the single-device run (rows are independent, features
+    unsharded — identical math per row)."""
+    import pandas as pd
+
+    root = tmp_path / "proj"
+    make_synthetic_resource(root, "ADNI", n_hc=60,
+                            n_disease={0: 30, 1: 30}, effect=1.0)
+    args = _args(fold_parallel=True, n_splits=2, hz_para_list=[16, 16, 4],
+                 epochs=8)
+    train_supervised.main(args, project_root=root)
+    test_supervised.main(args, project_root=root)
+    dev_dir = (root / "deviation" / "supervised_cvae" / "ADNI" / "SM-av45" /
+               "path_model")
+    plain = {p.relative_to(dev_dir): pd.read_csv(p)
+             for p in dev_dir.rglob("*.csv")}
+    assert plain
+
+    test_supervised.main(_args(fold_parallel=True, n_splits=2,
+                               hz_para_list=[16, 16, 4], epochs=8,
+                               mesh="2,4"), project_root=root)
+    for name, frame in plain.items():
+        meshed = pd.read_csv(dev_dir / name)
+        num = frame.select_dtypes("number").columns
+        np.testing.assert_allclose(meshed[num].values, frame[num].values,
+                                   rtol=1e-5, atol=1e-7)
+        assert list(meshed.columns) == list(frame.columns)
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="visible devices"):
+        test_supervised.main(_args(fold_parallel=True, n_splits=2,
+                                   hz_para_list=[16, 16, 4], epochs=8,
+                                   mesh="3,5"), project_root=root)
+
+
 def test_mesh_flag_validation():
     """--mesh without --fold_parallel, or with a bad axis product, exits
     with an actionable message."""
