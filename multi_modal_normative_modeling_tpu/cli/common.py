@@ -591,6 +591,46 @@ def parse_infer_mesh(spec):
     return make_mesh(n_fold=sizes[0], n_data=sizes[1])
 
 
+def fold_infer_jit(fn, mesh, with_key: bool = True):
+    """jit(vmap(fn)) for the test stages' (stacked_params, xes, cs[, keys])
+    signature, optionally sharded over a ('fold', 'data') mesh: per-fold
+    params/keys over 'fold', padded test rows over 'data' (rows are
+    independent through every model, so this is pure scale-out)."""
+    import jax
+
+    vfn = jax.vmap(fn)
+    if mesh is None:
+        return jax.jit(vfn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def sh(spec):
+        return NamedSharding(mesh, spec)
+
+    in_sh = [sh(P('fold')), sh(P('fold', 'data')), sh(P('fold', 'data'))]
+    if with_key:
+        in_sh.append(sh(P('fold')))
+    return jax.jit(vfn, in_shardings=tuple(in_sh))
+
+
+def infer_row_tile(mesh, base: int = 64) -> int:
+    """Row-padding bucket for the vmapped inference programs: with a mesh
+    the bucket must also divide evenly across the 'data' axis."""
+    if mesh is None:
+        return base
+    import math
+
+    return math.lcm(base, mesh.shape['data'])
+
+
+def check_infer_fold_axis(mesh, n_folds: int, what: str = 'folds') -> None:
+    if mesh is None:
+        return
+    ax = mesh.shape['fold']
+    if n_folds % ax:
+        raise SystemExit(f"--mesh: {n_folds} {what} not divisible by the "
+                         f"fold axis ({ax})")
+
+
 def parse_sweep_mesh(spec, n_configs: int, n_folds: int):
     """--mesh 'S,F' -> ('config', 'fold') Mesh for the sweep engine.
 
@@ -624,11 +664,43 @@ def parse_sweep_mesh(spec, n_configs: int, n_folds: int):
     return make_sweep_mesh(n_config=sizes[0], n_fold=sizes[1])
 
 
+def parse_run_mesh(args, n_folds: int, batch_size: int):
+    """Resolve a CLI's --mesh into (Mesh, shardings_fn) for run_folds.
+
+    Mirrors cli/train_supervised.py's contract: the mesh shards the
+    fold-parallel program, so --fold_parallel is required; announces the
+    mesh geometry when one engages."""
+    spec = getattr(args, 'mesh', None)
+    if spec and not getattr(args, 'fold_parallel', False):
+        raise SystemExit('--mesh requires --fold_parallel (the mesh shards '
+                         'the fold-parallel program)')
+    mesh, shardings_fn = parse_mesh(spec, n_folds=n_folds,
+                                    batch_size=batch_size)
+    if mesh is not None:
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        print(f'fold-parallel training over a {axes} device mesh')
+    return mesh, shardings_fn
+
+
+def add_mesh_flag(parser) -> None:
+    """The --mesh flag shared by every fold-parallel-capable trainer CLI."""
+    parser.add_argument('--mesh', dest='mesh', default=None, metavar='F,D',
+                        help='shard the fold-parallel program over a device '
+                             'mesh: F,D (folds x data-parallel) or F,D,M '
+                             '(+ tensor-parallel model axis); product must '
+                             'equal the visible device count; requires '
+                             '--fold_parallel')
+
+
 def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
-              loss_fn=None, state_update=None, per_fold_extras=None):
+              loss_fn=None, state_update=None, per_fold_extras=None,
+              mesh=None, shardings_fn=None):
     """Train every fold — sequentially with a shared compiled trainer, or all
     at once as one vmapped program (numerics identical; see
     tests/test_parallel.py). ``folds`` is a list of (data_list, cov_list).
+    With ``mesh`` (a parse_mesh result) the vmapped program additionally
+    shards folds/batch rows (and, with a 3-axis mesh, weights) across
+    devices.
 
     Returns (per_fold_params, per_fold_logs) as host numpy pytrees.
     """
@@ -653,16 +725,24 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
                   'unequal fold batch grids would diverge from the '
                   'sequential numerics; training folds sequentially')
             fold_parallel = False
+            if mesh is not None:
+                print('--mesh ignored: it shards the fold-parallel program')
+                mesh = None
     if fold_parallel:
         max_n = max(f[0][0].shape[0] for f in folds)
         mft = MultiFoldTrainer(model, config, max_n, loss_fn=loss_fn,
-                               state_update=state_update)
+                               state_update=state_update, mesh=mesh,
+                               shardings_fn=shardings_fn)
         stacked = stack_params(params_list)
         batches = stack_fold_batches([f[0] for f in folds],
                                      [f[1] for f in folds],
                                      config.batch_size,
                                      extras=per_fold_extras)
-        out_params, logs = mft.run(stacked, jax.device_put(batches),
+        # with a mesh, keep batches on the host: jit's in_shardings place
+        # the shards (an eager device_put would commit them to one device)
+        if mesh is None:
+            batches = jax.device_put(batches)
+        out_params, logs = mft.run(stacked, batches,
                                    jnp.stack(list(keys)))
         host_params = jax.tree_util.tree_map(np.asarray,
                                              jax.device_get(out_params))

@@ -113,9 +113,12 @@ def train(args, project_root: Path):
     print('Training model...')
     from .common import run_folds
 
+    mesh, mesh_shardings = common.parse_run_mesh(args, n_folds,
+                                                 config.batch_size)
     per_fold_params, per_fold_logs = run_folds(
         model, config, folds, params_list, keys,
-        getattr(args, 'fold_parallel', False))
+        getattr(args, 'fold_parallel', False),
+        mesh=mesh, shardings_fn=mesh_shardings)
 
     common.emit_fold_artifacts(model_dir, per_fold_logs, per_fold_params, {
         'model': 'nmmlp', 'input_dim_list': list(map(int, input_dim_list)),
@@ -211,7 +214,12 @@ def test(args, project_root: Path):
     # in-program with the same jnp formula as the eager path) ---------------
     n_mod = len(dataset_names)
     max_rows = max(j['test_data_list'][0].shape[0] for j in pending)
-    padded_rows = -(-max_rows // 64) * 64
+    # --mesh F,D: shard the inference program (folds over F, rows over D)
+    infer_mesh = common.parse_infer_mesh(getattr(args, 'mesh', None))
+    common.check_infer_fold_axis(infer_mesh, len(pending),
+                                 'folds with checkpoints')
+    tile = common.infer_row_tile(infer_mesh)
+    padded_rows = -(-max_rows // tile) * tile
 
     def pad(a):
         a = np.asarray(a, dtype=np.float32)
@@ -231,7 +239,7 @@ def test(args, project_root: Path):
                 for m in range(n_mod)]
         return preds, devs
 
-    all_preds, all_devs = jax.jit(jax.vmap(infer_one))(
+    all_preds, all_devs = common.fold_infer_jit(infer_one, infer_mesh)(
         stacked_params, xes, cs, seeds)
     # one bulk device->host fetch, then numpy slicing
     all_preds = [np.asarray(p) for p in all_preds]
@@ -347,6 +355,7 @@ def build_parser() -> argparse.ArgumentParser:
                         action='store_true',
                         help='train every CV fold concurrently as one '
                              'vmapped device program.')
+    common.add_mesh_flag(parser)
     return parser
 
 

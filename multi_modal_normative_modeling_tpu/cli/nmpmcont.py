@@ -179,6 +179,8 @@ def main(args, project_root=None):
     print('train model')
     from .common import run_folds
 
+    mesh, mesh_shardings = common.parse_run_mesh(args, n_folds,
+                                                 config.batch_size)
     per_fold_params, per_fold_logs = run_folds(
         model, config, [f['train'] for f in fold_data], params_list, keys,
         getattr(args, 'fold_parallel', False), loss_fn=loss_fn,
@@ -186,13 +188,17 @@ def main(args, project_root=None):
         per_fold_extras=[
             {'labels': f['train_labels'].astype(np.float32)[:, None]}
             for f in fold_data
-        ])
+        ], mesh=mesh, shardings_fn=mesh_shardings)
 
     # ---- eval: ONE vmapped predict over the stacked fold axis (rows are
     # independent through the model; pad test rows to a common bucket) -------
     n_mod = len(fold_data[0]['test_data_list'])
     max_rows = max(f['test_data_list'][0].shape[0] for f in fold_data)
-    padded_rows = -(-max_rows // 64) * 64
+    # --mesh F,D also shards the eval program (folds over F, rows over D)
+    infer_mesh = common.parse_infer_mesh(getattr(args, 'mesh', None))
+    common.check_infer_fold_axis(infer_mesh, n_folds)
+    tile = common.infer_row_tile(infer_mesh)
+    padded_rows = -(-max_rows // tile) * tile
 
     def pad(a):
         a = np.asarray(a, dtype=np.float32)
@@ -205,9 +211,9 @@ def main(args, project_root=None):
                 for m in range(n_mod))
     cs = tuple(np.stack([pad(f['test_cov_list'][m]) for f in fold_data])
                for m in range(n_mod))
-    all_logits = np.asarray(jax.jit(jax.vmap(
-        lambda p, x, c: model.predict(p, list(x), list(c))))(
-            stacked_params, xes, cs))
+    all_logits = np.asarray(common.fold_infer_jit(
+        lambda p, x, c: model.predict(p, list(x), list(c)),
+        infer_mesh, with_key=False)(stacked_params, xes, cs))
 
     common.emit_fold_artifacts(model_dir, per_fold_logs, per_fold_params, {
         'model': 'cVAE_multimodal_endtoend',
@@ -260,6 +266,7 @@ def build_parser() -> argparse.ArgumentParser:
                         action='store_true',
                         help='train every CV fold concurrently as one '
                              'vmapped device program.')
+    common.add_mesh_flag(parser)
     return parser
 
 

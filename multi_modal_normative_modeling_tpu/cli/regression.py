@@ -140,12 +140,14 @@ def train_and_test(args, project_root=None):
     params_list = [init_params for _ in range(n_folds)]
     key42 = host_prng_key(42)
     keys = [key42 for _ in range(n_folds)]  # reference parity
-    from .common import run_folds
+    from .common import parse_run_mesh, run_folds
 
+    mesh, mesh_shardings = parse_run_mesh(args, n_folds, config.batch_size)
     per_fold_params, per_fold_logs = run_folds(
         model, config, [f['train'] for f in fold_data], params_list, keys,
         getattr(args, 'fold_parallel', False), loss_fn=loss_fn,
-        per_fold_extras=[{'fi': f['train_fi'][:, None]} for f in fold_data])
+        per_fold_extras=[{'fi': f['train_fi'][:, None]} for f in fold_data],
+        mesh=mesh, shardings_fn=mesh_shardings)
 
     # ---- phase 3: fold-stacked eval + artifacts -----------------------------
     # The full-cohort blocks are IDENTICAL across folds (the reference re-reads
@@ -160,7 +162,18 @@ def train_and_test(args, project_root=None):
     # FI predictions: pad test rows to a common bucket (fold sizes differ by
     # +-1; rows are independent through the model)
     max_rows = max(f['test_data_list'][0].shape[0] for f in fold_data)
-    padded_rows = -(-max_rows // 64) * 64
+    # --mesh F,D also shards the eval program (folds over F, rows over D)
+    from .common import (
+        check_infer_fold_axis,
+        fold_infer_jit,
+        infer_row_tile,
+        parse_infer_mesh,
+    )
+
+    infer_mesh = parse_infer_mesh(getattr(args, 'mesh', None))
+    check_infer_fold_axis(infer_mesh, n_folds)
+    tile = infer_row_tile(infer_mesh)
+    padded_rows = -(-max_rows // tile) * tile
 
     def pad(a):
         a = np.asarray(a, dtype=np.float32)
@@ -175,7 +188,7 @@ def train_and_test(args, project_root=None):
         return model.pred_fi(params, list(xes), list(cs),
                              jax.random.PRNGKey(seed), args.combine)
 
-    all_fi = np.asarray(jax.jit(jax.vmap(fi_one))(
+    all_fi = np.asarray(fold_infer_jit(fi_one, infer_mesh)(
         stacked_params, xes, cs, seeds))
 
     for fold in range(n_folds):
@@ -264,6 +277,9 @@ def build_parser() -> argparse.ArgumentParser:
                         action='store_true',
                         help='train every CV fold concurrently as one '
                              'vmapped device program.')
+    from .common import add_mesh_flag
+
+    add_mesh_flag(parser)
     return parser
 
 

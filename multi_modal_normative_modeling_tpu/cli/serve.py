@@ -70,12 +70,19 @@ class ScoringService:
 
     def __init__(self, resource: str, procedure: str, combine: str = None,
                  n_splits: int = 10, project_root=None, seed: int = 42,
-                 pad_to: int = 64):
+                 pad_to: int = 64, mesh=None):
         import jax
 
         from ..utils.jaxconfig import warm_device_session
 
         warm_device_session()  # overlap the session attach with host prep
+        # --mesh F,D: the resident scoring program shards the fold ensemble
+        # over 'fold' and request rows over 'data' (pure scale-out — rows
+        # are independent and folds don't communicate)
+        self.mesh = mesh
+        if mesh is not None:
+            common.check_infer_fold_axis(mesh, n_splits)
+            pad_to = common.infer_row_tile(mesh, base=pad_to)
         self.resource = resource
         self.procedure = procedure
         self.combine = combine or procedure.split('-')[1]
@@ -119,11 +126,26 @@ class ScoringService:
         # ---- the one device program: all folds, scale->infer->deviate ----
         # params/scalers/covs/seeds carry the fold axis; raw features are
         # shared across folds and broadcast
-        self._infer = jax.jit(jax.vmap(
-            fold_infer_fn(state), in_axes=(0, 0, 0, 0, 0, None)))
+        vinfer = jax.vmap(fold_infer_fn(state), in_axes=(0, 0, 0, 0, 0, None))
+        self._infer = jax.jit(vinfer, in_shardings=self._shardings(
+            n_fold_axis_args=5)) if mesh is not None else jax.jit(vinfer)
         # latent z-scoring program compiled lazily on the first latent
         # request (separate trace; most deployments never ask for it)
         self._latent_prog = None
+
+    def _shardings(self, n_fold_axis_args: int):
+        """in_shardings for a (fold-axis args..., xes) program signature:
+        fold-stacked operands over 'fold' (covs, arg index 3, additionally
+        shards its row dim over 'data'), broadcast feature rows over
+        'data'."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def sh(spec):
+            return NamedSharding(self.mesh, spec)
+
+        fold_axis = [sh(P('fold'))] * n_fold_axis_args
+        fold_axis[3] = sh(P('fold', 'data'))   # covs: [K, rows, C]
+        return tuple(fold_axis) + (sh(P('data')),)  # xes: [rows, F_m]
 
     def _latent_infer(self):
         import jax
@@ -133,9 +155,12 @@ class ScoringService:
                 ensure_latent_stats(self.state)
             except ValueError as e:
                 raise ServeError(str(e))
-            self._latent_prog = jax.jit(jax.vmap(
-                fold_latent_fn(self.state),
-                in_axes=(0, 0, 0, 0, 0, 0, None)))
+            vlat = jax.vmap(fold_latent_fn(self.state),
+                            in_axes=(0, 0, 0, 0, 0, 0, None))
+            self._latent_prog = (
+                jax.jit(vlat, in_shardings=self._shardings(
+                    n_fold_axis_args=6)) if self.mesh is not None
+                else jax.jit(vlat))
         return self._latent_prog
 
     # ------------------------------------------------------------- scoring
@@ -234,6 +259,7 @@ class ScoringService:
             'feature_dims': [len(c) for c in self.columns],
             'model': self.config.get('variant', 'cvae'),
             'latent_scoring': self.state.supports_latent,
+            'mesh': dict(self.mesh.shape) if self.mesh is not None else None,
             'backend': jax.default_backend(),
             'uptime_seconds': round(time.time() - self.started, 1),
             'requests_served': self.requests_served,
@@ -307,6 +333,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--ready_file', default=None,
                         help='write host:port here once listening (for '
                              'scripts/tests that need the bound port).')
+    parser.add_argument('--mesh', dest='mesh', default=None, metavar='F,D',
+                        help='shard the resident scoring program over a '
+                             '(fold, data) device mesh: ensemble folds over '
+                             'F, request rows over D; product must equal '
+                             'the visible device count')
     return parser
 
 
@@ -314,7 +345,8 @@ def run(argv=None, project_root=None):
     args = build_parser().parse_args(argv)
     service = ScoringService(
         args.dataset_resourse, args.procedure, combine=args.combine,
-        n_splits=args.n_splits, project_root=project_root, seed=args.seed)
+        n_splits=args.n_splits, project_root=project_root, seed=args.seed,
+        mesh=common.parse_infer_mesh(args.mesh))
     server = make_server(service, args.host, args.port)
     host, port = server.server_address[:2]
     if args.ready_file:

@@ -61,17 +61,7 @@ def _infer_program(config: dict, combine: str, use_fused: bool, mesh=None):
             ]
             return recons, devs
 
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            # pytree-prefix shardings: params leaves carry a leading fold
-            # axis; x/c leaves are [F, rows, dim]; keys are [F]
-            sh = lambda spec: NamedSharding(mesh, spec)
-            vinfer = jax.jit(jax.vmap(infer_one), in_shardings=(
-                sh(P('fold')), sh(P('fold', 'data')), sh(P('fold', 'data')),
-                sh(P('fold'))))
-        else:
-            vinfer = jax.jit(jax.vmap(infer_one))
+        vinfer = common.fold_infer_jit(infer_one, mesh)
         # numpy template for checkpoint restore: shapes/dtypes only, built
         # abstractly — running init_params eagerly costs ~0.4s per op
         # through the remote-compile tunnel (~30s for the whole tree)
@@ -199,18 +189,11 @@ def main(args, project_root=None):
         # (fold sizes differ by +-1; retracing costs ~30s on the tunnel);
         # rows are independent through the model, so pad rows change nothing
         max_rows = max(j['test_data_list'][0].shape[0] for j in pending)
-        tile = 64
-        if infer_mesh is not None:
-            n_fold_ax = infer_mesh.shape['fold']
-            if len(pending) % n_fold_ax:
-                raise SystemExit(
-                    f"--mesh: {len(pending)} folds with checkpoints not "
-                    f"divisible by the fold axis ({n_fold_ax})")
-            # pad rows to a multiple of the data axis too, so the row shard
-            # boundaries land evenly
-            import math
-
-            tile = math.lcm(64, infer_mesh.shape['data'])
+        common.check_infer_fold_axis(infer_mesh, len(pending),
+                                     'folds with checkpoints')
+        # with a mesh, pad rows to a multiple of the data axis too, so the
+        # row shard boundaries land evenly
+        tile = common.infer_row_tile(infer_mesh)
         padded_rows = -(-max_rows // tile) * tile
 
         def pad(a):

@@ -65,10 +65,9 @@ class SweepTrainer:
         self._shardings = None
 
     def _jit(self, fold_params, batches, keys, hyper):
-        if self._jitted is not None:
-            return self._jitted
         if self.mesh is None:
-            self._jitted = jax.jit(self._vtrain)
+            if self._jitted is None:
+                self._jitted = jax.jit(self._vtrain)
             return self._jitted
         n_configs = len(jax.tree_util.tree_leaves(hyper)[0])
         n_folds = jax.tree_util.tree_leaves(fold_params)[0].shape[0]
@@ -78,9 +77,15 @@ class SweepTrainer:
                 raise ValueError(
                     f"sweep mesh: {extent} {axis}s not divisible by the "
                     f"{axis!r} mesh axis ({size})")
-        self._shardings = sweep_shardings(self.mesh, fold_params, batches,
-                                          keys, hyper)
-        self._jitted = jax.jit(self._vtrain, in_shardings=self._shardings)
+        # recompute per call: a later run() with different-rank trees must
+        # not reuse the first call's sharding specs (cheap tree_map; equal
+        # shardings keep the jit cache hit)
+        shardings = sweep_shardings(self.mesh, fold_params, batches,
+                                    keys, hyper)
+        if self._jitted is None or shardings != self._shardings:
+            self._shardings = shardings
+            self._jitted = jax.jit(self._vtrain,
+                                   in_shardings=self._shardings)
         return self._jitted
 
     def run(self, params_list_per_fold, batches, keys, configs: Sequence[dict]

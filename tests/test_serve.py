@@ -243,3 +243,36 @@ def test_http_surface(service):
     finally:
         server.shutdown()
         thread.join(timeout=5)
+
+
+def test_meshed_service_matches_unmeshed(trained_project, service):
+    """--mesh F,D shards the resident scoring program over a ('fold',
+    'data') mesh; scores must match the single-device service (folds and
+    rows are independent — pure scale-out)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+    from multi_modal_normative_modeling_tpu.parallel import make_mesh
+
+    meshed = serve.ScoringService(
+        "ADNI", "SM-av45", combine="PoE", n_splits=2,
+        project_root=trained_project, mesh=make_mesh(n_fold=2, n_data=4))
+    assert meshed.health()["mesh"] == {"fold": 2, "data": 4}
+
+    ids = list(service._frames[0].index[:7])
+    plain = service.score_ids(ids, roi=True, latent=True)
+    sharded = meshed.score_ids(ids, roi=True, latent=True)
+    np.testing.assert_allclose(sharded["deviation"], plain["deviation"],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(sharded["roi"], plain["roi"],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(sharded["latent_deviation"],
+                               plain["latent_deviation"],
+                               rtol=1e-5, atol=1e-7)
+
+    # fold-axis divisibility is validated up front
+    with pytest.raises(SystemExit, match="not divisible"):
+        serve.ScoringService("ADNI", "SM-av45", combine="PoE", n_splits=3,
+                             project_root=trained_project,
+                             mesh=make_mesh(n_fold=2, n_data=4))
