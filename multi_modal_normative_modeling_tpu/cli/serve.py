@@ -93,6 +93,10 @@ class ScoringService:
         self.started = time.time()
         self.requests_served = 0
         self._lock = threading.Lock()
+        # separate build lock: concurrent FIRST latent requests must not
+        # race ensure_latent_stats' state mutation, and holding the
+        # dispatch lock through a compile would stall plain scoring
+        self._latent_build_lock = threading.Lock()
 
         kfold_dir = self.project_root / 'outputs' / 'kfold_analysis'
         participants_path = (self.project_root / 'data' / resource / 'y.csv')
@@ -150,17 +154,18 @@ class ScoringService:
     def _latent_infer(self):
         import jax
 
-        if self._latent_prog is None:
-            try:
-                ensure_latent_stats(self.state)
-            except ValueError as e:
-                raise ServeError(str(e))
-            vlat = jax.vmap(fold_latent_fn(self.state),
-                            in_axes=(0, 0, 0, 0, 0, 0, None))
-            self._latent_prog = (
-                jax.jit(vlat, in_shardings=self._shardings(
-                    n_fold_axis_args=6)) if self.mesh is not None
-                else jax.jit(vlat))
+        with self._latent_build_lock:
+            if self._latent_prog is None:
+                try:
+                    ensure_latent_stats(self.state)
+                except ValueError as e:
+                    raise ServeError(str(e))
+                vlat = jax.vmap(fold_latent_fn(self.state),
+                                in_axes=(0, 0, 0, 0, 0, 0, None))
+                self._latent_prog = (
+                    jax.jit(vlat, in_shardings=self._shardings(
+                        n_fold_axis_args=6)) if self.mesh is not None
+                    else jax.jit(vlat))
         return self._latent_prog
 
     # ------------------------------------------------------------- scoring
