@@ -101,10 +101,15 @@ def train_classifier(model: MLPClassifier, params, x_train, y_train, x_val,
 
 
 def sweep_classifiers(model: MLPClassifier, params, x_train, y_train, x_val,
-                      y_val, num_epochs: int, configs, seed: int = 42):
+                      y_val, num_epochs: int, configs, seed: int = 42,
+                      mesh=None):
     """Train the whole (lr, factor, patience, min_lr, dropout) grid as one
     vmapped program (classifier_baseline/tune_parameter.sh, minus the axes
-    that change shapes). Returns (best_params[S], history[S])."""
+    that change shapes). Returns (best_params[S], history[S]).
+
+    With ``mesh`` (any mesh carrying a 'config' axis, e.g.
+    parallel.mesh.make_sweep_mesh) the grid shards across devices — points
+    are independent, so the only collective is the output gather."""
     train = _build_classifier_train(model, x_train, y_train, x_val, y_val,
                                     num_epochs)
     hyper = {
@@ -126,7 +131,19 @@ def sweep_classifiers(model: MLPClassifier, params, x_train, y_train, x_val,
     from ..cli.common import host_prng_key
 
     keys = np.stack([host_prng_key(seed)] * n)
-    best, hist = jax.jit(jax.vmap(train))(stacked, hyper, keys)
+    vtrain = jax.vmap(train)
+    if mesh is None:
+        jitted = jax.jit(vtrain)
+    else:
+        if n % mesh.shape["config"]:
+            raise ValueError(
+                f"classifier sweep mesh: {n} grid configs not divisible by "
+                f"the 'config' mesh axis ({mesh.shape['config']})")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = NamedSharding(mesh, P("config"))  # pytree-prefix: leading
+        jitted = jax.jit(vtrain, in_shardings=(spec, spec, spec))
+    best, hist = jitted(stacked, hyper, keys)
     best = jax.tree_util.tree_map(np.asarray, jax.device_get(best))
     hist = jax.tree_util.tree_map(np.asarray, jax.device_get(hist))
     return ([jax.tree_util.tree_map(lambda a: a[s], best) for s in range(n)],

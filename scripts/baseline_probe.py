@@ -286,8 +286,12 @@ def main():
         baseline_path = REPO / "BASELINE.json"
         doc = json.loads(baseline_path.read_text())
         if args.quality:
-            # a quality run keeps the canonical timing baseline untouched
+            # a quality run keeps the canonical timing baseline untouched;
+            # runs at different configs accumulate in quality_parity_runs
+            # (the cohort dict records procedure/epochs/n_splits)
             doc["quality_parity"] = quality
+            runs = doc.setdefault("quality_parity_runs", [])
+            runs.append(quality)
         else:
             measured.update(quality)
             doc["measured"] = measured

@@ -179,3 +179,48 @@ def test_classifier_grid_matches_sequential():
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5),
             best_grid[s], ref_best)
+
+
+def test_classifier_grid_mesh_matches_unsharded():
+    """sweep_classifiers over a 'config' mesh == the single-device grid."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+    from multi_modal_normative_modeling_tpu.models.classifier import (
+        MLPClassifier,
+        sweep_classifiers,
+    )
+    from multi_modal_normative_modeling_tpu.parallel.mesh import (
+        make_sweep_mesh,
+    )
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(60, 10)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.int32)
+    xt, yt, xv, yv = x[:40], y[:40], x[40:], y[40:]
+
+    model = MLPClassifier(10, [8], dropout=0.0)
+    params = model.init_params(jax.random.PRNGKey(0))
+    configs = [
+        {"initial_lr": 10 ** -(2 + 0.2 * s), "factor": 0.5, "patience": 3,
+         "min_lr": 1e-6, "dropout": 0.0} for s in range(8)
+    ]
+    plain_best, plain_hist = sweep_classifiers(
+        model, params, xt, yt, xv, yv, num_epochs=20, configs=configs)
+    mesh = make_sweep_mesh(n_config=8, n_fold=1)
+    mesh_best, mesh_hist = sweep_classifiers(
+        model, params, xt, yt, xv, yv, num_epochs=20, configs=configs,
+        mesh=mesh)
+    for s in range(8):
+        np.testing.assert_allclose(mesh_hist[s]["val_loss"],
+                                   plain_hist[s]["val_loss"],
+                                   rtol=1e-5, atol=1e-7)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                    atol=1e-6),
+            mesh_best[s], plain_best[s])
+
+    with pytest.raises(ValueError, match="not divisible"):
+        sweep_classifiers(model, params, xt, yt, xv, yv, num_epochs=5,
+                          configs=configs[:6], mesh=mesh)
