@@ -106,6 +106,7 @@ def main(args, project_root=None):
         shuffle=False,
         seed=42,
         precision=getattr(args, 'precision', 'fp32'),
+        remat=getattr(args, 'remat', False),
     )
     # The reference re-seeds 42 per fold (train:119), so every fold's init is
     # IDENTICAL — init once on the LOCAL CPU backend (bit-identical threefry;
@@ -137,6 +138,11 @@ def main(args, project_root=None):
         return True
 
     fused_trainer = None
+    if getattr(args, 'remat', False) and (
+            getattr(args, 'fused_train_step', False)
+            or getattr(args, 'packed_xla', False)):
+        print('--remat applies to the standard XLA loss; ignoring it for '
+              '--fused_train_step/--packed_xla')
     if mesh is not None and (getattr(args, 'fused_train_step', False)
                              or getattr(args, 'packed_xla', False)):
         print('--mesh runs on the standard fold-parallel path; ignoring '
@@ -347,6 +353,11 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['fp32', 'bf16'],
                         help='bf16 runs the MXU matmuls in bfloat16 with '
                              'fp32 master params and loss reductions.')
+    parser.add_argument('--remat', dest='remat', action='store_true',
+                        help='rematerialize the forward inside the backward '
+                             '(jax.checkpoint): trades recompute FLOPs for '
+                             'activation HBM traffic/memory in wide-feature '
+                             'regimes; numerically identical.')
     parser.add_argument('--packed_xla', dest='packed_xla',
                         action='store_true',
                         help='pack all modalities into batched einsums per '

@@ -45,6 +45,10 @@ class TrainConfig:
     # "fp32" (parity) or "bf16": matmuls in bfloat16 on the MXU, fp32 master
     # params/Adam state, fp32 ELBO reductions
     precision: str = "fp32"
+    # rematerialize the forward inside the backward (jax.checkpoint): trades
+    # recompute FLOPs for activation HBM traffic/memory — an opt-in for
+    # wide-feature regimes; numerically identical (XLA is deterministic)
+    remat: bool = False
 
 
 def make_batches(data_list: Sequence[np.ndarray],
@@ -119,13 +123,14 @@ def default_loss_fn(model, config: TrainConfig) -> Callable:
             fwd = _full_cast(model.forward(p16, x16, c16, k, config.combine))
             losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
             return losses["total"], losses
-        return loss_fn
-
-    def loss_fn(p, batch, k):
-        fwd = model.forward(p, list(batch["x"]), list(batch["c"]), k,
-                            config.combine)
-        losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
-        return losses["total"], losses
+    else:
+        def loss_fn(p, batch, k):
+            fwd = model.forward(p, list(batch["x"]), list(batch["c"]), k,
+                                config.combine)
+            losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
+            return losses["total"], losses
+    if config.remat:
+        loss_fn = jax.checkpoint(loss_fn)
     return loss_fn
 
 

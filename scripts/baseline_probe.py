@@ -260,19 +260,18 @@ def main():
                 [str(REPO)] + ([env["PYTHONPATH"]]
                                if env.get("PYTHONPATH") else []))
             t0 = time.perf_counter()
-            for script, extra in [
-                ("multimodal_kfold_train_cvae_supervised.py",
-                 ["-E", str(args.epochs), "-TrainingClass", "nm",
-                  "--fold_parallel"]),
-                ("multimodal_kfold_test_cvae_supervised.py", []),
-                ("multimodal_kfold_cvae_group_analysis_1x1.py", []),
-            ]:
-                out = subprocess.run(
-                    [sys.executable, str(REPO / script)] + extra + flags,
-                    cwd=ours, env=env, capture_output=True, text=True)
-                if out.returncode != 0:
-                    sys.stderr.write(out.stdout[-3000:] + out.stderr[-3000:])
-                    raise RuntimeError(f"our {script} failed")
+            # ONE pipeline launch (train -> test -> analyze): byte-identical
+            # to the three-script chain but pays the per-process session
+            # attach once instead of three times (cli/pipeline.py)
+            out = subprocess.run(
+                [sys.executable, "-m",
+                 "multi_modal_normative_modeling_tpu.cli.pipeline",
+                 "-E", str(args.epochs), "-TrainingClass", "nm",
+                 "--fold_parallel"] + flags,
+                cwd=ours, env=env, capture_output=True, text=True)
+            if out.returncode != 0:
+                sys.stderr.write(out.stdout[-3000:] + out.stderr[-3000:])
+                raise RuntimeError("our pipeline failed")
             ours_seconds = time.perf_counter() - t0
             our_auc, our_std = hc_vs_ad_auc(ours)
             quality["ours_hc_vs_ad_auc"] = our_auc

@@ -10,6 +10,10 @@ Each measurement runs E epochs x NB batches inside ONE jitted program
   xla_sgd    same step with plain SGD           — isolates Adam state traffic
   fwd_only   forward+loss per batch, no grads   — isolates backward+optimizer
   fused      FusedFoldTrainer (Pallas fwd+bwd)  — single-kernel step
+  remat      jax.checkpoint(loss) — save nothing, recompute the forward in
+             the backward (trades FLOPs for activation HBM traffic)
+  remat_dots same with the dots_saveable policy (matmul outputs saved,
+             elementwise chains recomputed)
 """
 import sys
 import time
@@ -106,6 +110,16 @@ def bench_width(name, dims, n, batch, epochs, hidden=(110, 110), latent=10,
     fwd_jit = jax.jit(fwd_epochs)
     report("fwd_only", _time(fwd_jit, params, batches, key))
 
+    # --- rematerialized backward (activation-traffic hypothesis) ---
+    remat_train = jax.jit(build_train_fn(
+        jax.checkpoint(loss_fn), optax.adam(1e-4, eps=1e-8), epochs))
+    report("remat", _time(remat_train, params, batches, key))
+    dots_train = jax.jit(build_train_fn(
+        jax.checkpoint(loss_fn,
+                       policy=jax.checkpoint_policies.dots_saveable),
+        optax.adam(1e-4, eps=1e-8), epochs))
+    report("remat_dots", _time(dots_train, params, batches, key))
+
     # --- fused kernel ---
     try:
         fused = FusedFoldTrainer(model, config, n, interpret=False)
@@ -132,7 +146,8 @@ def main():
     flag = bench_width("flagship", [90, 90, 90, 270], 512, 256, 50)
     ppmi = bench_width("ppmi", [3485, 3485, 3485], 2560, 256, 20)
     print("\nsummary (us/step):")
-    for tag in ("xla", "xla_bf16", "xla_sgd", "fwd_only", "fused"):
+    for tag in ("xla", "xla_bf16", "xla_sgd", "fwd_only", "remat",
+                "remat_dots", "fused"):
         f = f"{flag[tag]:9.1f}" if flag.get(tag) else "     n/a"
         p = f"{ppmi[tag]:9.1f}" if ppmi.get(tag) else "     n/a"
         print(f"  {tag:9s} flagship {f}   ppmi {p}")

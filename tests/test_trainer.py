@@ -128,3 +128,35 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         params, restored)
+
+
+def test_remat_training_matches_plain():
+    """TrainConfig(remat=True) rematerializes the forward in the backward —
+    same op sequence re-executed deterministically, so trained params are
+    bit-identical to the plain run."""
+    from multi_modal_normative_modeling_tpu.train import (
+        TrainConfig,
+        train_single_fold,
+    )
+
+    rng = np.random.default_rng(3)
+    data = [rng.normal(size=(50, 12)).astype(np.float32),
+            rng.normal(size=(50, 9)).astype(np.float32)]
+    cov = [rng.normal(size=(50, 3)).astype(np.float32)] * 2
+    model = build_model("cVAE_multimodal", [12, 9], [8, 8], 4, 3, 2)
+    params = model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+
+    plain_cfg = TrainConfig(epochs=5, batch_size=16, combine="gpoe")
+    remat_cfg = TrainConfig(epochs=5, batch_size=16, combine="gpoe",
+                            remat=True)
+    plain_params, plain_logs = train_single_fold(model, params, data, cov,
+                                                 plain_cfg, key=key)
+    remat_params, remat_logs = train_single_fold(model, params, data, cov,
+                                                 remat_cfg, key=key)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        plain_params, remat_params)
+    np.testing.assert_allclose(remat_logs["total"], plain_logs["total"],
+                               rtol=1e-6)
