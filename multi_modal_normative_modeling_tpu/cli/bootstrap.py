@@ -255,7 +255,12 @@ def test(args, project_root=None) -> None:
         common.load_model_and_params(j['dir'])[1] for j in jobs[1:]]
 
     max_rows = max(j['x'].shape[0] for j in jobs)
-    padded = -(-max_rows // 64) * 64
+    # --mesh R,D: shard the scoring program (replicates over the mesh's
+    # 'fold' axis, padded test rows over 'data')
+    infer_mesh = common.parse_infer_mesh(getattr(args, 'mesh', None))
+    common.check_infer_fold_axis(infer_mesh, len(jobs), 'replicates')
+    tile = common.infer_row_tile(infer_mesh)
+    padded = -(-max_rows // tile) * tile
 
     def pad(a):
         return np.pad(a, ((0, padded - a.shape[0]), (0, 0)))
@@ -264,13 +269,12 @@ def test(args, project_root=None) -> None:
     cs = np.stack([pad(j['cov']) for j in jobs])
     keys = np.stack([common.host_prng_key(2000 + j['b']) for j in jobs])
 
-    @jax.jit
-    @jax.vmap
-    def vinfer(params, x, c, key):
+    def infer_one(params, x, c, key):
         recons = model.pred_recon(params, [x], [c], key,
                                   config.get('combine', 'gpoe'))
         return model.reconstruction_deviation(x, recons[0])
 
+    vinfer = common.fold_infer_jit(infer_one, infer_mesh)
     devs = np.asarray(vinfer(stack_params(params_list), xes, cs, keys))
     for i, j in enumerate(jobs):
         n_rows = j['x'].shape[0]

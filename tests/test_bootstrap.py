@@ -111,6 +111,21 @@ def test_bootstrap_train_mesh_matches_unsharded(tmp_path):
                 np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-4),
             plain, meshed)
 
+    # the test stage's scoring program shards the same way (replicates over
+    # 'fold', padded rows over 'data'); scores must match the unmeshed run
+    bootstrap.test(_args('test', n_bootstrap=4), project_root=roots[0])
+    bootstrap.test(_args('test', n_bootstrap=4, mesh='4,2'),
+                   project_root=roots[1])
+    for b in range(4):
+        rel = (f'outputs/bootstrap_analysis/supervised_cvae/{b:03d}/'
+               'deviation_3modalities.csv')
+        plain_dev = pd.read_csv(roots[0] / rel)
+        meshed_dev = pd.read_csv(roots[1] / rel)
+        np.testing.assert_allclose(
+            meshed_dev['Reconstruction deviation'].values,
+            plain_dev['Reconstruction deviation'].values,
+            rtol=2e-2, atol=2e-4)
+
 
 def test_bootstrap_analyze_attribution_with_skipped_replicate(tmp_path):
     """A replicate whose pair subset has one class is skipped WITHOUT
