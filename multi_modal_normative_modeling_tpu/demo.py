@@ -32,7 +32,12 @@ def ensure_demo_project(root="outputs/notebook_demo", epochs: int = 60,
     analysis artifacts; returns the project root."""
     import os
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Assignment, not setdefault: the demo is an offline CPU artifact, and
+    # this image exports JAX_PLATFORMS=axon — with setdefault the env var
+    # survives, configure_jax_cache() honors it, and the "CPU" demo build
+    # silently dispatches its training to the remote chip (hanging for
+    # minutes when the tunnel session attach is degraded).
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     try:

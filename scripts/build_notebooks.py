@@ -17,10 +17,13 @@ REPO = Path(__file__).resolve().parent.parent
 BOOTSTRAP = '''\
 # Environment bootstrap: force CPU JAX and locate the repo root (the demo
 # cohort is synthesized on first run; see multi_modal_normative_modeling_tpu/demo.py).
+# Assignment, not setdefault: this image exports JAX_PLATFORMS=axon, and the
+# package's configure_jax_cache() honors the env var — a leftover 'axon'
+# would silently re-route the notebook's training to the remote chip.
 %matplotlib inline
 import os, sys
 from pathlib import Path
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 repo = Path.cwd()
 while not (repo / "multi_modal_normative_modeling_tpu").exists():
     repo = repo.parent
@@ -229,10 +232,20 @@ os.chdir(repo)
 metrics
 '''),
         code('''\
-# the JSON experiment log the baseline appends (classifier.py:56-79 parity)
+# the JSON experiment log the baseline APPENDS one pretty-printed object per
+# run (classifier.py:56-79 parity), so parse the concatenated stream
 import json
 import pandas as pd
-records = json.loads((clf_root / "experiment_results.json").read_text())
+text = (clf_root / "experiment_results.json").read_text()
+decoder = json.JSONDecoder()
+records, i = [], 0
+while i < len(text):
+    while i < len(text) and text[i].isspace():
+        i += 1
+    if i >= len(text):
+        break
+    obj, i = decoder.raw_decode(text, i)
+    records.append(obj)
 pd.json_normalize(records)
 '''),
     ]
