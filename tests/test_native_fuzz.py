@@ -69,7 +69,11 @@ def test_fastcsv_fuzz_parity(tmp_path, case):
     n_num = int(rng.integers(1, 7))
     n_str = int(rng.integers(0, 3))
 
-    frame = pd.DataFrame({"IID": [f"s{i:03d}" for i in range(n_rows)]})
+    # ids carry metacharacters too (quoted-IID path through
+    # read_feature_matrix), just never newlines — that refusal is exercised
+    # through the dedicated string columns below
+    frame = pd.DataFrame({"IID": [f"s{i:03d}{_rand_string(rng)}"
+                                  for i in range(n_rows)]})
     num_cols, str_cols = [], []
     for j in range(n_num):
         name = f"v{j}"
