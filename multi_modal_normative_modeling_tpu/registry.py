@@ -108,6 +108,11 @@ HC_PATIENT_COMBINATIONS = {
     "HCP": [[1, 0]],
     "ADHD": [[2, 0], [2, 1], [1, 0]],
     "PPMI": [[1, 0]],
+    # HCPimage: absent from the reference's if/elif chain (group_analysis
+    # :333-340 — running it there raises UnboundLocalError). Its label
+    # scheme is hc=1 (utils.py:760-774), so [[1, 0]] makes the registered
+    # resource actually analyzable here.
+    "HCPimage": [[1, 0]],
 }
 
 

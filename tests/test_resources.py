@@ -52,6 +52,24 @@ def test_hcp_twelve_modalities(tmp_path):
     assert len(list(dev_dir.iterdir())) == 12
 
 
+def test_hcpimage_three_modalities(tmp_path):
+    # HCPimage = [T1w_sMRI, T2w_sMRI, fMRI] on AAL-116 columns, hc label 1
+    # (reference utils.py:731-774); the only registered resource that had no
+    # end-to-end pipeline test.
+    root = tmp_path
+    make_synthetic_resource(root, "HCPimage", n_hc=24, n_disease={0: 12},
+                            effect=0.8)
+    args = _args("HCPimage")
+    train_supervised.main(args, project_root=root)
+    test_supervised.main(args, project_root=root)
+    stats = group_analysis.main(args, project_root=root)
+    assert len(stats["auc"]) == 1
+    assert np.isfinite(stats["auc"]).all()
+    dev_dir = (root / "deviation" / "supervised_cvae" / "HCPimage" / "SE-PoE"
+               / "path_model")
+    assert len(list(dev_dir.iterdir())) == 3
+
+
 def test_ppmi_wide_features(tmp_path):
     root = tmp_path
     make_synthetic_resource(root, "PPMI", n_hc=24, n_disease={0: 12},
