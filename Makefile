@@ -1,4 +1,9 @@
-.PHONY: test bench flagship ppmi-bench lint report warmup pipeline adhd-sweep
+.PHONY: test bench flagship ppmi-bench lint report warmup pipeline adhd-sweep doctor
+
+# environment diagnostics: platform resolution, device attach latency,
+# compile-cache health, native data plane, project data layout
+doctor:
+	python -m multi_modal_normative_modeling_tpu.cli.doctor --root .
 
 # the full train -> test -> analysis chain in ONE process (one device-
 # session attach; shared CSV cache / prep memo across stages)

@@ -1,0 +1,272 @@
+"""Environment diagnostics (`mmnm-doctor`).
+
+The reference has nothing like this (single workstation, eager torch); on
+this framework's target environment a run's wall-clock is dominated by
+things OUTSIDE the training math — remote device-session attach, platform
+resolution (a TPU-plugin sitecustomize can silently override JAX_PLATFORMS),
+persistent-compile-cache state, and the native CSV plane's build. `doctor`
+checks each one and prints OK / WARN / FAIL lines so operators can tell
+environment weather from framework regressions before launching a sweep.
+
+Checks:
+  * python / jax / key-dependency versions
+  * platform resolution: JAX_PLATFORMS env vs the resolved default backend,
+    device inventory (count, kind) for mesh sizing
+  * device-session attach probe (timed tiny op in a killable subprocess;
+    the first blocking execution in a process pays the whole attach —
+    0.4 s healthy, hundreds of seconds degraded)
+  * persistent compile cache: location, entries, size, writability
+  * native data plane: fastcsv / fastwrite build + engage status
+  * project data layout (optional --root): data/<resource>/ with y.csv
+
+Exit code 0 when nothing FAILs (WARNs allowed), 1 otherwise.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+OK, WARN, FAIL = "OK", "WARN", "FAIL"
+
+
+def _finding(results, section, status, detail):
+    results.append({"section": section, "status": status, "detail": detail})
+
+
+def check_versions(results):
+    import jax
+
+    try:
+        import jaxlib
+
+        jaxlib_v = getattr(jaxlib, "__version__", "?")
+    except Exception:  # pragma: no cover - jaxlib ships with jax
+        jaxlib_v = "?"
+    detail = (f"python {sys.version.split()[0]}, jax {jax.__version__}, "
+              f"jaxlib {jaxlib_v}")
+    for name in ("flax", "optax", "numpy", "pandas"):
+        try:
+            mod = __import__(name)
+            detail += f", {name} {getattr(mod, '__version__', '?')}"
+        except Exception:
+            _finding(results, "versions", FAIL, f"{name} not importable")
+    _finding(results, "versions", OK, detail)
+
+
+# The device probe runs in a SUBPROCESS: on the remote-TPU path both backend
+# initialization (jax.devices()) and the first blocking execution can hang
+# for the whole session attach (measured 300-900s in degraded windows), and
+# jax's atexit teardown then blocks the parent too — an in-process thread
+# with a timeout cannot protect doctor from either. A killable child can.
+_PROBE_CHILD = r"""
+import json, os, sys, time
+want = os.environ.get("JAX_PLATFORMS")
+import jax
+if want:
+    # honor the env var against the sitecustomize jax.config override
+    plats = [p.strip() for p in want.split(",") if p.strip()]
+    if "cpu" not in plats:
+        plats.append("cpu")
+    try:
+        jax.config.update("jax_platforms", ",".join(plats))
+    except Exception:
+        pass
+out = {}
+t0 = time.perf_counter()
+devices = jax.devices()
+out["devices_seconds"] = round(time.perf_counter() - t0, 3)
+out["backend"] = jax.default_backend()
+out["n_devices"] = len(devices)
+out["kinds"] = sorted({d.device_kind for d in devices})
+if "--attach" in sys.argv:
+    import numpy as np
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    # np.asarray forces a host transfer: block_until_ready alone
+    # under-synchronizes small outputs through the tunnel
+    np.asarray(jnp.zeros((1,), jnp.float32))
+    out["attach_seconds"] = round(time.perf_counter() - t0, 3)
+print(json.dumps(out))
+"""
+
+
+def check_device(results, timeout_s: float, attach: bool):
+    """Resolve the backend + device inventory and time the session attach."""
+    import subprocess
+
+    argv = [sys.executable, "-c", _PROBE_CHILD]
+    if attach:
+        argv.append("--attach")
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(argv, capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _finding(results, "platform", FAIL,
+                 f"device probe still blocked after "
+                 f"{time.perf_counter() - t0:.0f}s (backend init or session "
+                 "attach; healthy ~0.4s, degraded windows measured at "
+                 "300-900s — treat wall-clock from this window as tunnel "
+                 "weather)")
+        return
+    if proc.returncode != 0:
+        _finding(results, "platform", FAIL,
+                 "device probe failed: "
+                 + (proc.stderr or proc.stdout).strip()[-300:])
+        return
+    probe = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    backend = probe["backend"]
+    detail = (f"default backend '{backend}', {probe['n_devices']} device(s) "
+              f"{probe['kinds']}; JAX_PLATFORMS={want or '(unset)'}")
+    want_first = want.split(",")[0].strip().lower() if want else ""
+    if want_first and want_first != backend:
+        # the sitecustomize-override trap (see utils/jaxconfig.py): work the
+        # caller believes is local would silently run through the tunnel
+        _finding(results, "platform", WARN,
+                 detail + f" — env requests '{want_first}' but the resolved "
+                 "backend differs (a sitecustomize jax.config call beats "
+                 "the env var; CLIs re-assert it via configure_jax_cache)")
+    else:
+        _finding(results, "platform", OK, detail)
+    if probe["n_devices"] > 1:
+        _finding(results, "mesh", OK,
+                 f"{probe['n_devices']} devices available for --mesh axes "
+                 f"(e.g. F,D with F*D <= {probe['n_devices']})")
+
+    if not attach:
+        return
+    if backend == "cpu":
+        _finding(results, "attach", OK,
+                 "local cpu backend — no remote session to attach")
+        return
+    dt = probe["attach_seconds"]
+    status = OK if dt < 30 else WARN
+    _finding(results, "attach", status,
+             f"device session attached in {dt:.2f}s"
+             + ("" if dt < 30 else " — degraded window"))
+
+
+def check_compile_cache(results):
+    cache_dir = os.environ.get("MMNM_JAX_CACHE",
+                               os.path.expanduser("~/.cache/mmnm_jax"))
+    if cache_dir in ("0", "", "off"):
+        _finding(results, "compile-cache", WARN,
+                 "persistent compile cache DISABLED (MMNM_JAX_CACHE=0) — "
+                 "every process recompiles; eager ops cost ~0.4s each on "
+                 "the remote path")
+        return
+    path = Path(cache_dir)
+    if not path.exists():
+        _finding(results, "compile-cache", OK,
+                 f"{cache_dir} (will be created on first compile)")
+        return
+    entries = list(path.glob("*"))
+    size_mb = sum(f.stat().st_size for f in entries if f.is_file()) / 2**20
+    writable = os.access(path, os.W_OK)
+    status = OK if writable else FAIL
+    _finding(results, "compile-cache", status,
+             f"{cache_dir}: {len(entries)} entries, {size_mb:.0f} MB"
+             + ("" if writable else " — NOT WRITABLE"))
+
+
+def check_native(results):
+    from ..native.fastcsv import fastcsv_available
+    from ..native.fastwrite import fastwrite_available
+
+    for name, probe in (("fastcsv", fastcsv_available),
+                        ("fastwrite", fastwrite_available)):
+        try:
+            available = probe()
+        except Exception as exc:
+            _finding(results, f"native-{name}", WARN,
+                     f"probe raised {exc!r} (pandas fallback active)")
+            continue
+        if available:
+            _finding(results, f"native-{name}", OK, "built and loadable")
+        else:
+            _finding(results, f"native-{name}", WARN,
+                     "unavailable (g++ build failed?) — the pandas "
+                     "fallback is correct but ~6x slower on wide frames")
+
+
+def check_project(results, root: Path):
+    data_dir = root / "data"
+    if not data_dir.exists():
+        _finding(results, "project", WARN,
+                 f"no data/ under {root} (run from a project root, or pass "
+                 "--root)")
+        return
+    resources = sorted(p.name for p in data_dir.iterdir() if p.is_dir())
+    if not resources:
+        _finding(results, "project", WARN, f"{data_dir} has no resources")
+        return
+    for res in resources:
+        y = data_dir / res / "y.csv"
+        modalities = [p.name for p in (data_dir / res).glob("*.csv")
+                      if p.name != "y.csv"]
+        if y.exists() and modalities:
+            _finding(results, "project", OK,
+                     f"data/{res}: y.csv + {len(modalities)} modality "
+                     "CSV(s)")
+        else:
+            _finding(results, "project", FAIL,
+                     f"data/{res}: missing "
+                     + ("y.csv" if not y.exists() else "modality CSVs"))
+
+
+def main(args):
+    from ..utils.jaxconfig import configure_jax_cache
+
+    configure_jax_cache()
+
+    results = []
+    check_versions(results)
+    check_device(results, timeout_s=args.attach_timeout,
+                 attach=not args.no_attach)
+    check_compile_cache(results)
+    check_native(results)
+    if args.root:
+        check_project(results, Path(args.root))
+
+    if args.json:
+        print(json.dumps(results, indent=1))
+    else:
+        width = max(len(r["section"]) for r in results)
+        for r in results:
+            print(f"[{r['status']:<4}] {r['section']:<{width}}  "
+                  f"{r['detail']}")
+    failed = any(r["status"] == FAIL for r in results)
+    return 1 if failed else 0
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog="mmnm-doctor",
+        description="Diagnose the runtime environment (platform, device "
+                    "attach, compile cache, native plane, project layout).")
+    parser.add_argument("--root", default=None,
+                        help="project root to check for data/<resource>/ "
+                             "layout (default: skip the project check)")
+    parser.add_argument("--no-attach", action="store_true",
+                        help="skip the timed device-attach execution (the "
+                             "backend/device inventory probe still runs)")
+    parser.add_argument("--attach-timeout", type=float, default=60.0,
+                        help="seconds to wait for the device probe "
+                             "subprocess before reporting FAIL (default 60)")
+    parser.add_argument("--json", action="store_true",
+                        help="machine-readable output")
+    return parser
+
+
+def run():
+    sys.exit(main(build_parser().parse_args()))
+
+
+if __name__ == "__main__":
+    run()

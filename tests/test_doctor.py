@@ -1,0 +1,94 @@
+"""Tests for the environment-diagnostics CLI (cli/doctor.py).
+
+The reference has no equivalent (single-workstation eager torch); doctor is
+a TPU-native operational subsystem, so the tests pin its contract directly:
+section coverage, JSON output shape, exit codes, the killable-subprocess
+device probe, and the project-layout check.
+"""
+import json
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _local_cpu_probe(monkeypatch):
+    # The device probe runs in a subprocess that honors JAX_PLATFORMS; the
+    # image exports axon, which would route the probe through the tunnel.
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+
+def _run(argv, capsys):
+    from multi_modal_normative_modeling_tpu.cli.doctor import (
+        build_parser, main)
+
+    rc = main(build_parser().parse_args(argv))
+    return rc, capsys.readouterr().out
+
+
+def test_doctor_json_sections_and_exit(capsys):
+    rc, out = _run(["--no-attach", "--json"], capsys)
+    results = json.loads(out)
+    sections = {r["section"] for r in results}
+    assert {"versions", "platform", "compile-cache",
+            "native-fastcsv", "native-fastwrite"} <= sections
+    statuses = {r["status"] for r in results}
+    assert statuses <= {"OK", "WARN", "FAIL"}
+    # On a healthy test image nothing should FAIL
+    assert rc == 0
+    assert "FAIL" not in statuses
+
+
+def test_doctor_human_output(capsys):
+    rc, out = _run(["--no-attach"], capsys)
+    assert rc == 0
+    assert "[OK  ]" in out
+    assert "versions" in out
+
+
+def test_doctor_attach_probe_local_cpu(capsys):
+    rc, out = _run(["--json"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["attach"]["status"] == "OK"
+    assert "local cpu" in results["attach"]["detail"]
+    assert results["platform"]["status"] == "OK"
+    assert "backend 'cpu'" in results["platform"]["detail"]
+
+
+def test_doctor_probe_timeout_fails_cleanly(capsys):
+    # a timeout the child cannot possibly meet must FAIL the platform
+    # section (never hang doctor itself) and set the exit code
+    rc, out = _run(["--json", "--attach-timeout", "0.01"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["platform"]["status"] == "FAIL"
+    assert "blocked" in results["platform"]["detail"]
+    assert rc == 1
+
+
+def test_doctor_project_layout(tmp_path, capsys):
+    good = tmp_path / "data" / "ADNI"
+    good.mkdir(parents=True)
+    (good / "y.csv").write_text("IID,Diagnosis\n1,1\n")
+    (good / "av45.csv").write_text("IID,a\n1,0.5\n")
+    rc, out = _run(["--no-attach", "--json", "--root", str(tmp_path)], capsys)
+    results = [r for r in json.loads(out) if r["section"] == "project"]
+    assert results and results[0]["status"] == "OK"
+    assert "data/ADNI" in results[0]["detail"]
+    assert rc == 0
+
+
+def test_doctor_project_layout_missing_y(tmp_path, capsys):
+    bad = tmp_path / "data" / "PPMI"
+    bad.mkdir(parents=True)
+    (bad / "dti.csv").write_text("IID,a\n1,0.5\n")
+    rc, out = _run(["--no-attach", "--json", "--root", str(tmp_path)], capsys)
+    results = [r for r in json.loads(out) if r["section"] == "project"]
+    assert results and results[0]["status"] == "FAIL"
+    assert "y.csv" in results[0]["detail"]
+    assert rc == 1
+
+
+def test_doctor_no_data_dir_warns_only(tmp_path, capsys):
+    rc, out = _run(["--no-attach", "--json", "--root", str(tmp_path)], capsys)
+    results = [r for r in json.loads(out) if r["section"] == "project"]
+    assert results and results[0]["status"] == "WARN"
+    assert rc == 0
