@@ -48,13 +48,16 @@ def check_versions(results):
         jaxlib_v = "?"
     detail = (f"python {sys.version.split()[0]}, jax {jax.__version__}, "
               f"jaxlib {jaxlib_v}")
+    missing = []
     for name in ("flax", "optax", "numpy", "pandas"):
         try:
             mod = __import__(name)
             detail += f", {name} {getattr(mod, '__version__', '?')}"
         except Exception:
+            missing.append(name)
             _finding(results, "versions", FAIL, f"{name} not importable")
-    _finding(results, "versions", OK, detail)
+    if not missing:
+        _finding(results, "versions", OK, detail)
 
 
 # The device probe runs in a SUBPROCESS: on the remote-TPU path both backend
@@ -66,6 +69,14 @@ _PROBE_CHILD = r"""
 import json, os, sys, time
 want = os.environ.get("JAX_PLATFORMS")
 import jax
+# What a VANILLA process would resolve: a sitecustomize may have written
+# jax_platforms via jax.config at interpreter start, which silently beats
+# the env var — record it BEFORE re-asserting so the parent can diagnose
+# the trap without initializing a second backend.
+try:
+    configured = jax.config.jax_platforms
+except Exception:
+    configured = None
 if want:
     # honor the env var against the sitecustomize jax.config override
     plats = [p.strip() for p in want.split(",") if p.strip()]
@@ -75,7 +86,7 @@ if want:
         jax.config.update("jax_platforms", ",".join(plats))
     except Exception:
         pass
-out = {}
+out = {"configured_platforms": configured}
 t0 = time.perf_counter()
 devices = jax.devices()
 out["devices_seconds"] = round(time.perf_counter() - t0, 3)
@@ -125,13 +136,24 @@ def check_device(results, timeout_s: float, attach: bool):
     detail = (f"default backend '{backend}', {probe['n_devices']} device(s) "
               f"{probe['kinds']}; JAX_PLATFORMS={want or '(unset)'}")
     want_first = want.split(",")[0].strip().lower() if want else ""
+    configured = (probe.get("configured_platforms") or "")
+    conf_first = configured.split(",")[0].strip().lower()
+    if want_first and conf_first and conf_first != want_first:
+        # the sitecustomize-override trap (see utils/jaxconfig.py): a
+        # VANILLA process resolves jax.config's value, not the env var —
+        # work the caller believes is local silently runs elsewhere. This
+        # framework's entry points re-assert the env var
+        # (configure_jax_cache), which is what the probe measured below.
+        _finding(results, "platform-config", WARN,
+                 f"a startup hook (sitecustomize) set "
+                 f"jax_platforms='{configured}', which beats "
+                 f"JAX_PLATFORMS={want} in plain python processes — only "
+                 "code calling utils.jaxconfig.configure_jax_cache() (all "
+                 "mmnm CLIs and the cVAE.py facade) honors the env var")
     if want_first and want_first != backend:
-        # the sitecustomize-override trap (see utils/jaxconfig.py): work the
-        # caller believes is local would silently run through the tunnel
         _finding(results, "platform", WARN,
                  detail + f" — env requests '{want_first}' but the resolved "
-                 "backend differs (a sitecustomize jax.config call beats "
-                 "the env var; CLIs re-assert it via configure_jax_cache)")
+                 "backend differs even after re-asserting the env var")
     else:
         _finding(results, "platform", OK, detail)
     if probe["n_devices"] > 1:
@@ -153,9 +175,10 @@ def check_device(results, timeout_s: float, attach: bool):
 
 
 def check_compile_cache(results):
-    cache_dir = os.environ.get("MMNM_JAX_CACHE",
-                               os.path.expanduser("~/.cache/mmnm_jax"))
-    if cache_dir in ("0", "", "off"):
+    from ..utils.jaxconfig import resolve_cache_dir
+
+    cache_dir = resolve_cache_dir()
+    if cache_dir is None:
         _finding(results, "compile-cache", WARN,
                  "persistent compile cache DISABLED (MMNM_JAX_CACHE=0) — "
                  "every process recompiles; eager ops cost ~0.4s each on "

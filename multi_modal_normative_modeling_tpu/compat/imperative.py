@@ -146,6 +146,16 @@ class _ImperativeModel:
 
     def __init__(self, core, learning_rate: float, ctor_kwargs: dict,
                  seed: int = 42):
+        # MUST run before anything initializes a backend (host_init_params
+        # resolves jax.devices()): on this image a sitecustomize overrides
+        # jax_platforms at interpreter start, silently beating the
+        # JAX_PLATFORMS env var — without this, `JAX_PLATFORMS=cpu` user
+        # scripts would dispatch every facade step through the remote TPU
+        # tunnel (see utils/jaxconfig.py and CLAUDE.md)
+        from ..utils.jaxconfig import configure_jax_cache
+
+        configure_jax_cache()
+
         self._core = core
         self._learning_rate = float(learning_rate)
         self._ctor_kwargs = dict(ctor_kwargs)
@@ -187,9 +197,6 @@ class _ImperativeModel:
         if prog is None:
             import jax
 
-            from ..utils.jaxconfig import configure_jax_cache
-
-            configure_jax_cache()
             prog = jax.jit(fn, static_argnames=static_argnames)
             self._programs[name] = prog
         return prog
@@ -234,9 +241,12 @@ class _ImperativeModel:
 
     def _wrap_losses(self, values, total_grads, comp_grad_fn,
                      state_update=None):
+        """``total_grads`` may be None (eval-mode loss call): the total then
+        gets a lazy per-component gradient program like every other key —
+        gradient-free loss evaluation never pays for a backward pass."""
         out = {}
         for k, v in values.items():
-            if k == self._TOTAL_KEY:
+            if k == self._TOTAL_KEY and total_grads is not None:
                 out[k] = _LossScalar(v, self, grads=total_grads,
                                      state_update=state_update)
             else:
@@ -288,12 +298,13 @@ class _MultimodalFacade(_ImperativeModel):
     _REGISTRY_NAME: str = ""
 
     def __init__(self, input_dim_list, hidden_dim, latent_dim, c_dim,
-                 learning_rate: float = 0.0001, modalities: int = None,
-                 non_linear: bool = True, **_ignored):
+                 learning_rate: float = 0.0001, modalities: int = 3,
+                 non_linear: bool = False, **_ignored):
+        # defaults match the reference ctor exactly (cVAE.py:1087-1095:
+        # modalities=3, non_linear=False) so user code relying on them gets
+        # identical models
         from ..models import build_model
 
-        if modalities is None:
-            modalities = len(input_dim_list)
         core = build_model(self._REGISTRY_NAME, list(input_dim_list),
                            list(hidden_dim), latent_dim, c_dim, modalities,
                            non_linear)
@@ -340,18 +351,9 @@ class _MultimodalFacade(_ImperativeModel):
         xes, cs, sub, combine = token
         import jax
 
-        def vg(params, xes, cs, key, combine):
-            def total_of(p):
-                vals = self._loss_values(p, xes, cs, key, combine)
-                return vals[self._TOTAL_KEY], vals
-
-            (_, vals), grads = jax.value_and_grad(
-                total_of, has_aux=True)(params)
-            return vals, grads
-
-        vals, grads = self._jit("loss_grad", vg,
-                                static_argnames=("combine",))(
-            self._params, xes, cs, sub, combine=combine)
+        # grads anchor to the params THIS loss call saw (torch autograd
+        # semantics: a later optimizer1.step() must not move the graph)
+        params_now = self._params
 
         def comp_grad(key_name):
             def g(params, xes, cs, key, combine):
@@ -360,7 +362,27 @@ class _MultimodalFacade(_ImperativeModel):
 
             prog = self._jit(f"cgrad::{key_name}", g,
                              static_argnames=("combine",))
-            return prog(self._params, xes, cs, sub, combine=combine)
+            return prog(params_now, xes, cs, sub, combine=combine)
+
+        if self.training:
+            def vg(params, xes, cs, key, combine):
+                def total_of(p):
+                    vals = self._loss_values(p, xes, cs, key, combine)
+                    return vals[self._TOTAL_KEY], vals
+
+                (_, vals), grads = jax.value_and_grad(
+                    total_of, has_aux=True)(params)
+                return vals, grads
+
+            vals, grads = self._jit("loss_grad", vg,
+                                    static_argnames=("combine",))(
+                params_now, xes, cs, sub, combine=combine)
+        else:
+            # eval-mode (validation) loss: values only, no backward pass
+            vals = self._jit("loss_values", self._loss_values,
+                             static_argnames=("combine",))(
+                params_now, xes, cs, sub, combine=combine)
+            grads = None
 
         return self._wrap_losses(jax.device_get(vals), grads, comp_grad)
 
@@ -424,14 +446,13 @@ class cVAE_multimodal_endtoend(_ImperativeModel):
     _TOTAL_KEY = "total_loss"
 
     def __init__(self, input_dim_list, hidden_dim, latent_dim, c_dim,
-                 learning_rate: float = 0.0001, modalities: int = None,
-                 non_linear: bool = True, classifier_layers=(128, 64),
+                 learning_rate: float = 0.0001, modalities: int = 3,
+                 non_linear: bool = False, classifier_layers=(128, 64),
                  dropout_rate: float = 0.5, num_classes: int = 2,
                  **_ignored):
+        # defaults match the reference ctor (cVAE.py:2021-2032)
         from ..models.endtoend import EndToEndCVAE
 
-        if modalities is None:
-            modalities = len(input_dim_list)
         core = EndToEndCVAE(list(input_dim_list), list(hidden_dim),
                             latent_dim, c_dim, modalities, non_linear,
                             classifier_layers=list(classifier_layers),
@@ -480,24 +501,13 @@ class cVAE_multimodal_endtoend(_ImperativeModel):
         w_con = np.float32(float(weight_contrastive))
         import jax
 
+        params_now = self._params  # torch autograd anchor (see facade base)
+
         def values(p, xes, cs, key, lab, margin, w_con, train):
             fwd = self._core.forward(p, list(xes), list(cs), key,
                                      train=train)
             vals = self._core.loss(p, list(xes), fwd, lab, margin, w_con)
             return vals, fwd["bn_state"]
-
-        def vg(params, xes, cs, key, lab, margin, w_con, train):
-            def total_of(p):
-                vals, bn = values(p, xes, cs, key, lab, margin, w_con, train)
-                return vals[self._TOTAL_KEY], (vals, bn)
-
-            (_, (vals, bn)), grads = jax.value_and_grad(
-                total_of, has_aux=True)(params)
-            return vals, bn, grads
-
-        vals, bn_state, grads = self._jit(
-            "loss_grad", vg, static_argnames=("train",))(
-                self._params, xes, cs, sub, lab, margin, w_con, train=train)
 
         def comp_grad(key_name):
             def g(params, xes, cs, key, lab, margin, w_con, train):
@@ -507,8 +517,28 @@ class cVAE_multimodal_endtoend(_ImperativeModel):
 
             prog = self._jit(f"cgrad::{key_name}", g,
                              static_argnames=("train",))
-            return prog(self._params, xes, cs, sub, lab, margin, w_con,
+            return prog(params_now, xes, cs, sub, lab, margin, w_con,
                         train=train)
+
+        if self.training:
+            def vg(params, xes, cs, key, lab, margin, w_con, train):
+                def total_of(p):
+                    vals, bn = values(p, xes, cs, key, lab, margin, w_con,
+                                      train)
+                    return vals[self._TOTAL_KEY], (vals, bn)
+
+                (_, (vals, bn)), grads = jax.value_and_grad(
+                    total_of, has_aux=True)(params)
+                return vals, bn, grads
+
+            vals, bn_state, grads = self._jit(
+                "loss_grad", vg, static_argnames=("train",))(
+                    params_now, xes, cs, sub, lab, margin, w_con, train=train)
+        else:
+            vals, bn_state = self._jit(
+                "loss_values", values, static_argnames=("train",))(
+                    params_now, xes, cs, sub, lab, margin, w_con, train=train)
+            grads = None
 
         return self._wrap_losses(jax.device_get(vals), grads, comp_grad,
                                  state_update={"bn_state": bn_state})
@@ -564,12 +594,11 @@ class cVAE_multimodal_regression(_MultimodalFacade):
     _REGISTRY_NAME = None  # core built directly, not via the registry
 
     def __init__(self, input_dim_list, hidden_dim, latent_dim, c_dim,
-                 learning_rate: float = 0.0001, modalities: int = None,
-                 non_linear: bool = True, **_ignored):
+                 learning_rate: float = 0.0001, modalities: int = 3,
+                 non_linear: bool = False, **_ignored):
+        # defaults match the reference ctor (cVAE.py:2211-2219)
         from ..models.regression import RegressionCVAE
 
-        if modalities is None:
-            modalities = len(input_dim_list)
         core = RegressionCVAE(list(input_dim_list), list(hidden_dim),
                               latent_dim, c_dim, modalities, non_linear)
         _ImperativeModel.__init__(self, core, learning_rate,
@@ -592,22 +621,11 @@ class cVAE_multimodal_regression(_MultimodalFacade):
         lam = np.float32(float(lambda_reg))
         import jax
 
+        params_now = self._params  # torch autograd anchor (see facade base)
+
         def values(p, xes, cs, key, fi, lam, combine):
             fwd = self._core.forward(p, list(xes), list(cs), key, combine)
             return self._core.loss(p, list(xes), fwd, fi, lam)
-
-        def vg(params, xes, cs, key, fi, lam, combine):
-            def total_of(p):
-                vals = values(p, xes, cs, key, fi, lam, combine)
-                return vals["total"], vals
-
-            (_, vals), grads = jax.value_and_grad(
-                total_of, has_aux=True)(params)
-            return vals, grads
-
-        vals, grads = self._jit("loss_grad_fi", vg,
-                                static_argnames=("combine",))(
-            self._params, xes, cs, sub, fi, lam, combine=combine)
 
         def comp_grad(key_name):
             def g(params, xes, cs, key, fi, lam, combine):
@@ -616,7 +634,26 @@ class cVAE_multimodal_regression(_MultimodalFacade):
 
             prog = self._jit(f"cgrad_fi::{key_name}", g,
                              static_argnames=("combine",))
-            return prog(self._params, xes, cs, sub, fi, lam, combine=combine)
+            return prog(params_now, xes, cs, sub, fi, lam, combine=combine)
+
+        if self.training:
+            def vg(params, xes, cs, key, fi, lam, combine):
+                def total_of(p):
+                    vals = values(p, xes, cs, key, fi, lam, combine)
+                    return vals["total"], vals
+
+                (_, vals), grads = jax.value_and_grad(
+                    total_of, has_aux=True)(params)
+                return vals, grads
+
+            vals, grads = self._jit("loss_grad_fi", vg,
+                                    static_argnames=("combine",))(
+                params_now, xes, cs, sub, fi, lam, combine=combine)
+        else:
+            vals = self._jit("loss_values_fi", values,
+                             static_argnames=("combine",))(
+                params_now, xes, cs, sub, fi, lam, combine=combine)
+            grads = None
 
         return self._wrap_losses(jax.device_get(vals), grads, comp_grad)
 

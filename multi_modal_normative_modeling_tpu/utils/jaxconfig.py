@@ -14,6 +14,15 @@ import os
 _configured = False
 
 
+def resolve_cache_dir():
+    """Persistent-compile-cache location, or None when disabled — the ONE
+    place the MMNM_JAX_CACHE default/sentinel logic lives (doctor diagnoses
+    the same path the runtime reads)."""
+    cache_dir = os.environ.get("MMNM_JAX_CACHE",
+                               os.path.expanduser("~/.cache/mmnm_jax"))
+    return None if cache_dir in ("0", "", "off") else cache_dir
+
+
 def configure_jax_cache() -> None:
     global _configured
     if _configured:
@@ -40,9 +49,8 @@ def configure_jax_cache() -> None:
         except Exception:
             pass
 
-    cache_dir = os.environ.get("MMNM_JAX_CACHE",
-                               os.path.expanduser("~/.cache/mmnm_jax"))
-    if cache_dir in ("0", "", "off"):
+    cache_dir = resolve_cache_dir()
+    if cache_dir is None:
         return
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

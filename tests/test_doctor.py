@@ -92,3 +92,22 @@ def test_doctor_no_data_dir_warns_only(tmp_path, capsys):
     results = [r for r in json.loads(out) if r["section"] == "project"]
     assert results and results[0]["status"] == "WARN"
     assert rc == 0
+
+
+def test_doctor_detects_sitecustomize_platform_trap(capsys):
+    """When a startup hook pins jax_platforms (this image's TPU plugin
+    sitecustomize) and JAX_PLATFORMS requests something else, doctor must
+    surface the trap: vanilla processes resolve the hook's value, not the
+    env var."""
+    import os
+
+    if ".axon_site" not in os.environ.get("PYTHONPATH", ""):
+        pytest.skip("no platform-pinning sitecustomize on this machine")
+    rc, out = _run(["--no-attach", "--json"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["platform-config"]["status"] == "WARN"
+    assert "sitecustomize" in results["platform-config"]["detail"]
+    assert "configure_jax_cache" in results["platform-config"]["detail"]
+    # the probe itself re-asserts the env var, so the resolved backend is OK
+    assert results["platform"]["status"] == "OK"
+    assert rc == 0

@@ -295,3 +295,61 @@ def test_module_level_ops():
         torch.zeros(8, 5), torch.ones(8, 5)).log_prob(x).sum(
             dim=1, keepdim=True).mean(0)
     np.testing.assert_allclose(ll.numpy(), expected.numpy(), rtol=1e-5)
+
+
+def test_ctor_defaults_match_reference():
+    """Reference ctor defaults (cVAE.py:1087-1095): modalities=3,
+    non_linear=False — user code relying on them gets identical models."""
+    m = cVAE.cVAE_multimodal(input_dim_list=[5, 5, 5], hidden_dim=[8, 8],
+                             latent_dim=3, c_dim=2)
+    assert m._core.modalities == 3
+    assert m._core.non_linear is False
+
+
+def test_eval_mode_loss_skips_backward_pass_but_backward_still_works():
+    """Validation-style loss calls (model.eval()) compile a values-only
+    program; .backward() still produces correct grads lazily."""
+    import jax
+
+    xes, cs = _batch()
+    model = _model()
+    model.eval()
+    fwd = model.forward_multimodal(xes, cs, "PoE")
+    loss = model.loss_function_multimodal(xes, fwd)
+    assert "loss_values" in model._programs
+    assert "loss_grad" not in model._programs
+    loss["total"].backward()
+    assert model._grads is not None
+    leaves = jax.tree_util.tree_leaves(jax.device_get(model._grads))
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_component_backward_anchors_to_loss_time_params():
+    """torch semantics: backward() after optimizer.step() differentiates at
+    the params the loss graph was built from, not the post-step params."""
+    import jax
+
+    xes, cs = _batch()
+    model = _model()
+    params_pre = jax.tree_util.tree_map(np.array, model._params)
+    fwd = model.forward_multimodal(xes, cs, "PoE")
+    loss = model.loss_function_multimodal(xes, fwd)
+    model.optimizer1.zero_grad()
+    loss["total"].backward()
+    model.optimizer1.step()
+
+    model.optimizer1.zero_grad()
+    loss["kl"].backward()  # must differentiate at params_pre
+    got = jax.device_get(model._grads)
+
+    sub = np.asarray(fwd["__mmnm_pending__"][2])
+    core = model._core
+
+    def kl_at(p):
+        f = core.forward(p, xes, cs, sub, "PoE")
+        return core.loss(p, xes, f, None)["kl"]
+
+    expected = jax.grad(kl_at)(params_pre)
+    for a, b in zip(jax.tree_util.tree_leaves(expected),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
