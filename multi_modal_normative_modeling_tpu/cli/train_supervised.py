@@ -149,10 +149,10 @@ def main(args, project_root=None):
               '--fused_train_step/--packed_xla')
         args.fused_train_step = False
         args.packed_xla = False
-    if getattr(args, 'fused_train_step', False) and (
-            checkpoint_every or getattr(args, 'warmup_only', False)):
-        print('fused train step unavailable (--checkpoint_every/--warmup_only '
-              'run on the XLA path); using the XLA path')
+    if getattr(args, 'fused_train_step', False) and getattr(
+            args, 'warmup_only', False):
+        print('fused train step unavailable (--warmup_only runs on the XLA '
+              'path); using the XLA path')
     elif getattr(args, 'fused_train_step', False):
         # fully-fused Pallas fwd+bwd train step (kernels/train_step.py), with
         # automatic fallback to the XLA path when shapes/config are out of the
@@ -196,9 +196,19 @@ def main(args, project_root=None):
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
             try:
-                params, logs = fused_trainer.run(
-                    params_list[fold], data_list, cov_list[0],
-                    key=keys[fold])
+                if checkpoint_every:
+                    # fused state is the padded PACKED pytree — a different
+                    # format (and a numerically distinct trajectory) from
+                    # the XLA path's, so it gets its own state dir
+                    params, logs = fused_trainer.run_resumable(
+                        params_list[fold], data_list, cov_list[0],
+                        keys[fold],
+                        state_dir=model_dir / f'{fold:03d}-fused-state',
+                        checkpoint_every=checkpoint_every, resume=resume)
+                else:
+                    params, logs = fused_trainer.run(
+                        params_list[fold], data_list, cov_list[0],
+                        key=keys[fold])
             except Exception as exc:  # Mosaic compile/alloc failure
                 print(f'fused train step failed to compile ({exc!r}); '
                       'falling back to the XLA path')

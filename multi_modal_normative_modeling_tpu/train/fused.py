@@ -106,14 +106,19 @@ class FusedFoldTrainer:
         self.step = FusedTrainStep(self.stacked, config.combine,
                                    interpret=interpret)
         self.optimizer = build_optimizer(config, n_samples)
+        self._raw_chunk = self._build_chunk()
         self._train = jax.jit(self._build_train())
+        self._chunk_cache: dict = {}
 
-    def _build_train(self):
+    def _build_chunk(self):
+        """(n_epochs static, params, opt_state, key, batches) ->
+        (params, opt_state, key, logs) — the resumable unit; chunked
+        execution is bit-identical to the single-scan run (same epoch body,
+        same PRNG stream)."""
         optimizer = self.optimizer
         fused = self.step
         latent_dim = self.stacked.latent_dim
         batch_size = self.config.batch_size
-        epochs = self.config.epochs
 
         def one_step(carry, batch):
             params, opt_state, key = carry
@@ -133,7 +138,7 @@ class FusedFoldTrainer:
             return (where(new_params, params), where(new_opt_state, opt_state),
                     where(new_key, key)), losses
 
-        def train(padded_params, batches, key):
+        def chunk(n_epochs, params, opt_state, key, batches):
             def epoch(carry, _):
                 params, opt_state, key = carry
                 # mirror the XLA trainer's per-epoch shuffle-key split (even
@@ -144,44 +149,104 @@ class FusedFoldTrainer:
                 first = jax.tree_util.tree_map(lambda a: a[0], aux)
                 return carry, first
 
+            (params, opt_state, key), logs = jax.lax.scan(
+                epoch, (params, opt_state, key), None, length=n_epochs)
+            return params, opt_state, key, logs
+
+        return chunk
+
+    def _build_train(self):
+        optimizer = self.optimizer
+        chunk = self._raw_chunk
+        epochs = self.config.epochs
+
+        def train(padded_params, batches, key):
             opt_state = optimizer.init(padded_params)
-            (params, _, _), logs = jax.lax.scan(
-                epoch, (padded_params, opt_state, key), None, length=epochs)
+            params, _, _, logs = chunk(epochs, padded_params, opt_state, key,
+                                       batches)
             return params, logs
 
         return train
+
+    def chunk_fn(self, n_epochs: int):
+        """Jitted resumable slice (cached per size), mirroring
+        FoldTrainer.chunk_fn."""
+        if n_epochs not in self._chunk_cache:
+            import functools
+
+            self._chunk_cache[n_epochs] = jax.jit(functools.partial(
+                self._raw_chunk, n_epochs))
+        return self._chunk_cache[n_epochs]
+
+    def _padded_params(self, per_modality_params):
+        """Pack + lane-pad the per-modality pytree, identity-memoized: the
+        CLI shares one init pytree across folds, and eager remote pack/pad
+        ops cost a round trip each through the TPU tunnel."""
+        memo = getattr(self, "_pack_memo", None)
+        if memo is not None and memo[0] is per_modality_params:
+            return memo[1]
+        from ..cli.common import _local_cpu_device
+        from ..utils.jaxconfig import no_compile_cache
+        from .packed import _pack_params_host
+
+        packed = _pack_params_host(self.stacked, per_modality_params)
+        cpu = _local_cpu_device()
+        if (cpu is not None and all(
+                isinstance(leaf, np.ndarray)
+                for leaf in jax.tree_util.tree_leaves(packed))):
+            with no_compile_cache(), jax.default_device(cpu):
+                padded = self.step.pad_params(packed)
+            padded = jax.tree_util.tree_map(np.asarray, padded)
+        else:
+            padded = self.step.pad_params(packed)
+        self._pack_memo = (per_modality_params, padded)
+        return padded
+
+    def _unpack(self, padded_params):
+        host = jax.tree_util.tree_map(np.asarray,
+                                      jax.device_get(padded_params))
+        return self.stacked.unpack_params(self.step.unpad_named(host))
 
     def run(self, per_modality_params, data_list, cov, key=None):
         """Takes/returns the standard per-modality pytree (checkpoints and
         the inference path are unchanged)."""
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
-        # identity-memoized host-side packing: the CLI shares one init
-        # pytree across folds, and eager remote pack/pad ops cost a round
-        # trip each through the TPU tunnel
-        memo = getattr(self, "_pack_memo", None)
-        if memo is not None and memo[0] is per_modality_params:
-            padded = memo[1]
-        else:
-            from ..cli.common import _local_cpu_device
-            from ..utils.jaxconfig import no_compile_cache
-            from .packed import _pack_params_host
-
-            packed = _pack_params_host(self.stacked, per_modality_params)
-            cpu = _local_cpu_device()
-            if (cpu is not None and all(
-                    isinstance(leaf, np.ndarray)
-                    for leaf in jax.tree_util.tree_leaves(packed))):
-                with no_compile_cache(), jax.default_device(cpu):
-                    padded = self.step.pad_params(packed)
-                padded = jax.tree_util.tree_map(np.asarray, padded)
-            else:
-                padded = self.step.pad_params(packed)
-            self._pack_memo = (per_modality_params, padded)
+        padded = self._padded_params(per_modality_params)
         batches = make_packed_batches(self.step, data_list, cov,
                                       self.config.batch_size)
         out, logs = self._train(padded, jax.device_put(batches), key)
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        packed = self.step.unpad_named(host)
-        return (self.stacked.unpack_params(packed),
+        return (self._unpack(out),
                 jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
+
+    def run_resumable(self, per_modality_params, data_list, cov, key,
+                      state_dir, checkpoint_every: int, resume: bool = True):
+        """Checkpointed fused training (mirrors FoldTrainer.run_resumable):
+        the train state carries the PADDED packed params + optax state +
+        PRNG key + epoch cursor, so kill-and-resume is bit-identical to the
+        uninterrupted fused run. The state format differs from the XLA
+        path's (packed vs per-modality pytrees) — callers must use a
+        fused-specific state_dir."""
+        from .checkpoints import run_chunked
+
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        padded = self._padded_params(per_modality_params)
+        batches = jax.device_put(make_packed_batches(
+            self.step, data_list, cov, self.config.batch_size))
+
+        def template_fn():
+            shapes = jax.eval_shape(self.optimizer.init, padded)
+            return {"params": padded, "key": key,
+                    "opt_state": jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+
+        def run_chunk(n, p, opt_state, k):
+            if opt_state is None:
+                opt_state = jax.jit(self.optimizer.init)(p)
+            return self.chunk_fn(n)(p, opt_state, k, batches)
+
+        params, logs = run_chunked(state_dir, self.config.epochs,
+                                   checkpoint_every, resume, padded, None,
+                                   key, run_chunk, template_fn)
+        return self._unpack(params), logs

@@ -127,3 +127,26 @@ def test_cli_fused_fallback_message(tmp_path, capsys):
     assert "fused train step unavailable" in out
     model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
     assert (model_dir / "000" / "cVAE_model.ckpt").exists()
+
+
+def test_cli_fused_with_checkpoint_every(tmp_path, capsys):
+    """--fused_train_step + --checkpoint_every train on the fused path
+    (formerly an XLA fallback) and leave a fused-specific resumable state
+    dir alongside the standard per-fold checkpoints."""
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=40, n_disease={0: 15, 1: 15},
+                            effect=0.8)
+    train_supervised.main(_args(checkpoint_every=4), project_root=root)
+    out = capsys.readouterr().out
+    assert "fused Pallas train-step kernel" in out
+    assert "fused train step unavailable" not in out
+    model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        train_state_exists,
+    )
+
+    for fold in range(2):
+        params, config = load_checkpoint(model_dir / f"{fold:03d}")
+        assert np.isfinite(
+            np.asarray(params["enc"]["0"]["hidden"]["0"]["w"])).all()
+        assert train_state_exists(model_dir / f"{fold:03d}-fused-state")

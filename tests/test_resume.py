@@ -258,3 +258,33 @@ def test_load_checkpoint_mismatch_is_actionable(tmp_path):
     (tmp_path / 'cVAE_model.json').write_text(json.dumps(config_b))
     with pytest.raises(ValueError, match='does not match'):
         load_model_and_params(tmp_path)
+
+
+def test_fused_kill_and_resume_bit_identical(tmp_path):
+    """The fused Pallas train step is resumable too: its state carries the
+    PADDED packed params + optax state + PRNG key, and kill-and-resume is
+    bit-identical to the uninterrupted fused run."""
+    from multi_modal_normative_modeling_tpu.train.fused import (
+        FusedFoldTrainer,
+    )
+
+    model = _model()
+    data, cov = _problem(seed=5)
+    params = model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+    mk = lambda e: TrainConfig(epochs=e, batch_size=8, combine="gpoe")
+
+    ref = FusedFoldTrainer(model, mk(8), 21, interpret=True)
+    p_ref, logs_ref = ref.run(params, data, cov[0], key=key)
+
+    t1 = FusedFoldTrainer(model, mk(5), 21, interpret=True)
+    t1.run_resumable(params, data, cov[0], key, state_dir=tmp_path,
+                     checkpoint_every=3)
+    assert train_state_exists(tmp_path)
+    t2 = FusedFoldTrainer(model, mk(8), 21, interpret=True)
+    p_res, logs_res = t2.run_resumable(params, data, cov[0], key,
+                                       state_dir=tmp_path,
+                                       checkpoint_every=3, resume=True)
+    _assert_trees_equal(p_res, p_ref)
+    np.testing.assert_array_equal(logs_res["total"],
+                                  np.asarray(logs_ref["total"]))
