@@ -174,23 +174,18 @@ def main(args, project_root=None):
 
     packed_xla = False
     if getattr(args, 'packed_xla', False) and fused_trainer is None:
-        if checkpoint_every:
-            print('packed XLA path unavailable (--checkpoint_every: '
-                  'resumable training runs on the per-modality path); '
-                  'using the per-modality path')
-        else:
-            # packed-modality XLA path: each layer is one batched einsum over
-            # all modalities (~22% faster per step single-fold; RESULTS.md)
-            from ..train.packed import packed_supported
+        # packed-modality XLA path: each layer is one batched einsum over
+        # all modalities (~22% faster per step single-fold; RESULTS.md)
+        from ..train.packed import packed_supported
 
-            packed_xla, reason = packed_supported(model, train_config)
-            if packed_xla and not covariates_uniform():
-                packed_xla, reason = False, (
-                    'per-modality covariates differ across modalities '
-                    '(packed layout shares one block)')
-            if not packed_xla:
-                print(f'packed XLA path unavailable ({reason}); '
-                      'using the per-modality path')
+        packed_xla, reason = packed_supported(model, train_config)
+        if packed_xla and not covariates_uniform():
+            packed_xla, reason = False, (
+                'per-modality covariates differ across modalities '
+                '(packed layout shares one block)')
+        if not packed_xla:
+            print(f'packed XLA path unavailable ({reason}); '
+                  'using the per-modality path')
 
     if fused_trainer is not None:
         per_fold_params, per_fold_logs = [], []
@@ -229,7 +224,15 @@ def main(args, project_root=None):
             run_log.event('warmup_done', seconds=secs)
             return
         print('train model (all folds fold-parallel, packed modalities)')
-        per_fold_params, per_fold_logs = pmft.run(params_list, folds, keys)
+        if checkpoint_every:
+            # packed state is the stacked PACKED pytree — its own state dir
+            per_fold_params, per_fold_logs = pmft.run_resumable(
+                params_list, folds, keys,
+                state_dir=model_dir / 'packed-state',
+                checkpoint_every=checkpoint_every, resume=resume)
+        else:
+            per_fold_params, per_fold_logs = pmft.run(params_list, folds,
+                                                      keys)
     elif fused_trainer is None and packed_xla:
         from ..train.packed import PackedFoldTrainer
 
@@ -245,8 +248,14 @@ def main(args, project_root=None):
         print('train model (packed modalities)')
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
-            params, logs = ptr.run(params_list[fold], data_list, cov_list[0],
-                                   key=keys[fold])
+            if checkpoint_every:
+                params, logs = ptr.run_resumable(
+                    params_list[fold], data_list, cov_list[0], keys[fold],
+                    state_dir=model_dir / f'{fold:03d}-packed-state',
+                    checkpoint_every=checkpoint_every, resume=resume)
+            else:
+                params, logs = ptr.run(params_list[fold], data_list,
+                                       cov_list[0], key=keys[fold])
             per_fold_params.append(params)
             per_fold_logs.append(logs)
     elif fused_trainer is None and fold_parallel:

@@ -150,6 +150,44 @@ class PackedFoldTrainer:
         self._train.lower(packed, batches, key).compile()
         return time.perf_counter() - t0
 
+    def run_resumable(self, per_modality_params, data_list, cov, key,
+                      state_dir, checkpoint_every: int, resume: bool = True):
+        """Checkpointed packed training (mirrors FoldTrainer.run_resumable);
+        the state carries the PACKED params, so callers use a
+        packed-specific state_dir. Kill-and-resume is bit-identical to the
+        uninterrupted packed run."""
+        import functools
+
+        from .checkpoints import run_chunked
+
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        packed = self._packed(per_modality_params)
+        batches = jax.device_put(make_packed_fold_batches(
+            self.stacked, data_list, cov, self.config.batch_size))
+
+        def template_fn():
+            shapes = jax.eval_shape(self.optimizer.init, packed)
+            return {"params": packed, "key": key,
+                    "opt_state": jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+
+        chunk_cache: dict = {}
+
+        def run_chunk(n, p, opt_state, k):
+            if opt_state is None:
+                opt_state = jax.jit(self.optimizer.init)(p)
+            if n not in chunk_cache:
+                chunk_cache[n] = jax.jit(functools.partial(
+                    self._raw_train.chunk, n))
+            return chunk_cache[n](p, opt_state, k, batches)
+
+        params, logs = run_chunked(state_dir, self.config.epochs,
+                                   checkpoint_every, resume, packed, None,
+                                   key, run_chunk, template_fn)
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+        return self.stacked.unpack_params(host), logs
+
 
 class PackedMultiFoldTrainer:
     """vmap(packed whole-fold trainer) over a stacked fold axis: operands are
@@ -162,11 +200,11 @@ class PackedMultiFoldTrainer:
             model.input_dim_list, model.hidden_dim, model.latent_dim,
             model.c_dim, model.modalities, model.non_linear)
         self.config = config
-        optimizer = build_optimizer(config, n_samples)
-        train = build_train_fn(
-            _packed_loss_fn(self.stacked, config.combine), optimizer,
+        self.optimizer = build_optimizer(config, n_samples)
+        self._raw_train = build_train_fn(
+            _packed_loss_fn(self.stacked, config.combine), self.optimizer,
             config.epochs, shuffle=False)
-        self._jitted = jax.jit(jax.vmap(train))
+        self._jitted = jax.jit(jax.vmap(self._raw_train))
 
     def _stack_packed(self, params_list):
         # identical init pytrees (the CLI shares one across folds) pack
@@ -218,9 +256,11 @@ class PackedMultiFoldTrainer:
         batches = self.pack_folds(folds)
         out, logs = self._jitted(stacked_params, jax.device_put(batches),
                                  jnp.stack(list(keys)))
+        return self._per_fold(out, logs, len(params_list))
+
+    def _per_fold(self, out, logs, n_folds):
         host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
         host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
-        n_folds = len(params_list)
         per_fold_params = [
             self.stacked.unpack_params(
                 jax.tree_util.tree_map(lambda leaf: leaf[f], host))
@@ -229,3 +269,41 @@ class PackedMultiFoldTrainer:
         per_fold_logs = [{k: v[f] for k, v in host_logs.items()}
                          for f in range(n_folds)]
         return per_fold_params, per_fold_logs
+
+    def run_resumable(self, params_list, folds, keys, state_dir,
+                      checkpoint_every: int, resume: bool = True):
+        """Checkpointed fold-parallel packed training: ONE whole-run train
+        state (stacked packed params + stacked optax state + per-fold PRNG
+        keys + epoch cursor); bit-identical to the single-scan run."""
+        import functools
+
+        from .checkpoints import run_chunked
+
+        stacked_params = self._stack_packed(params_list)
+        batches = jax.device_put(self.pack_folds(folds))
+        keys = jnp.stack(list(keys))
+        init_opt = jax.jit(jax.vmap(self.optimizer.init))
+
+        def template_fn():
+            shapes = jax.eval_shape(jax.vmap(self.optimizer.init),
+                                    stacked_params)
+            return {"params": stacked_params, "key": keys,
+                    "opt_state": jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+
+        chunk_cache: dict = {}
+
+        def run_chunk(n, p, opt_state, k):
+            if opt_state is None:
+                opt_state = init_opt(p)
+            if n not in chunk_cache:
+                chunk_cache[n] = jax.jit(jax.vmap(functools.partial(
+                    self._raw_train.chunk, n)))
+            return chunk_cache[n](p, opt_state, k, batches)
+
+        # vmapped chunk logs come back [F, n]; accumulate on the epoch axis
+        params, logs = run_chunked(state_dir, self.config.epochs,
+                                   checkpoint_every, resume, stacked_params,
+                                   None, keys, run_chunk, template_fn,
+                                   logs_concat_axis=1)
+        return self._per_fold(params, logs, len(params_list))

@@ -95,7 +95,13 @@ def test_packed_supported_pre_checks():
     assert not ok and "shuffle" in reason
 
 
-def test_cli_packed_with_checkpoint_every_prints_reason(tmp_path, capsys):
+def test_cli_packed_with_checkpoint_every(tmp_path, capsys):
+    """--packed_xla + --checkpoint_every train on the packed path (formerly
+    a per-modality fallback) and leave the packed resumable state."""
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        train_state_exists,
+    )
+
     root = tmp_path
     make_synthetic_resource(root, "ADNI", n_hc=30, n_disease={0: 10, 1: 10})
     args = argparse.Namespace(
@@ -108,9 +114,12 @@ def test_cli_packed_with_checkpoint_every_prints_reason(tmp_path, capsys):
     )
     train_supervised.main(args, project_root=root)
     out = capsys.readouterr().out
-    assert "packed XLA path unavailable" in out
+    assert "packed modalities" in out
+    assert "packed XLA path unavailable" not in out
     model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
-    assert (model_dir / "000" / "cVAE_model.ckpt").exists()
+    for fold in range(2):
+        assert (model_dir / f"{fold:03d}" / "cVAE_model.ckpt").exists()
+        assert train_state_exists(model_dir / f"{fold:03d}-packed-state")
 
 
 def test_cli_packed_warmup_compiles_packed_program(tmp_path, capsys):

@@ -288,3 +288,58 @@ def test_fused_kill_and_resume_bit_identical(tmp_path):
     _assert_trees_equal(p_res, p_ref)
     np.testing.assert_array_equal(logs_res["total"],
                                   np.asarray(logs_ref["total"]))
+
+
+def test_packed_kill_and_resume_bit_identical(tmp_path):
+    """PackedFoldTrainer resume: same chunked-state machinery, packed
+    pytree format."""
+    from multi_modal_normative_modeling_tpu.train.packed import (
+        PackedFoldTrainer,
+    )
+
+    model = _model()
+    data, cov = _problem(seed=6)
+    params = model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+    mk = lambda e: TrainConfig(epochs=e, batch_size=8, combine="gpoe",
+                               shuffle=False)
+
+    p_ref, logs_ref = PackedFoldTrainer(model, mk(8), 21).run(
+        params, data, cov[0], key=key)
+    PackedFoldTrainer(model, mk(5), 21).run_resumable(
+        params, data, cov[0], key, state_dir=tmp_path, checkpoint_every=3)
+    assert train_state_exists(tmp_path)
+    p_res, logs_res = PackedFoldTrainer(model, mk(8), 21).run_resumable(
+        params, data, cov[0], key, state_dir=tmp_path, checkpoint_every=3,
+        resume=True)
+    _assert_trees_equal(p_res, p_ref)
+    np.testing.assert_array_equal(logs_res["total"],
+                                  np.asarray(logs_ref["total"]))
+
+
+def test_packed_fold_parallel_resumable_matches(tmp_path):
+    """PackedMultiFoldTrainer resume: one whole-run state over the stacked
+    fold axis, bit-identical to the single-scan fold-parallel run."""
+    from multi_modal_normative_modeling_tpu.train.packed import (
+        PackedMultiFoldTrainer,
+    )
+
+    model = _model()
+    mk = lambda e: TrainConfig(epochs=e, batch_size=8, combine="gpoe",
+                               shuffle=False)
+    folds = [_problem(seed=s) for s in (7, 8)]
+    params_list = [model.init_params(jax.random.PRNGKey(0))] * 2
+    keys = [jax.random.PRNGKey(42)] * 2
+
+    ref = PackedMultiFoldTrainer(model, mk(8), 21)
+    p_ref, logs_ref = ref.run(params_list, folds, keys)
+
+    PackedMultiFoldTrainer(model, mk(5), 21).run_resumable(
+        params_list, folds, keys, state_dir=tmp_path, checkpoint_every=3)
+    p_res, logs_res = PackedMultiFoldTrainer(model, mk(8), 21).run_resumable(
+        params_list, folds, keys, state_dir=tmp_path, checkpoint_every=3,
+        resume=True)
+    for f in range(2):
+        _assert_trees_equal(p_res[f], p_ref[f])
+        np.testing.assert_array_equal(logs_res[f]["total"],
+                                      np.asarray(logs_ref[f]["total"]))
