@@ -692,15 +692,32 @@ def add_mesh_flag(parser) -> None:
                              '--fold_parallel')
 
 
+def add_resume_flags(parser) -> None:
+    """--checkpoint_every/--resume shared by every run_folds-based trainer."""
+    parser.add_argument('--checkpoint_every', dest='checkpoint_every',
+                        type=int, default=0, metavar='N',
+                        help='write a resumable train-state checkpoint '
+                             '(params + optimizer state + PRNG + epoch '
+                             'cursor) every N epochs; chunked execution is '
+                             'bit-identical to the single-scan run')
+    parser.add_argument('--resume', dest='resume', action='store_true',
+                        help='resume a killed run from its train-state '
+                             'checkpoint (requires --checkpoint_every)')
+
+
 def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
               loss_fn=None, state_update=None, per_fold_extras=None,
-              mesh=None, shardings_fn=None):
+              mesh=None, shardings_fn=None, state_dir=None,
+              checkpoint_every: int = 0, resume: bool = False):
     """Train every fold — sequentially with a shared compiled trainer, or all
     at once as one vmapped program (numerics identical; see
     tests/test_parallel.py). ``folds`` is a list of (data_list, cov_list).
     With ``mesh`` (a parse_mesh result) the vmapped program additionally
     shards folds/batch rows (and, with a 3-axis mesh, weights) across
-    devices.
+    devices. With ``checkpoint_every`` > 0 (requires ``state_dir``) training
+    runs in resumable chunks — one whole-run state under ``state_dir`` on
+    the fold-parallel path, per-fold states under ``state_dir/NNN`` on the
+    sequential path — and kill-and-resume is bit-identical.
 
     Returns (per_fold_params, per_fold_logs) as host numpy pytrees.
     """
@@ -742,8 +759,14 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
         # the shards (an eager device_put would commit them to one device)
         if mesh is None:
             batches = jax.device_put(batches)
-        out_params, logs = mft.run(stacked, batches,
-                                   jnp.stack(list(keys)))
+        if checkpoint_every:
+            out_params, logs = mft.run_resumable(
+                stacked, batches, jnp.stack(list(keys)),
+                state_dir=state_dir, checkpoint_every=checkpoint_every,
+                resume=resume)
+        else:
+            out_params, logs = mft.run(stacked, batches,
+                                       jnp.stack(list(keys)))
         host_params = jax.tree_util.tree_map(np.asarray,
                                              jax.device_get(out_params))
         host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
@@ -756,8 +779,17 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
     per_fold_params, per_fold_logs = [], []
     for f, (data_list, cov_list) in enumerate(folds):
         extras = per_fold_extras[f] if per_fold_extras else None
-        params, logs = trainer.run(params_list[f], data_list, cov_list,
-                                   key=keys[f], extras=extras)
+        if checkpoint_every:
+            from pathlib import Path as _Path
+
+            params, logs = trainer.run_resumable(
+                params_list[f], data_list, cov_list, keys[f],
+                state_dir=_Path(state_dir) / f'{f:03d}',
+                checkpoint_every=checkpoint_every, resume=resume,
+                extras=extras)
+        else:
+            params, logs = trainer.run(params_list[f], data_list, cov_list,
+                                       key=keys[f], extras=extras)
         per_fold_params.append(
             jax.tree_util.tree_map(np.asarray, jax.device_get(params)))
         per_fold_logs.append(logs)

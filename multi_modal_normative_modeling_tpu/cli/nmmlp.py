@@ -118,7 +118,9 @@ def train(args, project_root: Path):
     per_fold_params, per_fold_logs = run_folds(
         model, config, folds, params_list, keys,
         getattr(args, 'fold_parallel', False),
-        mesh=mesh, shardings_fn=mesh_shardings)
+        mesh=mesh, shardings_fn=mesh_shardings, state_dir=model_dir,
+        checkpoint_every=getattr(args, 'checkpoint_every', 0) or 0,
+        resume=getattr(args, 'resume', False))
 
     common.emit_fold_artifacts(model_dir, per_fold_logs, per_fold_params, {
         'model': 'nmmlp', 'input_dim_list': list(map(int, input_dim_list)),
@@ -356,6 +358,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help='train every CV fold concurrently as one '
                              'vmapped device program.')
     common.add_mesh_flag(parser)
+    common.add_resume_flags(parser)
     return parser
 
 

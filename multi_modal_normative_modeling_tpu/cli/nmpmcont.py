@@ -188,7 +188,9 @@ def main(args, project_root=None):
         per_fold_extras=[
             {'labels': f['train_labels'].astype(np.float32)[:, None]}
             for f in fold_data
-        ], mesh=mesh, shardings_fn=mesh_shardings)
+        ], mesh=mesh, shardings_fn=mesh_shardings, state_dir=model_dir,
+        checkpoint_every=getattr(args, 'checkpoint_every', 0) or 0,
+        resume=getattr(args, 'resume', False))
 
     # ---- eval: ONE vmapped predict over the stacked fold axis (rows are
     # independent through the model; pad test rows to a common bucket) -------
@@ -267,6 +269,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help='train every CV fold concurrently as one '
                              'vmapped device program.')
     common.add_mesh_flag(parser)
+    common.add_resume_flags(parser)
     return parser
 
 

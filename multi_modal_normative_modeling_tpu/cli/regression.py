@@ -147,7 +147,9 @@ def train_and_test(args, project_root=None):
         model, config, [f['train'] for f in fold_data], params_list, keys,
         getattr(args, 'fold_parallel', False), loss_fn=loss_fn,
         per_fold_extras=[{'fi': f['train_fi'][:, None]} for f in fold_data],
-        mesh=mesh, shardings_fn=mesh_shardings)
+        mesh=mesh, shardings_fn=mesh_shardings, state_dir=output_dir,
+        checkpoint_every=getattr(args, 'checkpoint_every', 0) or 0,
+        resume=getattr(args, 'resume', False))
 
     # ---- phase 3: fold-stacked eval + artifacts -----------------------------
     # The full-cohort blocks are IDENTICAL across folds (the reference re-reads
@@ -280,6 +282,8 @@ def build_parser() -> argparse.ArgumentParser:
     from .common import add_mesh_flag
 
     add_mesh_flag(parser)
+    from .common import add_resume_flags
+    add_resume_flags(parser)
     return parser
 
 
