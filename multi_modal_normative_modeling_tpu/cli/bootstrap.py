@@ -200,7 +200,18 @@ def train(args, project_root=None) -> None:
         print(f'bootstrap train over a {axes} device mesh')
     trainer = MultiFoldTrainer(model, tconfig, xs[0].shape[0], mesh=mesh,
                                shardings_fn=mesh_shardings)
-    params, logs = trainer.run(stacked, batches, keys)
+    checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
+    if checkpoint_every:
+        # ONE whole-run train state over the stacked replicate axis —
+        # kill-and-resume bit-identical, like every other trainer
+        if mesh is None:
+            batches = jax.device_put(batches)
+        params, logs = trainer.run_resumable(
+            stacked, batches, keys, state_dir=model_dir,
+            checkpoint_every=checkpoint_every,
+            resume=getattr(args, 'resume', False))
+    else:
+        params, logs = trainer.run(stacked, batches, keys)
     host_params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
     host_logs = {k: np.asarray(v) for k, v in logs.items()}
     per_rep = unstack_params(host_params, n_reps)
@@ -380,6 +391,7 @@ def build_parser() -> argparse.ArgumentParser:
                              'data-parallel) or R,D,M (+ tensor-parallel '
                              'model axis); product must equal the visible '
                              'device count')
+    common.add_resume_flags(parser)
     parser.add_argument('--unconditioned', action='store_true',
                         help='plain-VAE variant: constant zero covariates')
     return parser

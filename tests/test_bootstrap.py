@@ -177,3 +177,37 @@ def test_train_binned_covariates_rejects_unseen_category():
     skew = pd.DataFrame({'AGE': [70.0], 'PTGENDER': ['Male']})
     with pytest.raises(ValueError, match='Male'):
         train_binned_covariates(num_train, skew)
+
+
+def test_bootstrap_kill_and_resume_bit_identical(tmp_path):
+    """bootstrap train --checkpoint_every/--resume: one whole-run state over
+    the stacked replicate axis; kill-and-resume reproduces the uninterrupted
+    run's replicate checkpoints bit-for-bit."""
+    import jax
+
+    from multi_modal_normative_modeling_tpu.train import load_checkpoint
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        train_state_exists,
+    )
+
+    ref_root = tmp_path / 'ref'
+    res_root = tmp_path / 'res'
+    for root in (ref_root, res_root):
+        root.mkdir()
+        make_synthetic_resource(root, 'ADNI', n_hc=50, n_disease={0: 20})
+        bootstrap.create_ids(_args('create_ids'), project_root=root)
+
+    bootstrap.train(_args('train'), project_root=ref_root)
+    bootstrap.train(_args('train', epochs=3, checkpoint_every=3),
+                    project_root=res_root)
+    bootstrap.train(_args('train', checkpoint_every=3, resume=True),
+                    project_root=res_root)
+
+    model_dir = 'outputs/bootstrap_analysis/supervised_cvae'
+    assert train_state_exists(res_root / model_dir)
+    for rep in range(3):
+        p_ref, _ = load_checkpoint(ref_root / model_dir / f'{rep:03d}')
+        p_res, _ = load_checkpoint(res_root / model_dir / f'{rep:03d}')
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), p_ref, p_res)
