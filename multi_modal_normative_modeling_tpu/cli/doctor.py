@@ -17,6 +17,9 @@ Checks:
     0.4 s healthy, hundreds of seconds degraded)
   * persistent compile cache: location, entries, size, writability
   * native data plane: fastcsv / fastwrite build + engage status
+  * mesh preflight (optional --mesh-check F,D[,M]): compile + run one
+    fold-parallel train step over the exact --mesh geometry on virtual
+    CPU devices — catches bad axis specs before real chips are queued
   * project data layout (optional --root): data/<resource>/ with y.csv
 
 Exit code 0 when nothing FAILs (WARNs allowed), 1 otherwise.
@@ -243,6 +246,98 @@ def check_project(results, root: Path):
                      + ("y.csv" if not y.exists() else "modality CSVs"))
 
 
+# Mesh preflight: compile + execute ONE fold-parallel train step over the
+# EXACT --mesh geometry the user intends to launch with — on virtual CPU
+# devices, so a bad axis spec / divisibility mistake / sharding bug
+# surfaces in seconds instead of after queueing for real chips. Runs in a
+# subprocess because the device count is fixed at backend init.
+_MESH_CHILD = r"""
+import json, sys, time
+spec = sys.argv[1]
+from multi_modal_normative_modeling_tpu.utils.jaxconfig import (
+    configure_jax_cache)
+configure_jax_cache()  # honors JAX_PLATFORMS=cpu set by the parent
+import jax
+import numpy as np
+from multi_modal_normative_modeling_tpu.cli import common
+from multi_modal_normative_modeling_tpu.models import build_model
+from multi_modal_normative_modeling_tpu.parallel import (
+    MultiFoldTrainer, stack_fold_batches, stack_params)
+from multi_modal_normative_modeling_tpu.train import TrainConfig
+
+sizes = [int(s) for s in spec.replace("x", ",").split(",")]
+n_folds = sizes[0] * 2          # exercise >1 fold per mesh row
+# rows divisible by the data axis; malformed axis counts fall through to
+# parse_mesh, which raises the user-facing SystemExit message
+batch = 4 * max(1, sizes[1] if len(sizes) > 1 else 1)
+mesh, shardings_fn = common.parse_mesh(spec, n_folds=n_folds,
+                                       batch_size=batch)
+model = build_model("cVAE_multimodal", [16, 12], [8, 8], 4, 3, 2)
+config = TrainConfig(epochs=1, batch_size=batch, combine="gpoe")
+rng = np.random.default_rng(0)
+folds = [([rng.normal(size=(batch, d)).astype(np.float32)
+           for d in (16, 12)],
+          [rng.normal(size=(batch, 3)).astype(np.float32)] * 2)
+         for _ in range(n_folds)]
+params = common.host_init_params(model)
+stacked = stack_params([params] * n_folds)
+batches = stack_fold_batches([f[0] for f in folds], [f[1] for f in folds],
+                             batch)
+keys = np.stack([common.host_prng_key(f) for f in range(n_folds)])
+t0 = time.perf_counter()
+trainer = MultiFoldTrainer(model, config, batch, mesh=mesh,
+                           shardings_fn=shardings_fn)
+out, logs = trainer.run(stacked, batches, keys)
+total = np.asarray(logs["total"])
+assert np.isfinite(total).all()
+print(json.dumps({"ok": True, "n_devices": jax.device_count(),
+                  "n_folds": n_folds,
+                  "seconds": round(time.perf_counter() - t0, 1)}))
+"""
+
+
+def check_mesh(results, spec: str, timeout_s: float):
+    import subprocess
+
+    sizes = [s for s in str(spec).replace("x", ",").split(",") if s]
+    try:
+        total = 1
+        for s in sizes:
+            total *= int(s)
+    except ValueError:
+        _finding(results, "mesh-check", FAIL,
+                 f"--mesh-check {spec!r}: expected comma-separated axis "
+                 "sizes, e.g. 2,4 or 2,2,2")
+        return
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # virtual devices so the geometry is testable without the real chips
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (flags + " "
+                        f"--xla_force_host_platform_device_count={total}"
+                        ).strip()
+    try:
+        proc = subprocess.run([sys.executable, "-c", _MESH_CHILD, str(spec)],
+                              capture_output=True, text=True, env=env,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _finding(results, "mesh-check", FAIL,
+                 f"mesh {spec} preflight still compiling after "
+                 f"{timeout_s:.0f}s")
+        return
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()
+        _finding(results, "mesh-check", FAIL,
+                 f"mesh {spec} preflight failed: "
+                 + " | ".join(tail[-3:])[-400:])
+        return
+    probe = json.loads(proc.stdout.strip().splitlines()[-1])
+    _finding(results, "mesh-check", OK,
+             f"mesh {spec} compiled + ran one fold-parallel train step on "
+             f"{probe['n_devices']} virtual devices ({probe['n_folds']} "
+             f"folds, {probe['seconds']}s) — geometry is launchable")
+
+
 def main(args):
     from ..utils.jaxconfig import configure_jax_cache
 
@@ -254,6 +349,8 @@ def main(args):
                  attach=not args.no_attach)
     check_compile_cache(results)
     check_native(results)
+    if args.mesh_check:
+        check_mesh(results, args.mesh_check, timeout_s=args.mesh_timeout)
     if args.root:
         check_project(results, Path(args.root))
 
@@ -282,6 +379,13 @@ def build_parser():
     parser.add_argument("--attach-timeout", type=float, default=60.0,
                         help="seconds to wait for the device probe "
                              "subprocess before reporting FAIL (default 60)")
+    parser.add_argument("--mesh-check", default=None, metavar="F,D[,M]",
+                        help="preflight a --mesh geometry: compile + run one "
+                             "fold-parallel train step over it on virtual "
+                             "CPU devices (no real chips needed)")
+    parser.add_argument("--mesh-timeout", type=float, default=300.0,
+                        help="seconds for the mesh preflight subprocess "
+                             "(default 300; first compile dominates)")
     parser.add_argument("--json", action="store_true",
                         help="machine-readable output")
     return parser

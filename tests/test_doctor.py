@@ -111,3 +111,31 @@ def test_doctor_detects_sitecustomize_platform_trap(capsys):
     # the probe itself re-asserts the env var, so the resolved backend is OK
     assert results["platform"]["status"] == "OK"
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_doctor_mesh_check_good_geometry(capsys):
+    rc, out = _run(["--no-attach", "--json", "--mesh-check", "2,2",
+                    "--mesh-timeout", "600"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["mesh-check"]["status"] == "OK"
+    assert "4 virtual devices" in results["mesh-check"]["detail"]
+    assert rc == 0
+
+
+def test_doctor_mesh_check_malformed_spec(capsys):
+    rc, out = _run(["--no-attach", "--json", "--mesh-check", "junk"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["mesh-check"]["status"] == "FAIL"
+    assert rc == 1
+
+
+def test_doctor_mesh_check_wrong_axis_count(capsys):
+    # parse_mesh requires 2 or 3 axes; the child exits nonzero with its
+    # SystemExit message surfaced in the finding
+    rc, out = _run(["--no-attach", "--json", "--mesh-check", "8",
+                    "--mesh-timeout", "600"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["mesh-check"]["status"] == "FAIL"
+    assert "2 or 3 axis sizes" in results["mesh-check"]["detail"]
+    assert rc == 1
