@@ -276,3 +276,61 @@ def test_meshed_service_matches_unmeshed(trained_project, service):
         serve.ScoringService("ADNI", "SM-av45", combine="PoE", n_splits=3,
                              project_root=trained_project,
                              mesh=make_mesh(n_fold=2, n_data=4))
+
+
+def test_http_adversarial_payloads_never_kill_the_daemon(service):
+    """Malformed/hostile requests get clean 4xx JSON errors (500 only for
+    genuine surprises) and the daemon keeps serving afterwards."""
+    import urllib.error
+
+    server = serve.make_server(service, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+
+    def post_raw(data):
+        req = urllib.request.Request(
+            base + "/score", data=data,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    hostile = [
+        b"",                                     # empty body
+        b"not json at all {{{",                  # invalid JSON
+        b"\x00\x01\x02",                         # binary garbage
+        json.dumps({}).encode(),                 # neither ids nor features
+        json.dumps({"ids": []}).encode(),        # empty ids
+        json.dumps({"ids": ["no-such-subject"]}).encode(),
+        json.dumps({"ids": [None, 1.5]}).encode(),
+        json.dumps({"features": "wrong-type"}).encode(),
+        json.dumps({"features": {"av45": [[1.0, 2.0]]},   # wrong width
+                    "covariates": {"AGE": [70], "PTGENDER": [1]}}).encode(),
+        json.dumps({"features": {"av45": [[0.1] * 90]},
+                    "covariates": {"AGE": [70]}}).encode(),  # missing gender
+        json.dumps({"features": {"av45": [[0.1] * 90]},
+                    "covariates": {"AGE": [70, 71],          # length skew
+                                   "PTGENDER": [1]}}).encode(),
+        json.dumps({"ids": list(service._frames[0].index[:2]),
+                    "fold": 99}).encode(),       # fold out of range
+        json.dumps({"ids": list(service._frames[0].index[:2]),
+                    "roi": {"nested": "junk"}}).encode(),
+    ]
+    try:
+        for payload in hostile:
+            status, body = post_raw(payload)
+            assert "error" in body or status == 200, payload
+            assert status in (200, 400), (payload, status, body)
+
+        # the daemon is still alive and correct after the barrage
+        ids = list(service._frames[0].index[:3])
+        status, body = post_raw(json.dumps({"ids": ids}).encode())
+        assert status == 200
+        assert len(body["deviation"]) == 3
+    finally:
+        server.shutdown()
+        server.server_close()
