@@ -226,8 +226,64 @@ def _attach_seconds():
     return round(dt, 1) if dt is not None else None
 
 
-def main():
+def _child_main():
+    """Child mode (MMNM_BENCH_CHILD=1): run the device measurement and print
+    one tiny JSON line for the parent."""
+    import jax
+
     jax_seconds = bench_jax()
+    print(json.dumps({"jax_seconds": jax_seconds,
+                      "attach_seconds": _attach_seconds(),
+                      "platform": jax.default_backend()}))
+
+
+def _measure_in_subprocess(timeout_s: float, force_cpu: bool = False):
+    """Run the jax measurement in a killable child: through the remote-TPU
+    tunnel the session attach can block indefinitely in degraded windows
+    (measured >900s), and jax's atexit teardown then blocks the parent —
+    an in-process watchdog cannot protect the bench. Returns the child's
+    JSON dict, or None on timeout/failure."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["MMNM_BENCH_CHILD"] = "1"
+    if force_cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              capture_output=True, text=True, env=env,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
+def main():
+    import os
+
+    # watchdog: healthy runs finish in ~2-4 min (attach 0.4s + cached
+    # compile + 20 chained reps); a dead tunnel would otherwise hang forever
+    timeout_s = float(os.environ.get("MMNM_BENCH_TIMEOUT", 1800))
+    child = _measure_in_subprocess(timeout_s)
+    tunnel_unreachable = child is None
+    if tunnel_unreachable:
+        # transparent fallback: measure on the LOCAL cpu so the bench still
+        # reports an honest (if far slower) number, flagged in detail. The
+        # cpu leg needs its own budget (the full 5-fold x 200-epoch workload
+        # takes ~6 min of cpu compute) even when the chip watchdog was short
+        child = _measure_in_subprocess(max(timeout_s, 1800.0),
+                                       force_cpu=True)
+    if child is None:
+        raise SystemExit("bench: measurement child failed on both the "
+                         "default backend and cpu")
+    jax_seconds = child["jax_seconds"]
     subjects_per_sec = FOLDS * EPOCHS * N_SUBJECTS / jax_seconds
 
     measured_job = _measured_reference_seconds()
@@ -245,24 +301,37 @@ def main():
         reference_full_job = torch_seconds * FOLDS
         baseline_source = "in-process torch hot-loop re-creation"
 
+    detail = {
+        "jax_5fold_seconds": round(jax_seconds, 3),
+        "torch_cpu_single_fold_seconds": round(torch_seconds, 3),
+        # tunnel health at measurement time: a multi-minute attach means
+        # a degraded window whose ~120ms/invocation overhead inflates
+        # jax_5fold_seconds (RESULTS.md "Window sensitivity")
+        "session_attach_seconds": child.get("attach_seconds"),
+        "platform": child.get("platform"),
+        "baseline_source": baseline_source,
+        "workload": f"{FOLDS} folds x {EPOCHS} epochs x {N_SUBJECTS} "
+                    f"subjects x {len(DIMS)} modalities {DIMS}",
+    }
+    if tunnel_unreachable:
+        detail["tunnel_unreachable"] = (
+            f"device measurement exceeded {timeout_s:.0f}s (session attach "
+            "blocked; degraded windows measured >900s) — this line is the "
+            "LOCAL CPU fallback, far below the chip numbers recorded in "
+            "RESULTS.md / BENCH_r*.json")
     print(json.dumps({
         "metric": "5fold_cvae_train_subject_epochs_per_sec",
         "value": round(subjects_per_sec, 1),
         "unit": "subject-epochs/sec/chip",
         "vs_baseline": round(reference_full_job / jax_seconds, 2),
-        "detail": {
-            "jax_5fold_seconds": round(jax_seconds, 3),
-            "torch_cpu_single_fold_seconds": round(torch_seconds, 3),
-            # tunnel health at measurement time: a multi-minute attach means
-            # a degraded window whose ~120ms/invocation overhead inflates
-            # jax_5fold_seconds (RESULTS.md "Window sensitivity")
-            "session_attach_seconds": _attach_seconds(),
-            "baseline_source": baseline_source,
-            "workload": f"{FOLDS} folds x {EPOCHS} epochs x {N_SUBJECTS} "
-                        f"subjects x {len(DIMS)} modalities {DIMS}",
-        },
+        "detail": detail,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("MMNM_BENCH_CHILD"):
+        _child_main()
+    else:
+        main()
