@@ -256,13 +256,16 @@ def _measure_in_subprocess(timeout_s: float, force_cpu: bool = False):
                               capture_output=True, text=True, env=env,
                               timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return None
+        return None, "timeout"
     if proc.returncode != 0:
-        return None
+        # a crash is NOT a tunnel problem — surface the child's last lines
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-5:]
+        return None, "child failed: " + " | ".join(tail)[-500:]
     try:
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        return json.loads(proc.stdout.strip().splitlines()[-1]), None
     except Exception:
-        return None
+        return None, ("child printed no JSON: "
+                      + proc.stdout.strip()[-200:])
 
 
 def main():
@@ -271,18 +274,22 @@ def main():
     # watchdog: healthy runs finish in ~2-4 min (attach 0.4s + cached
     # compile + 20 chained reps); a dead tunnel would otherwise hang forever
     timeout_s = float(os.environ.get("MMNM_BENCH_TIMEOUT", 1800))
-    child = _measure_in_subprocess(timeout_s)
-    tunnel_unreachable = child is None
+    child, err = _measure_in_subprocess(timeout_s)
+    tunnel_unreachable = child is None and err == "timeout"
+    if child is None and err != "timeout":
+        # a crash (vs a blocked attach) is a code bug — fail loudly with
+        # the child's diagnostics instead of mislabeling it tunnel weather
+        raise SystemExit(f"bench: device measurement {err}")
     if tunnel_unreachable:
         # transparent fallback: measure on the LOCAL cpu so the bench still
         # reports an honest (if far slower) number, flagged in detail. The
         # cpu leg needs its own budget (the full 5-fold x 200-epoch workload
         # takes ~6 min of cpu compute) even when the chip watchdog was short
-        child = _measure_in_subprocess(max(timeout_s, 1800.0),
-                                       force_cpu=True)
+        child, err = _measure_in_subprocess(max(timeout_s, 1800.0),
+                                            force_cpu=True)
     if child is None:
-        raise SystemExit("bench: measurement child failed on both the "
-                         "default backend and cpu")
+        raise SystemExit("bench: cpu fallback measurement also failed "
+                         f"({err})")
     jax_seconds = child["jax_seconds"]
     subjects_per_sec = FOLDS * EPOCHS * N_SUBJECTS / jax_seconds
 

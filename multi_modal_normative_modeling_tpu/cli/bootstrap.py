@@ -201,6 +201,7 @@ def train(args, project_root=None) -> None:
     trainer = MultiFoldTrainer(model, tconfig, xs[0].shape[0], mesh=mesh,
                                shardings_fn=mesh_shardings)
     checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
+    common.require_checkpoint_for_resume(args)
     if checkpoint_every:
         # ONE whole-run train state over the stacked replicate axis —
         # kill-and-resume bit-identical, like every other trainer

@@ -705,6 +705,16 @@ def add_resume_flags(parser) -> None:
                              'checkpoint (requires --checkpoint_every)')
 
 
+def require_checkpoint_for_resume(args) -> None:
+    """--resume without --checkpoint_every would silently retrain from
+    scratch (the resumable branch is never taken) — refuse loudly instead."""
+    if getattr(args, 'resume', False) and not (
+            getattr(args, 'checkpoint_every', 0) or 0):
+        raise SystemExit(
+            '--resume requires --checkpoint_every N: a resumable train '
+            'state is only written (and read) when checkpointing is on')
+
+
 def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
               loss_fn=None, state_update=None, per_fold_extras=None,
               mesh=None, shardings_fn=None, state_dir=None,
@@ -721,6 +731,10 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
 
     Returns (per_fold_params, per_fold_logs) as host numpy pytrees.
     """
+    if resume and not checkpoint_every:
+        raise SystemExit(
+            '--resume requires --checkpoint_every N: a resumable train '
+            'state is only written (and read) when checkpointing is on')
     import jax
     import jax.numpy as jnp
     import numpy as np

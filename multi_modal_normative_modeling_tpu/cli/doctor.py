@@ -265,11 +265,11 @@ from multi_modal_normative_modeling_tpu.parallel import (
     MultiFoldTrainer, stack_fold_batches, stack_params)
 from multi_modal_normative_modeling_tpu.train import TrainConfig
 
-sizes = [int(s) for s in spec.replace("x", ",").split(",")]
-n_folds = sizes[0] * 2          # exercise >1 fold per mesh row
-# rows divisible by the data axis; malformed axis counts fall through to
-# parse_mesh, which raises the user-facing SystemExit message
-batch = 4 * max(1, sizes[1] if len(sizes) > 1 else 1)
+# validate the REAL launch parameters: the intended fold count and batch
+# size, not synthesized always-divisible stand-ins — a divisibility
+# mistake must fail here exactly as the real launch would
+n_folds = int(sys.argv[2])
+batch = int(sys.argv[3])
 mesh, shardings_fn = common.parse_mesh(spec, n_folds=n_folds,
                                        batch_size=batch)
 model = build_model("cVAE_multimodal", [16, 12], [8, 8], 4, 3, 2)
@@ -296,7 +296,8 @@ print(json.dumps({"ok": True, "n_devices": jax.device_count(),
 """
 
 
-def check_mesh(results, spec: str, timeout_s: float):
+def check_mesh(results, spec: str, timeout_s: float, n_folds: int,
+               batch_size: int):
     import subprocess
 
     sizes = [s for s in str(spec).replace("x", ",").split(",") if s]
@@ -317,7 +318,8 @@ def check_mesh(results, spec: str, timeout_s: float):
                         f"--xla_force_host_platform_device_count={total}"
                         ).strip()
     try:
-        proc = subprocess.run([sys.executable, "-c", _MESH_CHILD, str(spec)],
+        proc = subprocess.run([sys.executable, "-c", _MESH_CHILD, str(spec),
+                               str(n_folds), str(batch_size)],
                               capture_output=True, text=True, env=env,
                               timeout=timeout_s)
     except subprocess.TimeoutExpired:
@@ -335,7 +337,8 @@ def check_mesh(results, spec: str, timeout_s: float):
     _finding(results, "mesh-check", OK,
              f"mesh {spec} compiled + ran one fold-parallel train step on "
              f"{probe['n_devices']} virtual devices ({probe['n_folds']} "
-             f"folds, {probe['seconds']}s) — geometry is launchable")
+             f"folds, batch {batch_size}, {probe['seconds']}s) — geometry "
+             "is launchable")
 
 
 def main(args):
@@ -350,7 +353,8 @@ def main(args):
     check_compile_cache(results)
     check_native(results)
     if args.mesh_check:
-        check_mesh(results, args.mesh_check, timeout_s=args.mesh_timeout)
+        check_mesh(results, args.mesh_check, timeout_s=args.mesh_timeout,
+                   n_folds=args.mesh_folds, batch_size=args.mesh_batch)
     if args.root:
         check_project(results, Path(args.root))
 
@@ -386,6 +390,14 @@ def build_parser():
     parser.add_argument("--mesh-timeout", type=float, default=300.0,
                         help="seconds for the mesh preflight subprocess "
                              "(default 300; first compile dominates)")
+    parser.add_argument("--mesh-folds", type=int, default=10,
+                        help="fold count the mesh must serve (default 10 — "
+                             "the trainers' -K default); divisibility is "
+                             "validated like the real launch")
+    parser.add_argument("--mesh-batch", type=int, default=256,
+                        help="batch size the mesh must serve (default 256 — "
+                             "the supervised trainer's); the data axis must "
+                             "divide it")
     parser.add_argument("--json", action="store_true",
                         help="machine-readable output")
     return parser

@@ -121,6 +121,7 @@ def main(args, project_root=None):
     fold_parallel = getattr(args, 'fold_parallel', False)
     checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
     resume = getattr(args, 'resume', False)
+    common.require_checkpoint_for_resume(args)
     mesh, mesh_shardings = common.parse_mesh(getattr(args, 'mesh', None),
                                              n_folds,
                                              train_config.batch_size)
@@ -205,6 +206,13 @@ def main(args, project_root=None):
                         params_list[fold], data_list, cov_list[0],
                         key=keys[fold])
             except Exception as exc:  # Mosaic compile/alloc failure
+                if checkpoint_every:
+                    # NEVER silently fall back on the resumable path: the
+                    # XLA trajectory differs, and a restore error (torn
+                    # state, architecture mismatch) must surface instead of
+                    # a from-scratch retrain that discards the checkpointed
+                    # progress the user asked to resume
+                    raise
                 print(f'fused train step failed to compile ({exc!r}); '
                       'falling back to the XLA path')
                 fused_trainer = None

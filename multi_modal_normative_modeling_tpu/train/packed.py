@@ -115,6 +115,18 @@ class PackedFoldTrainer:
             _packed_loss_fn(self.stacked, config.combine), self.optimizer,
             config.epochs, shuffle=False)
         self._train = jax.jit(self._raw_train)
+        self._chunk_cache: dict = {}
+
+    def chunk_fn(self, n_epochs: int):
+        """Jitted resumable slice, cached per size ON THE INSTANCE: the CLI
+        calls run_resumable once per fold on one shared trainer, and a
+        per-call cache would re-trace every chunk program per fold."""
+        if n_epochs not in self._chunk_cache:
+            import functools
+
+            self._chunk_cache[n_epochs] = jax.jit(functools.partial(
+                self._raw_train.chunk, n_epochs))
+        return self._chunk_cache[n_epochs]
 
     def _packed(self, per_modality_params):
         # folds share one init pytree in the CLIs: memoize by identity so
@@ -156,8 +168,6 @@ class PackedFoldTrainer:
         the state carries the PACKED params, so callers use a
         packed-specific state_dir. Kill-and-resume is bit-identical to the
         uninterrupted packed run."""
-        import functools
-
         from .checkpoints import run_chunked
 
         if key is None:
@@ -172,15 +182,10 @@ class PackedFoldTrainer:
                     "opt_state": jax.tree_util.tree_map(
                         lambda s: np.zeros(s.shape, s.dtype), shapes)}
 
-        chunk_cache: dict = {}
-
         def run_chunk(n, p, opt_state, k):
             if opt_state is None:
                 opt_state = jax.jit(self.optimizer.init)(p)
-            if n not in chunk_cache:
-                chunk_cache[n] = jax.jit(functools.partial(
-                    self._raw_train.chunk, n))
-            return chunk_cache[n](p, opt_state, k, batches)
+            return self.chunk_fn(n)(p, opt_state, k, batches)
 
         params, logs = run_chunked(state_dir, self.config.epochs,
                                    checkpoint_every, resume, packed, None,

@@ -139,3 +139,14 @@ def test_doctor_mesh_check_wrong_axis_count(capsys):
     assert results["mesh-check"]["status"] == "FAIL"
     assert "2 or 3 axis sizes" in results["mesh-check"]["detail"]
     assert rc == 1
+
+
+def test_doctor_mesh_check_catches_real_divisibility(capsys):
+    """The preflight validates the REAL launch parameters (default folds=10,
+    batch=256): a data axis that doesn't divide the batch fails exactly as
+    `train --mesh 2,3` would."""
+    rc, out = _run(["--no-attach", "--json", "--mesh-check", "2,3"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["mesh-check"]["status"] == "FAIL"
+    assert "not divisible" in results["mesh-check"]["detail"]
+    assert rc == 1
