@@ -173,6 +173,51 @@ def main(args, project_root=None):
             print(f'fused train step unavailable ({reason}); '
                   'using the XLA path')
 
+    ep_trainer = None
+    ep_mesh = None
+    if getattr(args, 'ep_mesh', None):
+        # expert-parallel: packed modality axis sharded over devices, fusion
+        # ops as psum collectives (parallel/modality.py). An explicit mesh
+        # request fails loud (parse_mesh-style) instead of falling back.
+        conflicts = [name for name, on in [
+            ('--mesh', mesh is not None),
+            ('--fold_parallel', fold_parallel),
+            ('--packed_xla', getattr(args, 'packed_xla', False)),
+            ('--fused_train_step', getattr(args, 'fused_train_step', False)),
+        ] if on]
+        if conflicts:
+            raise SystemExit('--ep_mesh is mutually exclusive with '
+                             + ', '.join(conflicts))
+        from ..train.packed import packed_supported
+
+        ok, reason = packed_supported(model, train_config)
+        if ok and not covariates_uniform():
+            ok, reason = False, ('per-modality covariates differ across '
+                                 'modalities (packed layout shares one block)')
+        if not ok:
+            raise SystemExit(f'--ep_mesh unavailable ({reason})')
+        try:
+            sizes = [int(s) for s in
+                     str(args.ep_mesh).replace('x', ',').split(',')]
+            if len(sizes) != 2 or any(s < 1 for s in sizes):
+                raise ValueError
+        except ValueError:
+            raise SystemExit(f"--ep_mesh {args.ep_mesh!r}: expected two "
+                             "comma-separated axis sizes, e.g. 2,4 "
+                             "(modality,data)")
+        if sizes[0] * sizes[1] != jax.device_count():
+            raise SystemExit(f'--ep_mesh {args.ep_mesh}: '
+                             f'{sizes[0] * sizes[1]} mesh slots != '
+                             f'{jax.device_count()} visible devices')
+        from ..parallel.modality import EPFoldTrainer, make_ep_mesh
+
+        ep_mesh = make_ep_mesh(n_modality=sizes[0], n_data=sizes[1])
+        try:
+            ep_trainer = EPFoldTrainer(model, train_config,
+                                       folds[0][0][0].shape[0], ep_mesh)
+        except ValueError as exc:
+            raise SystemExit(f'--ep_mesh {args.ep_mesh}: {exc}')
+
     packed_xla = False
     if getattr(args, 'packed_xla', False) and fused_trainer is None:
         # packed-modality XLA path: each layer is one batched einsum over
@@ -220,7 +265,31 @@ def main(args, project_root=None):
             per_fold_params.append(params)
             per_fold_logs.append(logs)
 
-    if fused_trainer is None and packed_xla and fold_parallel:
+    if ep_trainer is not None:
+        if getattr(args, 'warmup_only', False):
+            data_list, cov_list = folds[0]
+            secs = ep_trainer.compile(params_list[0], data_list, cov_list[0],
+                                      key=keys[0])
+            print(f'warmup: expert-parallel train program compiled in '
+                  f'{secs:.1f}s (persistent cache populated)')
+            run_log.event('warmup_done', seconds=secs)
+            return
+        axes = dict(zip(ep_mesh.axis_names, ep_mesh.devices.shape))
+        print(f'train model (expert-parallel modalities, mesh {axes})')
+        per_fold_params, per_fold_logs = [], []
+        for fold, (data_list, cov_list) in enumerate(folds):
+            if checkpoint_every:
+                # EP state is the PACKED pytree (its own dir, like packed)
+                params, logs = ep_trainer.run_resumable(
+                    params_list[fold], data_list, cov_list[0], keys[fold],
+                    state_dir=model_dir / f'{fold:03d}-ep-state',
+                    checkpoint_every=checkpoint_every, resume=resume)
+            else:
+                params, logs = ep_trainer.run(params_list[fold], data_list,
+                                              cov_list[0], key=keys[fold])
+            per_fold_params.append(params)
+            per_fold_logs.append(logs)
+    elif fused_trainer is None and packed_xla and fold_parallel:
         from ..train.packed import PackedMultiFoldTrainer
 
         max_n = max(f[0][0].shape[0] for f in folds)
@@ -393,6 +462,17 @@ def build_parser() -> argparse.ArgumentParser:
                              'widths, but slower under --fold_parallel '
                              'where the pad-to-widest waste dominates); '
                              'numerics match to float tolerance.')
+    parser.add_argument('--ep_mesh', dest='ep_mesh', default=None,
+                        metavar='M,D',
+                        help='expert-parallel training: shard the packed '
+                             'modality axis over an M-way device mesh axis '
+                             '(latent-fusion ops run as psum collectives '
+                             'over ICI) x D-way data parallelism. M*D must '
+                             'equal the visible device count and M must '
+                             'divide the modality count; folds train '
+                             'sequentially. Mutually exclusive with --mesh/'
+                             '--fold_parallel/--packed_xla/'
+                             '--fused_train_step.')
     parser.add_argument('--warmup_only', dest='warmup_only',
                         action='store_true',
                         help='compile the training program for this exact '

@@ -1,0 +1,68 @@
+"""--ep_mesh CLI wiring: expert-parallel training from the drop-in train
+entry point (fusion-as-collectives over a modality x data device mesh)."""
+import argparse
+
+import pytest
+
+from multi_modal_normative_modeling_tpu.cli import train_supervised
+from multi_modal_normative_modeling_tpu.data.synthetic import (
+    make_synthetic_resource,
+)
+
+
+def _args(**over):
+    base = dict(
+        dataset_resourse="ADNI", hz_para_list=[12, 12, 4],
+        procedure="UCA-gPoE", combine="gPoE", epochs=4, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", in_memory_fusion=True,
+    )
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def test_cli_ep_mesh_trains_and_resumes(tmp_path, capsys):
+    """UCA gives 4 modalities: a (4 modality, 2 data) mesh over the 8
+    virtual devices trains every fold expert-parallel, emits the standard
+    artifacts, and leaves the EP resumable state."""
+    import jax
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-virtual-device test platform")
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        train_state_exists,
+    )
+
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=30, n_disease={0: 10, 1: 10})
+    train_supervised.main(_args(ep_mesh="4,2", checkpoint_every=2),
+                          project_root=root)
+    out = capsys.readouterr().out
+    assert "expert-parallel modalities" in out
+    assert "mesh {'modality': 4, 'data': 2}" in out
+    model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
+    for fold in range(2):
+        assert (model_dir / f"{fold:03d}" / "cVAE_model.ckpt").exists()
+        assert train_state_exists(model_dir / f"{fold:03d}-ep-state")
+
+
+def test_cli_ep_mesh_conflicts_and_gates(tmp_path):
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=30, n_disease={0: 10, 1: 10})
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        train_supervised.main(_args(ep_mesh="4,2", fold_parallel=True),
+                              project_root=root)
+    with pytest.raises(SystemExit, match="expected two"):
+        train_supervised.main(_args(ep_mesh="4"), project_root=root)
+    with pytest.raises(SystemExit, match="visible devices"):
+        train_supervised.main(_args(ep_mesh="4,200"), project_root=root)
+    # 3 modalities (SE) don't divide a 4-way modality axis -> loud failure
+    import jax
+
+    if len(jax.devices()) == 8:
+        with pytest.raises(SystemExit, match="not divisible"):
+            train_supervised.main(
+                _args(ep_mesh="4,2", procedure="SE-gPoE",
+                      in_memory_fusion=False), project_root=root)

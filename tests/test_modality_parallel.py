@@ -152,6 +152,83 @@ def test_ep_step_modality_x_data_mesh(monkeypatch):
         p_ep, p_ref)
 
 
+def _trainer_problem():
+    rng = np.random.default_rng(3)
+    from multi_modal_normative_modeling_tpu.models import build_model
+
+    model = build_model("cVAE_multimodal", DIMS, [14, 10], Z, C, len(DIMS))
+    params = model.init_params(jax.random.PRNGKey(0))
+    n = 20  # 3 batches of 8 with padding: exercises mask + valid skipping
+    data_list = [rng.normal(size=(n, d)).astype(np.float32) for d in DIMS]
+    cov = rng.normal(size=(n, C)).astype(np.float32)
+    return model, params, data_list, cov, n
+
+
+def test_ep_trainer_matches_packed_trainer():
+    """Whole-fold EP training (scan inside the shard body) must reproduce
+    the packed trainer's trajectory exactly at n_data == 1 — same key
+    splits, same masked/valid-batch semantics, gradients through psums."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from multi_modal_normative_modeling_tpu.parallel.modality import (
+        EPFoldTrainer,
+    )
+    from multi_modal_normative_modeling_tpu.train import TrainConfig
+    from multi_modal_normative_modeling_tpu.train.packed import (
+        PackedFoldTrainer,
+    )
+
+    model, params, data_list, cov, n = _trainer_problem()
+    config = TrainConfig(epochs=3, batch_size=8, combine="gpoe",
+                         shuffle=False)
+    pt_params, pt_logs = PackedFoldTrainer(model, config, n).run(
+        params, data_list, cov)
+    mesh = make_ep_mesh(n_modality=4, n_data=1, devices=jax.devices()[:4])
+    ep_params, ep_logs = EPFoldTrainer(model, config, n, mesh).run(
+        params, data_list, cov)
+
+    np.testing.assert_allclose(ep_logs["total"], pt_logs["total"], rtol=5e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6),
+        ep_params, pt_params)
+
+
+def test_ep_trainer_data_axis_and_resume(tmp_path):
+    """2-D (modality, data) EP training runs, and kill-and-resume through
+    --checkpoint_every-style chunks is bit-identical to the one-shot run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from multi_modal_normative_modeling_tpu.parallel.modality import (
+        EPFoldTrainer,
+    )
+    from multi_modal_normative_modeling_tpu.train import TrainConfig
+
+    model, params, data_list, cov, n = _trainer_problem()
+    config = TrainConfig(epochs=4, batch_size=8, combine="moe",
+                         shuffle=False)
+    mesh = make_ep_mesh(n_modality=2, n_data=4, devices=jax.devices()[:8])
+    trainer = EPFoldTrainer(model, config, n, mesh)
+    one_shot, logs = trainer.run(params, data_list, cov)
+    assert np.isfinite(np.asarray(logs["total"])).all()
+
+    key = jax.random.PRNGKey(config.seed)
+    partial_dir = tmp_path / "state"
+    resumed, _ = trainer.run_resumable(params, data_list, cov, key,
+                                       state_dir=partial_dir,
+                                       checkpoint_every=2, resume=True)
+    # simulate the kill: a fresh trainer resumes from the on-disk state
+    trainer2 = EPFoldTrainer(model, config, n, mesh)
+    resumed2, _ = trainer2.run_resumable(params, data_list, cov, key,
+                                         state_dir=partial_dir,
+                                         checkpoint_every=2, resume=True)
+    for got in (resumed, resumed2):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            got, one_shot)
+
+
 def test_ep_mesh_divisibility_errors():
     stacked, params, x_packed, c = _problem()
     with pytest.raises(ValueError, match="not divisible"):
