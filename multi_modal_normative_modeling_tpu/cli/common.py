@@ -522,6 +522,30 @@ def prepare_folds(args, project_root: Path, kfold_dir: Path, model_dir: Path,
     return folds, input_dim_list, c_dim
 
 
+def parse_axis_sizes(spec, flag: str, n_axes, usage: str):
+    """Comma- (or 'x'-) separated mesh axis sizes -> list[int], validated
+    against positivity, the allowed axis counts, and the visible device
+    count. SystemExit with the flag's usage on any error (shared by --mesh
+    and --ep_mesh so the grammars cannot drift)."""
+    import jax
+
+    try:
+        sizes = [int(s) for s in str(spec).replace('x', ',').split(',')]
+    except ValueError:
+        raise SystemExit(f"{flag} {spec!r}: expected comma-separated axis "
+                         f"sizes, e.g. {usage}")
+    if len(sizes) not in n_axes:
+        counts = ' or '.join(str(n) for n in sorted(n_axes))
+        raise SystemExit(f"{flag} takes {counts} axis sizes: {usage}")
+    if any(s < 1 for s in sizes):
+        raise SystemExit(f"{flag} {spec}: axis sizes must be positive")
+    total = int(np.prod(sizes))
+    if total != jax.device_count():
+        raise SystemExit(f"{flag} {spec}: {total} mesh slots != "
+                         f"{jax.device_count()} visible devices")
+    return sizes
+
+
 def parse_mesh(spec, n_folds: int, batch_size: int):
     """--mesh 'F,D' or 'F,D,M' -> (Mesh, shardings_fn or None).
 
@@ -530,21 +554,8 @@ def parse_mesh(spec, n_folds: int, batch_size: int):
     Three axes engage the tensor-parallel strategy (parallel/tensor.py)."""
     if not spec:
         return None, None
-    import jax
-
-    try:
-        sizes = [int(s) for s in str(spec).replace('x', ',').split(',')]
-    except ValueError:
-        raise SystemExit(f"--mesh {spec!r}: expected comma-separated axis "
-                         "sizes, e.g. 2,4 or 2,2,2 (fold,data[,model])")
-    if len(sizes) not in (2, 3):
-        raise SystemExit("--mesh takes 2 or 3 axis sizes: fold,data[,model]")
-    if any(s < 1 for s in sizes):
-        raise SystemExit(f"--mesh {spec}: axis sizes must be positive")
-    total = int(np.prod(sizes))
-    if total != jax.device_count():
-        raise SystemExit(f"--mesh {spec}: {total} mesh slots != "
-                         f"{jax.device_count()} visible devices")
+    sizes = parse_axis_sizes(spec, '--mesh', (2, 3),
+                             '2,4 or 2,2,2 (fold,data[,model])')
     if n_folds % sizes[0]:
         raise SystemExit(f"--mesh {spec}: {n_folds} folds not divisible by "
                          f"the fold axis ({sizes[0]})")

@@ -141,9 +141,10 @@ def main(args, project_root=None):
     fused_trainer = None
     if getattr(args, 'remat', False) and (
             getattr(args, 'fused_train_step', False)
-            or getattr(args, 'packed_xla', False)):
+            or getattr(args, 'packed_xla', False)
+            or getattr(args, 'ep_mesh', None)):
         print('--remat applies to the standard XLA loss; ignoring it for '
-              '--fused_train_step/--packed_xla')
+              '--fused_train_step/--packed_xla/--ep_mesh')
     if mesh is not None and (getattr(args, 'fused_train_step', False)
                              or getattr(args, 'packed_xla', False)):
         print('--mesh runs on the standard fold-parallel path; ignoring '
@@ -174,14 +175,20 @@ def main(args, project_root=None):
                   'using the XLA path')
 
     ep_trainer = None
+    ep_pmft = None
     ep_mesh = None
     if getattr(args, 'ep_mesh', None):
-        # expert-parallel: packed modality axis sharded over devices, fusion
-        # ops as psum collectives (parallel/modality.py). An explicit mesh
-        # request fails loud (parse_mesh-style) instead of falling back.
+        # expert-parallel: packed modality axis sharded over devices —
+        # M,D schedules the fusion psums by hand (shard_map,
+        # parallel/modality.py), F,M,D runs all folds fold-parallel with
+        # GSPMD placing the same collectives. An explicit mesh request
+        # fails loud (parse_mesh-style) instead of falling back.
+        sizes = common.parse_axis_sizes(
+            args.ep_mesh, '--ep_mesh', (2, 3),
+            '4,2 (modality,data) or 2,2,2 (fold,modality,data)')
         conflicts = [name for name, on in [
             ('--mesh', mesh is not None),
-            ('--fold_parallel', fold_parallel),
+            ('--fold_parallel', fold_parallel and len(sizes) == 2),
             ('--packed_xla', getattr(args, 'packed_xla', False)),
             ('--fused_train_step', getattr(args, 'fused_train_step', False)),
         ] if on]
@@ -197,24 +204,29 @@ def main(args, project_root=None):
         if not ok:
             raise SystemExit(f'--ep_mesh unavailable ({reason})')
         try:
-            sizes = [int(s) for s in
-                     str(args.ep_mesh).replace('x', ',').split(',')]
-            if len(sizes) != 2 or any(s < 1 for s in sizes):
-                raise ValueError
-        except ValueError:
-            raise SystemExit(f"--ep_mesh {args.ep_mesh!r}: expected two "
-                             "comma-separated axis sizes, e.g. 2,4 "
-                             "(modality,data)")
-        if sizes[0] * sizes[1] != jax.device_count():
-            raise SystemExit(f'--ep_mesh {args.ep_mesh}: '
-                             f'{sizes[0] * sizes[1]} mesh slots != '
-                             f'{jax.device_count()} visible devices')
-        from ..parallel.modality import EPFoldTrainer, make_ep_mesh
+            if len(sizes) == 3:
+                if n_folds % sizes[0]:
+                    raise SystemExit(
+                        f'--ep_mesh {args.ep_mesh}: {n_folds} folds not '
+                        f'divisible by the fold axis ({sizes[0]})')
+                from ..parallel.modality import (
+                    make_ep_mesh3,
+                    packed_fold_shardings,
+                )
+                from ..train.packed import PackedMultiFoldTrainer
 
-        ep_mesh = make_ep_mesh(n_modality=sizes[0], n_data=sizes[1])
-        try:
-            ep_trainer = EPFoldTrainer(model, train_config,
-                                       folds[0][0][0].shape[0], ep_mesh)
+                ep_mesh = make_ep_mesh3(n_fold=sizes[0], n_modality=sizes[1],
+                                        n_data=sizes[2])
+                max_n = max(f[0][0].shape[0] for f in folds)
+                ep_pmft = PackedMultiFoldTrainer(
+                    model, train_config, max_n, mesh=ep_mesh,
+                    shardings_fn=packed_fold_shardings)
+            else:
+                from ..parallel.modality import EPFoldTrainer, make_ep_mesh
+
+                ep_mesh = make_ep_mesh(n_modality=sizes[0], n_data=sizes[1])
+                ep_trainer = EPFoldTrainer(model, train_config,
+                                           folds[0][0][0].shape[0], ep_mesh)
         except ValueError as exc:
             raise SystemExit(f'--ep_mesh {args.ep_mesh}: {exc}')
 
@@ -265,7 +277,28 @@ def main(args, project_root=None):
             per_fold_params.append(params)
             per_fold_logs.append(logs)
 
-    if ep_trainer is not None:
+    if ep_pmft is not None:
+        axes = dict(zip(ep_mesh.axis_names, ep_mesh.devices.shape))
+        if getattr(args, 'warmup_only', False):
+            secs = ep_pmft.compile(params_list, folds, keys)
+            print(f'warmup: fold-parallel expert-parallel train program '
+                  f'compiled in {secs:.1f}s (persistent cache populated)')
+            run_log.event('warmup_done', seconds=secs)
+            return
+        print(f'train model (all folds fold-parallel, expert-parallel '
+              f'modalities, mesh {axes})')
+        if checkpoint_every:
+            # GSPMD EP state is the stacked PACKED pytree on its own dir
+            # (the mesh reorders partial sums, so its trajectory is not the
+            # unmeshed packed-state's bit-for-bit)
+            per_fold_params, per_fold_logs = ep_pmft.run_resumable(
+                params_list, folds, keys,
+                state_dir=model_dir / 'ep-packed-state',
+                checkpoint_every=checkpoint_every, resume=resume)
+        else:
+            per_fold_params, per_fold_logs = ep_pmft.run(params_list, folds,
+                                                         keys)
+    elif ep_trainer is not None:
         if getattr(args, 'warmup_only', False):
             data_list, cov_list = folds[0]
             secs = ep_trainer.compile(params_list[0], data_list, cov_list[0],
@@ -463,16 +496,20 @@ def build_parser() -> argparse.ArgumentParser:
                              'where the pad-to-widest waste dominates); '
                              'numerics match to float tolerance.')
     parser.add_argument('--ep_mesh', dest='ep_mesh', default=None,
-                        metavar='M,D',
+                        metavar='M,D|F,M,D',
                         help='expert-parallel training: shard the packed '
                              'modality axis over an M-way device mesh axis '
                              '(latent-fusion ops run as psum collectives '
-                             'over ICI) x D-way data parallelism. M*D must '
-                             'equal the visible device count and M must '
-                             'divide the modality count; folds train '
-                             'sequentially. Mutually exclusive with --mesh/'
-                             '--fold_parallel/--packed_xla/'
-                             '--fused_train_step.')
+                             'over ICI) x D-way data parallelism; M must '
+                             'divide the modality count and the axis '
+                             'product must equal the visible device count. '
+                             'Two sizes (M,D) train folds sequentially '
+                             '(hand-scheduled shard_map collectives); three '
+                             '(F,M,D) run all folds fold-parallel with '
+                             'GSPMD placing the same collectives. Mutually '
+                             'exclusive with --mesh/--packed_xla/'
+                             '--fused_train_step (and --fold_parallel for '
+                             'the 2-axis form).')
     parser.add_argument('--warmup_only', dest='warmup_only',
                         action='store_true',
                         help='compile the training program for this exact '

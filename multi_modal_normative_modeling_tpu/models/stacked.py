@@ -155,11 +155,17 @@ class StackedMultimodalCVAE:
             out[m, :, : x.shape[1]] = x
         return out
 
-    def col_mask(self) -> jnp.ndarray:
+    def col_mask_np(self) -> np.ndarray:
+        """[M, d_max] 1.0 over each modality's true features (host array —
+        keep it numpy until a jit boundary; an eager jnp conversion costs a
+        remote round trip through the TPU tunnel)."""
         mask = np.zeros((self.modalities, self.d_max), dtype=np.float32)
         for m, d in enumerate(self.input_dim_list):
             mask[m, :d] = 1.0
-        return jnp.asarray(mask)
+        return mask
+
+    def col_mask(self) -> jnp.ndarray:
+        return jnp.asarray(self.col_mask_np())
 
     # -- compute ------------------------------------------------------------------
     def forward(self, params, x_packed: jnp.ndarray, c: jnp.ndarray, key,

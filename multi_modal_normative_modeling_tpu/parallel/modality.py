@@ -43,11 +43,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.cvae import reparameterize
 from ..models.stacked import StackedMultimodalCVAE
 from ..ops.linear import leaky_relu
+from ..train.packed import PackedStateTrainerBase
+from ..train.trainer import _tree_where
 
 _HALF_LOG_2PI = 0.9189385332046727
 
@@ -67,6 +69,75 @@ def make_ep_mesh(n_modality: int, n_data: Optional[int] = None,
             f"mesh {n_modality}x{n_data} != {len(devices)} devices")
     grid = np.asarray(devices).reshape(n_modality, n_data)
     return Mesh(grid, ("modality", "data"))
+
+
+def make_ep_mesh3(n_fold: int, n_modality: int, n_data: Optional[int] = None,
+                  devices: Optional[Sequence] = None) -> Mesh:
+    """A ('fold', 'modality', 'data') mesh: fold-parallel training with the
+    packed modality axis additionally sharded (GSPMD path — see
+    packed_fold_shardings)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        if len(devices) % (n_fold * n_modality):
+            raise ValueError(
+                f"{len(devices)} devices not divisible into "
+                f"{n_fold}x{n_modality} fold x modality groups")
+        n_data = len(devices) // (n_fold * n_modality)
+    if n_fold * n_modality * n_data != len(devices):
+        raise ValueError(
+            f"mesh {n_fold}x{n_modality}x{n_data} != {len(devices)} devices")
+    grid = np.asarray(devices).reshape(n_fold, n_modality, n_data)
+    return Mesh(grid, ("fold", "modality", "data"))
+
+
+def packed_fold_shardings(mesh: Mesh, params_tree, batches_tree, keys):
+    """jit in_shardings for the packed fold-parallel trainer
+    (train/packed.py PackedMultiFoldTrainer) over a
+    ('fold', 'modality', 'data') mesh.
+
+    Every packed-param leaf is [F, M, ...] (stack_params over
+    pack_params layouts, alpha included) -> P('fold', 'modality', ...);
+    batches shard x [F, NB, M, B, D] over (fold, modality, data rows) and
+    the shared covariate/mask blocks over (fold, data rows). XLA/GSPMD then
+    inserts the modality-axis all-reduces for the fusion reductions
+    (ops/fusion.py jnp.sum over the modality axis) and the grad psums over
+    'data' — the same collectives parallel/modality.py schedules by hand
+    with shard_map, compiler-placed instead.
+    """
+    def param_spec(leaf):
+        nd = np.ndim(leaf)
+        if nd >= 2:
+            return NamedSharding(mesh,
+                                 P("fold", "modality", *([None] * (nd - 2))))
+        return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+
+    params_sh = jax.tree_util.tree_map(param_spec, params_tree)
+    batch_specs = {
+        "x": P("fold", None, "modality", "data", None),
+        "c": P("fold", None, "data", None),
+        "mask": P("fold", None, "data"),
+        "valid": P("fold", None),
+    }
+    batches_sh = {k: NamedSharding(mesh, batch_specs[k])
+                  for k in batches_tree}
+    keys_sh = NamedSharding(mesh, P("fold", *([None] * (np.ndim(keys) - 1))))
+    return params_sh, batches_sh, keys_sh
+
+
+def _packed_opt_shardings(mesh, opt_state, params, params_sh):
+    """optax state shardings mirroring packed_fold_shardings' param rule
+    (adam moments are param-shaped [F, M, ...]; counts are scalars)."""
+    def spec(leaf):
+        nd = np.ndim(leaf)
+        if nd >= 2:
+            return NamedSharding(mesh,
+                                 P("fold", "modality", *([None] * (nd - 2))))
+        return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+
+    return jax.tree_util.tree_map(spec, opt_state)
+
+
+packed_fold_shardings.opt = _packed_opt_shardings
 
 
 def fused_stats_collective(mus: jnp.ndarray, variances: jnp.ndarray,
@@ -126,13 +197,6 @@ def _param_spec(modalities: int):
         return P(*([None] * nd))
 
     return spec
-
-
-def _col_mask_full(stacked: StackedMultimodalCVAE) -> np.ndarray:
-    col = np.zeros((stacked.modalities, stacked.d_max), dtype=np.float32)
-    for m, d in enumerate(stacked.input_dim_list):
-        col[m, :d] = 1.0
-    return col
 
 
 def _check_ep_geometry(stacked: StackedMultimodalCVAE, mesh: Mesh) -> None:
@@ -213,7 +277,7 @@ def build_ep_step(stacked: StackedMultimodalCVAE,
     m_total = stacked.modalities
     n_data = mesh.shape["data"]
     loss_fn = _make_ep_loss(stacked, combine)
-    col_mask_full = _col_mask_full(stacked)
+    col_mask_full = stacked.col_mask_np()
 
     def total_fn(params, x_local, c_local, key, mask_local, col_local):
         return loss_fn(params, x_local, c_local, key, mask_local,
@@ -243,6 +307,10 @@ def build_ep_step(stacked: StackedMultimodalCVAE,
     def step(params, opt_state, x_packed, c, key, mask=None):
         x_packed = jnp.asarray(x_packed)
         c = jnp.asarray(c)
+        if x_packed.shape[1] % n_data:
+            raise ValueError(
+                f"batch dim {x_packed.shape[1]} not divisible over the "
+                f"{n_data}-way 'data' mesh axis")
         if mask is None:
             mask = jnp.ones((x_packed.shape[1],), jnp.float32)
         wrapped = jax.shard_map(
@@ -260,11 +328,7 @@ def build_ep_step(stacked: StackedMultimodalCVAE,
     return jax.jit(step)
 
 
-def _tree_where(pred, a, b):
-    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
-
-
-class EPFoldTrainer:
+class EPFoldTrainer(PackedStateTrainerBase):
     """Whole-fold expert-parallel trainer: the epoch x batch ``lax.scan``
     runs INSIDE the shard body, so one jitted program trains the fold with
     the modalities sharded across devices and 2-4 latent-sized psums per
@@ -272,10 +336,16 @@ class EPFoldTrainer:
 
     PRNG stream matches train/packed.py's PackedFoldTrainer exactly (the
     same per-epoch/per-step key splits), so with n_data == 1 the trajectory
-    is bit-compatible with the --packed_xla path; data shards fold_in their
-    axis index into each step's draw (same estimator, different sample —
-    see parallel/shardmap_step.py).
+    matches the --packed_xla path to float tolerance (the psums reorganize
+    the modality-axis summation order, so parity is ulp-level, NOT
+    bit-identical — tests/test_modality_parallel.py); data shards fold_in
+    their axis index into each step's draw (same estimator, different
+    sample — see parallel/shardmap_step.py).
     """
+
+    # shard_map's in_specs place the batch shards; a device_put here would
+    # commit the whole batch to one device first
+    _place = staticmethod(lambda x: x)
 
     def __init__(self, model, config, n_samples: int, mesh: Mesh):
         from ..train.trainer import build_optimizer
@@ -297,7 +367,9 @@ class EPFoldTrainer:
         self.optimizer = build_optimizer(config, n_samples)
         self.n_data = mesh.shape["data"]
         self._loss = _make_ep_loss(self.stacked, config.combine)
-        self._col = jnp.asarray(_col_mask_full(self.stacked))
+        # numpy until the jit boundary: an eager jnp conversion is a remote
+        # round trip through the TPU tunnel at construction time
+        self._col = self.stacked.col_mask_np()
         self._train = jax.jit(self._make_train(config.epochs,
                                                init_opt=True))
         self._chunk_cache: dict = {}
@@ -387,78 +459,11 @@ class EPFoldTrainer:
 
         return chunk
 
-    # -- public API (PackedFoldTrainer-compatible) -----------------------------
     def chunk_fn(self, n_epochs: int):
         """Jitted resumable slice: (params, opt_state, key, batches) ->
-        (params, opt_state, key, logs), cached per size."""
+        (params, opt_state, key, logs), cached per size. run/compile/
+        run_resumable come from PackedStateTrainerBase."""
         if n_epochs not in self._chunk_cache:
             self._chunk_cache[n_epochs] = jax.jit(
                 self._make_train(n_epochs, init_opt=False))
         return self._chunk_cache[n_epochs]
-
-    def _packed(self, per_modality_params):
-        from ..train.packed import _pack_params_host
-
-        memo = getattr(self, "_pack_memo", None)
-        if memo is not None and memo[0] is per_modality_params:
-            return memo[1]
-        packed = _pack_params_host(self.stacked, per_modality_params)
-        self._pack_memo = (per_modality_params, packed)
-        return packed
-
-    def _batches(self, data_list, cov):
-        from ..train.packed import make_packed_fold_batches
-
-        return make_packed_fold_batches(self.stacked, data_list, cov,
-                                        self.config.batch_size)
-
-    def run(self, per_modality_params, data_list, cov, key=None):
-        if key is None:
-            key = jax.random.PRNGKey(self.config.seed)
-        packed = self._packed(per_modality_params)
-        batches = self._batches(data_list, cov)
-        out, logs = self._train(packed, batches, key)
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        return (self.stacked.unpack_params(host),
-                jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
-
-    def compile(self, per_modality_params, data_list, cov, key=None) -> float:
-        """Lower + compile the EP program without running it; seconds."""
-        import time
-
-        if key is None:
-            key = jax.random.PRNGKey(self.config.seed)
-        packed = self._packed(per_modality_params)
-        batches = self._batches(data_list, cov)
-        t0 = time.perf_counter()
-        self._train.lower(packed, batches, key).compile()
-        return time.perf_counter() - t0
-
-    def run_resumable(self, per_modality_params, data_list, cov, key,
-                      state_dir, checkpoint_every: int, resume: bool = True):
-        """Checkpointed EP training (state = the PACKED pytree, like the
-        packed trainer's own dirs); kill-and-resume is bit-identical to the
-        uninterrupted EP run."""
-        from ..train.checkpoints import run_chunked
-
-        if key is None:
-            key = jax.random.PRNGKey(self.config.seed)
-        packed = self._packed(per_modality_params)
-        batches = self._batches(data_list, cov)
-
-        def template_fn():
-            shapes = jax.eval_shape(self.optimizer.init, packed)
-            return {"params": packed, "key": key,
-                    "opt_state": jax.tree_util.tree_map(
-                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
-
-        def run_chunk(n, p, opt_state, k):
-            if opt_state is None:
-                opt_state = jax.jit(self.optimizer.init)(p)
-            return self.chunk_fn(n)(p, opt_state, k, batches)
-
-        params, logs = run_chunked(state_dir, self.config.epochs,
-                                   checkpoint_every, resume, packed, None,
-                                   key, run_chunk, template_fn)
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
-        return self.stacked.unpack_params(host), logs

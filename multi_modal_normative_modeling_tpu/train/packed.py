@@ -99,7 +99,86 @@ def _packed_loss_fn(stacked: StackedMultimodalCVAE, combine: str):
     return loss_fn
 
 
-class PackedFoldTrainer:
+class PackedStateTrainerBase:
+    """Shared host-side plumbing for whole-fold trainers whose train state
+    is the PACKED pytree (PackedFoldTrainer below and the expert-parallel
+    parallel/modality.EPFoldTrainer): params pack-memoization, run/compile
+    entry points, and the resumable-chunk contract (checkpoints.run_chunked).
+    Subclasses provide ``self.stacked / config / optimizer / _train /
+    chunk_fn`` and may override ``_place`` (identity for meshed trainers —
+    shard_map's in_specs place the shards; a device_put would commit the
+    whole batch to one device first)."""
+
+    _place = staticmethod(jax.device_put)
+
+    def _packed(self, per_modality_params):
+        # folds share one init pytree in the CLIs: memoize by identity so
+        # the pack work (and its upload) happens once per unique tree
+        memo = getattr(self, "_pack_memo", None)
+        if memo is not None and memo[0] is per_modality_params:
+            return memo[1]
+        packed = _pack_params_host(self.stacked, per_modality_params)
+        self._pack_memo = (per_modality_params, packed)
+        return packed
+
+    def _batches(self, data_list, cov):
+        return self._place(make_packed_fold_batches(
+            self.stacked, data_list, cov, self.config.batch_size))
+
+    def run(self, per_modality_params, data_list, cov, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        packed = self._packed(per_modality_params)
+        out, logs = self._train(packed, self._batches(data_list, cov), key)
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
+        return (self.stacked.unpack_params(host),
+                jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
+
+    def compile(self, per_modality_params, data_list, cov, key=None) -> float:
+        """Lower + compile the whole-fold program without running it;
+        returns seconds (populates the persistent compilation cache)."""
+        import time
+
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        packed = self._packed(per_modality_params)
+        batches = self._batches(data_list, cov)
+        t0 = time.perf_counter()
+        self._train.lower(packed, batches, key).compile()
+        return time.perf_counter() - t0
+
+    def run_resumable(self, per_modality_params, data_list, cov, key,
+                      state_dir, checkpoint_every: int, resume: bool = True):
+        """Checkpointed training (mirrors FoldTrainer.run_resumable); the
+        state carries the PACKED params, so callers use a trainer-specific
+        state_dir. Kill-and-resume is bit-identical to the uninterrupted
+        run of the same trainer."""
+        from .checkpoints import run_chunked
+
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        packed = self._packed(per_modality_params)
+        batches = self._batches(data_list, cov)
+
+        def template_fn():
+            shapes = jax.eval_shape(self.optimizer.init, packed)
+            return {"params": packed, "key": key,
+                    "opt_state": jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+
+        def run_chunk(n, p, opt_state, k):
+            if opt_state is None:
+                opt_state = jax.jit(self.optimizer.init)(p)
+            return self.chunk_fn(n)(p, opt_state, k, batches)
+
+        params, logs = run_chunked(state_dir, self.config.epochs,
+                                   checkpoint_every, resume, packed, None,
+                                   key, run_chunk, template_fn)
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+        return self.stacked.unpack_params(host), logs
+
+
+class PackedFoldTrainer(PackedStateTrainerBase):
     """Whole-fold trainer on the packed layout; PRNG stream identical to the
     per-modality FoldTrainer's (reparameterize draws [B, Z] from the same
     split sequence), so trajectories agree to float tolerance."""
@@ -128,88 +207,55 @@ class PackedFoldTrainer:
                 self._raw_train.chunk, n_epochs))
         return self._chunk_cache[n_epochs]
 
-    def _packed(self, per_modality_params):
-        # folds share one init pytree in the CLIs: memoize by identity so
-        # the pack work (and its upload) happens once per unique tree
-        memo = getattr(self, "_pack_memo", None)
-        if memo is not None and memo[0] is per_modality_params:
-            return memo[1]
-        packed = _pack_params_host(self.stacked, per_modality_params)
-        self._pack_memo = (per_modality_params, packed)
-        return packed
-
-    def run(self, per_modality_params, data_list, cov, key=None):
-        if key is None:
-            key = jax.random.PRNGKey(self.config.seed)
-        packed = self._packed(per_modality_params)
-        batches = make_packed_fold_batches(self.stacked, data_list, cov,
-                                           self.config.batch_size)
-        out, logs = self._train(packed, jax.device_put(batches), key)
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        return (self.stacked.unpack_params(host),
-                jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
-
-    def compile(self, per_modality_params, data_list, cov, key=None) -> float:
-        """Lower + compile the packed program without running it; seconds."""
-        import time
-
-        if key is None:
-            key = jax.random.PRNGKey(self.config.seed)
-        packed = self._packed(per_modality_params)
-        batches = jax.device_put(make_packed_fold_batches(
-            self.stacked, data_list, cov, self.config.batch_size))
-        t0 = time.perf_counter()
-        self._train.lower(packed, batches, key).compile()
-        return time.perf_counter() - t0
-
-    def run_resumable(self, per_modality_params, data_list, cov, key,
-                      state_dir, checkpoint_every: int, resume: bool = True):
-        """Checkpointed packed training (mirrors FoldTrainer.run_resumable);
-        the state carries the PACKED params, so callers use a
-        packed-specific state_dir. Kill-and-resume is bit-identical to the
-        uninterrupted packed run."""
-        from .checkpoints import run_chunked
-
-        if key is None:
-            key = jax.random.PRNGKey(self.config.seed)
-        packed = self._packed(per_modality_params)
-        batches = jax.device_put(make_packed_fold_batches(
-            self.stacked, data_list, cov, self.config.batch_size))
-
-        def template_fn():
-            shapes = jax.eval_shape(self.optimizer.init, packed)
-            return {"params": packed, "key": key,
-                    "opt_state": jax.tree_util.tree_map(
-                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
-
-        def run_chunk(n, p, opt_state, k):
-            if opt_state is None:
-                opt_state = jax.jit(self.optimizer.init)(p)
-            return self.chunk_fn(n)(p, opt_state, k, batches)
-
-        params, logs = run_chunked(state_dir, self.config.epochs,
-                                   checkpoint_every, resume, packed, None,
-                                   key, run_chunk, template_fn)
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
-        return self.stacked.unpack_params(host), logs
-
 
 class PackedMultiFoldTrainer:
     """vmap(packed whole-fold trainer) over a stacked fold axis: operands are
     [F, NB, M, B, d_max] — the largest, most uniform batched einsums this
-    workload can produce."""
+    workload can produce.
 
-    def __init__(self, model, config: TrainConfig, n_samples: int):
+    With ``mesh``/``shardings_fn`` (a ('fold','modality','data') mesh +
+    parallel/modality.packed_fold_shardings) the program additionally shards
+    folds, the packed modality axis, and batch rows across devices — GSPMD
+    inserts the fusion all-reduces over 'modality' and the grad psums over
+    'data' that parallel/modality.py's shard_map path schedules by hand."""
+
+    def __init__(self, model, config: TrainConfig, n_samples: int,
+                 mesh=None, shardings_fn=None):
         assert not config.shuffle, "packed trainers train in fixed batch order"
+        if (mesh is None) != (shardings_fn is None):
+            raise ValueError("mesh and shardings_fn go together")
         self.stacked = StackedMultimodalCVAE(
             model.input_dim_list, model.hidden_dim, model.latent_dim,
             model.c_dim, model.modalities, model.non_linear)
+        if mesh is not None and "modality" in mesh.axis_names and \
+                self.stacked.modalities % mesh.shape["modality"]:
+            raise ValueError(
+                f"{self.stacked.modalities} modalities not divisible over "
+                f"the {mesh.shape['modality']}-way 'modality' mesh axis")
         self.config = config
+        self.mesh = mesh
+        self._shardings_fn = shardings_fn
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             _packed_loss_fn(self.stacked, config.combine), self.optimizer,
             config.epochs, shuffle=False)
-        self._jitted = jax.jit(jax.vmap(self._raw_train))
+        self._vtrain = jax.vmap(self._raw_train)
+        self._jitted = None
+
+    def _jit_train(self, stacked_params, batches, keys):
+        if self._jitted is None:
+            if self.mesh is not None:
+                shardings = self._shardings_fn(self.mesh, stacked_params,
+                                               batches, keys)
+                self._jitted = jax.jit(self._vtrain, in_shardings=shardings)
+            else:
+                self._jitted = jax.jit(self._vtrain)
+        return self._jitted
+
+    def _place(self, batches):
+        # with a mesh, jit's in_shardings place the shards; a device_put
+        # would commit the whole batch pytree to one device first
+        return batches if self.mesh is not None else jax.device_put(batches)
 
     def _stack_packed(self, params_list):
         # identical init pytrees (the CLI shares one across folds) pack
@@ -250,17 +296,19 @@ class PackedMultiFoldTrainer:
         import time
 
         stacked_params = self._stack_packed(params_list)
-        batches = jax.device_put(self.pack_folds(folds))
+        batches = self._place(self.pack_folds(folds))
+        keys = jnp.stack(list(keys))
+        fn = self._jit_train(stacked_params, batches, keys)
         t0 = time.perf_counter()
-        self._jitted.lower(stacked_params, batches,
-                           jnp.stack(list(keys))).compile()
+        fn.lower(stacked_params, batches, keys).compile()
         return time.perf_counter() - t0
 
     def run(self, params_list, folds, keys):
         stacked_params = self._stack_packed(params_list)
-        batches = self.pack_folds(folds)
-        out, logs = self._jitted(stacked_params, jax.device_put(batches),
-                                 jnp.stack(list(keys)))
+        batches = self._place(self.pack_folds(folds))
+        keys = jnp.stack(list(keys))
+        fn = self._jit_train(stacked_params, batches, keys)
+        out, logs = fn(stacked_params, batches, keys)
         return self._per_fold(out, logs, len(params_list))
 
     def _per_fold(self, out, logs, n_folds):
@@ -285,7 +333,7 @@ class PackedMultiFoldTrainer:
         from .checkpoints import run_chunked
 
         stacked_params = self._stack_packed(params_list)
-        batches = jax.device_put(self.pack_folds(folds))
+        batches = self._place(self.pack_folds(folds))
         keys = jnp.stack(list(keys))
         init_opt = jax.jit(jax.vmap(self.optimizer.init))
 
@@ -302,8 +350,16 @@ class PackedMultiFoldTrainer:
             if opt_state is None:
                 opt_state = init_opt(p)
             if n not in chunk_cache:
-                chunk_cache[n] = jax.jit(jax.vmap(functools.partial(
-                    self._raw_train.chunk, n)))
+                chunk = jax.vmap(functools.partial(self._raw_train.chunk, n))
+                if self.mesh is not None:
+                    p_sh, b_sh, k_sh = self._shardings_fn(self.mesh, p,
+                                                          batches, k)
+                    o_sh = self._shardings_fn.opt(self.mesh, opt_state, p,
+                                                  p_sh)
+                    chunk_cache[n] = jax.jit(
+                        chunk, in_shardings=(p_sh, o_sh, k_sh, b_sh))
+                else:
+                    chunk_cache[n] = jax.jit(chunk)
             return chunk_cache[n](p, opt_state, k, batches)
 
         # vmapped chunk logs come back [F, n]; accumulate on the epoch axis

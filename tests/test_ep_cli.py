@@ -48,13 +48,36 @@ def test_cli_ep_mesh_trains_and_resumes(tmp_path, capsys):
         assert train_state_exists(model_dir / f"{fold:03d}-ep-state")
 
 
+def test_cli_ep_mesh3_fold_parallel_gspmd(tmp_path, capsys):
+    """--ep_mesh F,M,D: all folds fold-parallel with the modality axis GSPMD-
+    sharded; resumable state in ep-packed-state."""
+    import jax
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-virtual-device test platform")
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        train_state_exists,
+    )
+
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=30, n_disease={0: 10, 1: 10})
+    train_supervised.main(_args(ep_mesh="2,2,2", checkpoint_every=2),
+                          project_root=root)
+    out = capsys.readouterr().out
+    assert "fold-parallel, expert-parallel modalities" in out
+    model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
+    for fold in range(2):
+        assert (model_dir / f"{fold:03d}" / "cVAE_model.ckpt").exists()
+    assert train_state_exists(model_dir / "ep-packed-state")
+
+
 def test_cli_ep_mesh_conflicts_and_gates(tmp_path):
     root = tmp_path
     make_synthetic_resource(root, "ADNI", n_hc=30, n_disease={0: 10, 1: 10})
     with pytest.raises(SystemExit, match="mutually exclusive"):
         train_supervised.main(_args(ep_mesh="4,2", fold_parallel=True),
                               project_root=root)
-    with pytest.raises(SystemExit, match="expected two"):
+    with pytest.raises(SystemExit, match="takes 2 or 3 axis sizes"):
         train_supervised.main(_args(ep_mesh="4"), project_root=root)
     with pytest.raises(SystemExit, match="visible devices"):
         train_supervised.main(_args(ep_mesh="4,200"), project_root=root)

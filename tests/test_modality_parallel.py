@@ -166,8 +166,10 @@ def _trainer_problem():
 
 def test_ep_trainer_matches_packed_trainer():
     """Whole-fold EP training (scan inside the shard body) must reproduce
-    the packed trainer's trajectory exactly at n_data == 1 — same key
-    splits, same masked/valid-batch semantics, gradients through psums."""
+    the packed trainer's trajectory to float tolerance at n_data == 1 —
+    same key splits, same masked/valid-batch semantics, gradients through
+    psums (the psums reorder the modality-axis sums, so parity is
+    ulp-level, not bit-identical)."""
     if len(jax.devices()) < 4:
         pytest.skip("needs >=4 virtual devices")
     from multi_modal_normative_modeling_tpu.parallel.modality import (
@@ -227,6 +229,53 @@ def test_ep_trainer_data_axis_and_resume(tmp_path):
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)),
             got, one_shot)
+
+
+def test_packed_fold_parallel_gspmd_ep_mesh_matches_unmeshed():
+    """PackedMultiFoldTrainer over a ('fold','modality','data') mesh (GSPMD
+    places the fusion all-reduces) must match the unmeshed fold-parallel
+    packed run — identical draws, so only partial-sum order differs."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from multi_modal_normative_modeling_tpu.models import build_model
+    from multi_modal_normative_modeling_tpu.parallel.modality import (
+        make_ep_mesh3,
+        packed_fold_shardings,
+    )
+    from multi_modal_normative_modeling_tpu.train import TrainConfig
+    from multi_modal_normative_modeling_tpu.train.packed import (
+        PackedMultiFoldTrainer,
+    )
+
+    rng = np.random.default_rng(5)
+    model = build_model("cVAE_multimodal", DIMS, [14, 10], Z, C, len(DIMS))
+    config = TrainConfig(epochs=3, batch_size=8, combine="mopoe",
+                         shuffle=False)
+    folds = []
+    for s in (1, 2):
+        n = 17 + s
+        data = [rng.normal(size=(n, d)).astype(np.float32) for d in DIMS]
+        cov = rng.normal(size=(n, C)).astype(np.float32)
+        folds.append((data, [cov] * len(DIMS)))
+    params_list = [model.init_params(jax.random.PRNGKey(f)) for f in range(2)]
+    keys = [jax.random.PRNGKey(42) for _ in range(2)]
+
+    plain = PackedMultiFoldTrainer(model, config, 19)
+    ref_params, ref_logs = plain.run(params_list, folds, keys)
+
+    mesh = make_ep_mesh3(n_fold=2, n_modality=2, n_data=2,
+                         devices=jax.devices()[:8])
+    meshed = PackedMultiFoldTrainer(model, config, 19, mesh=mesh,
+                                    shardings_fn=packed_fold_shardings)
+    got_params, got_logs = meshed.run(params_list, folds, keys)
+
+    for f in range(2):
+        np.testing.assert_allclose(got_logs[f]["total"],
+                                   ref_logs[f]["total"], rtol=5e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6),
+            got_params[f], ref_params[f])
 
 
 def test_ep_mesh_divisibility_errors():
