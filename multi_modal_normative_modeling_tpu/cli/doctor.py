@@ -296,6 +296,113 @@ print(json.dumps({"ok": True, "n_devices": jax.device_count(),
 """
 
 
+# Expert-parallel preflight: same idea for --ep_mesh M,D / F,M,D — one EP
+# train epoch over the exact geometry (modality count included, since the
+# modality axis must divide it) on virtual CPU devices.
+_EP_CHILD = r"""
+import json, sys, time
+spec = sys.argv[1]
+from multi_modal_normative_modeling_tpu.utils.jaxconfig import (
+    configure_jax_cache)
+configure_jax_cache()  # honors JAX_PLATFORMS=cpu set by the parent
+import jax
+import numpy as np
+from multi_modal_normative_modeling_tpu.cli import common
+from multi_modal_normative_modeling_tpu.models import build_model
+from multi_modal_normative_modeling_tpu.train import TrainConfig
+
+n_folds = int(sys.argv[2])
+batch = int(sys.argv[3])
+modalities = int(sys.argv[4])
+sizes = common.parse_axis_sizes(
+    spec, "--ep-check", (2, 3),
+    "4,2 (modality,data) or 2,2,2 (fold,modality,data)")
+dims = [12 + 4 * (m % 3) for m in range(modalities)]
+model = build_model("cVAE_multimodal", dims, [8, 8], 4, 3, modalities)
+config = TrainConfig(epochs=1, batch_size=batch, combine="gpoe")
+rng = np.random.default_rng(0)
+params = common.host_init_params(model)
+t0 = time.perf_counter()
+if len(sizes) == 2:
+    from multi_modal_normative_modeling_tpu.parallel.modality import (
+        EPFoldTrainer, make_ep_mesh)
+    mesh = make_ep_mesh(n_modality=sizes[0], n_data=sizes[1])
+    trainer = EPFoldTrainer(model, config, batch, mesh)
+    data = [rng.normal(size=(batch, d)).astype(np.float32) for d in dims]
+    cov = rng.normal(size=(batch, 3)).astype(np.float32)
+    _, logs = trainer.run(params, data, cov)
+    total = np.asarray(logs["total"])
+else:
+    from multi_modal_normative_modeling_tpu.parallel.modality import (
+        make_ep_mesh3, packed_fold_shardings)
+    from multi_modal_normative_modeling_tpu.train.packed import (
+        PackedMultiFoldTrainer)
+    if n_folds % sizes[0]:
+        raise SystemExit(f"{n_folds} folds not divisible by the fold "
+                         f"axis ({sizes[0]})")
+    mesh = make_ep_mesh3(n_fold=sizes[0], n_modality=sizes[1],
+                         n_data=sizes[2])
+    trainer = PackedMultiFoldTrainer(model, config, batch, mesh=mesh,
+                                     shardings_fn=packed_fold_shardings)
+    folds = [([rng.normal(size=(batch, d)).astype(np.float32)
+               for d in dims],
+              [rng.normal(size=(batch, 3)).astype(np.float32)]
+              * modalities) for _ in range(n_folds)]
+    keys = [common.host_prng_key(f) for f in range(n_folds)]
+    _, per_fold_logs = trainer.run([params] * n_folds, folds, keys)
+    total = np.asarray([lg["total"] for lg in per_fold_logs])
+assert np.isfinite(total).all()
+print(json.dumps({"ok": True, "n_devices": jax.device_count(),
+                  "modalities": modalities,
+                  "seconds": round(time.perf_counter() - t0, 1)}))
+"""
+
+
+def check_ep_mesh(results, spec: str, timeout_s: float, n_folds: int,
+                  batch_size: int, modalities: int):
+    import subprocess
+
+    sizes = [s for s in str(spec).replace("x", ",").split(",") if s]
+    try:
+        total = 1
+        for s in sizes:
+            total *= int(s)
+    except ValueError:
+        _finding(results, "ep-check", FAIL,
+                 f"--ep-check {spec!r}: expected comma-separated axis "
+                 "sizes, e.g. 4,2 or 2,2,2")
+        return
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (flags + " "
+                        f"--xla_force_host_platform_device_count={total}"
+                        ).strip()
+    try:
+        proc = subprocess.run([sys.executable, "-c", _EP_CHILD, str(spec),
+                               str(n_folds), str(batch_size),
+                               str(modalities)],
+                              capture_output=True, text=True, env=env,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _finding(results, "ep-check", FAIL,
+                 f"ep mesh {spec} preflight still compiling after "
+                 f"{timeout_s:.0f}s")
+        return
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()
+        _finding(results, "ep-check", FAIL,
+                 f"ep mesh {spec} preflight failed: "
+                 + " | ".join(tail[-3:])[-400:])
+        return
+    probe = json.loads(proc.stdout.strip().splitlines()[-1])
+    _finding(results, "ep-check", OK,
+             f"ep mesh {spec} compiled + ran one expert-parallel train "
+             f"epoch on {probe['n_devices']} virtual devices "
+             f"({probe['modalities']} modalities, batch {batch_size}, "
+             f"{probe['seconds']}s) — geometry is launchable")
+
+
 def check_mesh(results, spec: str, timeout_s: float, n_folds: int,
                batch_size: int):
     import subprocess
@@ -355,6 +462,10 @@ def main(args):
     if args.mesh_check:
         check_mesh(results, args.mesh_check, timeout_s=args.mesh_timeout,
                    n_folds=args.mesh_folds, batch_size=args.mesh_batch)
+    if args.ep_check:
+        check_ep_mesh(results, args.ep_check, timeout_s=args.mesh_timeout,
+                      n_folds=args.mesh_folds, batch_size=args.mesh_batch,
+                      modalities=args.ep_modalities)
     if args.root:
         check_project(results, Path(args.root))
 
@@ -387,6 +498,16 @@ def build_parser():
                         help="preflight a --mesh geometry: compile + run one "
                              "fold-parallel train step over it on virtual "
                              "CPU devices (no real chips needed)")
+    parser.add_argument("--ep-check", default=None, metavar="M,D|F,M,D",
+                        help="preflight an --ep_mesh geometry: compile + "
+                             "run one expert-parallel train epoch over the "
+                             "exact mesh on virtual CPU devices (uses "
+                             "--mesh-folds/--mesh-batch/--ep-modalities as "
+                             "the launch parameters)")
+    parser.add_argument("--ep-modalities", type=int, default=4,
+                        help="modality count the --ep-check geometry must "
+                             "divide (default 4 — UCA on a 3-modality "
+                             "resource)")
     parser.add_argument("--mesh-timeout", type=float, default=300.0,
                         help="seconds for the mesh preflight subprocess "
                              "(default 300; first compile dominates)")

@@ -123,6 +123,28 @@ def test_doctor_mesh_check_good_geometry(capsys):
     assert rc == 0
 
 
+@pytest.mark.slow
+def test_doctor_ep_check_good_geometry(capsys):
+    rc, out = _run(["--no-attach", "--json", "--ep-check", "2,2",
+                    "--mesh-batch", "8", "--mesh-timeout", "600"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["ep-check"]["status"] == "OK"
+    assert "expert-parallel" in results["ep-check"]["detail"]
+    assert rc == 0
+
+
+def test_doctor_ep_check_indivisible_modalities(capsys):
+    """--ep-modalities 3 cannot shard over a 2-way modality axis: the
+    preflight fails exactly as `train --ep_mesh 2,2` would on 3 modalities."""
+    rc, out = _run(["--no-attach", "--json", "--ep-check", "2,2",
+                    "--mesh-batch", "8", "--ep-modalities", "3",
+                    "--mesh-timeout", "600"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["ep-check"]["status"] == "FAIL"
+    assert "not divisible" in results["ep-check"]["detail"]
+    assert rc == 1
+
+
 def test_doctor_mesh_check_malformed_spec(capsys):
     rc, out = _run(["--no-attach", "--json", "--mesh-check", "junk"], capsys)
     results = {r["section"]: r for r in json.loads(out)}
