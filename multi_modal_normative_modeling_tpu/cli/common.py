@@ -571,6 +571,32 @@ def parse_mesh(spec, n_folds: int, batch_size: int):
             fold_model_shardings)
 
 
+def ep_mesh_divisibility(sizes, n_folds: int, batch_size: int,
+                         modalities: int):
+    """Why an --ep_mesh geometry (M,D or F,M,D axis sizes) cannot launch,
+    or None. Mirrors the runtime gates (parallel/modality.py
+    _check_ep_geometry + EPFoldTrainer, train/packed.py
+    PackedMultiFoldTrainer, cli/train_supervised.py fold check) so the
+    train CLI and doctor --ep-check fail fast — and identically — without
+    building a trainer."""
+    if len(sizes) == 3:
+        if n_folds % sizes[0]:
+            return (f"{n_folds} folds not divisible by the fold axis "
+                    f"({sizes[0]})")
+        m_axis, d_axis = sizes[1], sizes[2]
+    else:
+        m_axis, d_axis = sizes
+    if modalities % m_axis:
+        return (f"{modalities} modalities not divisible over the "
+                f"{m_axis}-way 'modality' mesh axis")
+    # the 2-axis EP trainer shards batch rows by hand (shard_map); the
+    # 3-axis path lets GSPMD place them, which tolerates uneven shards
+    if len(sizes) == 2 and batch_size % d_axis:
+        return (f"batch_size {batch_size} not divisible over the "
+                f"{d_axis}-way 'data' mesh axis")
+    return None
+
+
 def parse_infer_mesh(spec):
     """--mesh 'F,D' (or the train stage's 'F,D,M' — one flag set drives the
     whole chain) -> ('fold', 'data') Mesh for the vmapped inference programs

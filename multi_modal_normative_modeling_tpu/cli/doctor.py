@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -337,9 +338,6 @@ else:
         make_ep_mesh3, packed_fold_shardings)
     from multi_modal_normative_modeling_tpu.train.packed import (
         PackedMultiFoldTrainer)
-    if n_folds % sizes[0]:
-        raise SystemExit(f"{n_folds} folds not divisible by the fold "
-                         f"axis ({sizes[0]})")
     mesh = make_ep_mesh3(n_fold=sizes[0], n_modality=sizes[1],
                          n_data=sizes[2])
     trainer = PackedMultiFoldTrainer(model, config, batch, mesh=mesh,
@@ -358,94 +356,101 @@ print(json.dumps({"ok": True, "n_devices": jax.device_count(),
 """
 
 
-def check_ep_mesh(results, spec: str, timeout_s: float, n_folds: int,
-                  batch_size: int, modalities: int):
+def _parse_preflight_axes(results, section: str, flag: str, spec: str,
+                          usage: str):
+    """Axis-size spec -> list[int], or None after reporting a FAIL."""
+    try:
+        sizes = [int(s)
+                 for s in str(spec).replace("x", ",").split(",") if s]
+        if not sizes or any(s < 1 for s in sizes):
+            raise ValueError
+    except ValueError:
+        _finding(results, section, FAIL,
+                 f"{flag} {spec!r}: expected comma-separated positive "
+                 f"axis sizes, e.g. {usage}")
+        return None
+    return sizes
+
+
+def _run_preflight(results, section: str, what: str, child_src: str,
+                   spec: str, extra_argv, n_devices: int, timeout_s: float,
+                   ok_detail):
+    """Run a preflight child over `n_devices` virtual CPU devices and
+    report `section`; `ok_detail(probe)` renders the OK line from the
+    child's JSON. Shared by --mesh-check and --ep-check so their
+    subprocess/timeout/error handling cannot drift."""
     import subprocess
 
-    sizes = [s for s in str(spec).replace("x", ",").split(",") if s]
-    try:
-        total = 1
-        for s in sizes:
-            total *= int(s)
-    except ValueError:
-        _finding(results, "ep-check", FAIL,
-                 f"--ep-check {spec!r}: expected comma-separated axis "
-                 "sizes, e.g. 4,2 or 2,2,2")
-        return
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    env["XLA_FLAGS"] = (flags + " "
-                        f"--xla_force_host_platform_device_count={total}"
-                        ).strip()
-    try:
-        proc = subprocess.run([sys.executable, "-c", _EP_CHILD, str(spec),
-                               str(n_folds), str(batch_size),
-                               str(modalities)],
-                              capture_output=True, text=True, env=env,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        _finding(results, "ep-check", FAIL,
-                 f"ep mesh {spec} preflight still compiling after "
-                 f"{timeout_s:.0f}s")
-        return
-    if proc.returncode != 0:
-        tail = (proc.stderr or proc.stdout).strip().splitlines()
-        _finding(results, "ep-check", FAIL,
-                 f"ep mesh {spec} preflight failed: "
-                 + " | ".join(tail[-3:])[-400:])
-        return
-    probe = json.loads(proc.stdout.strip().splitlines()[-1])
-    _finding(results, "ep-check", OK,
-             f"ep mesh {spec} compiled + ran one expert-parallel train "
-             f"epoch on {probe['n_devices']} virtual devices "
-             f"({probe['modalities']} modalities, batch {batch_size}, "
-             f"{probe['seconds']}s) — geometry is launchable")
-
-
-def check_mesh(results, spec: str, timeout_s: float, n_folds: int,
-               batch_size: int):
-    import subprocess
-
-    sizes = [s for s in str(spec).replace("x", ",").split(",") if s]
-    try:
-        total = 1
-        for s in sizes:
-            total *= int(s)
-    except ValueError:
-        _finding(results, "mesh-check", FAIL,
-                 f"--mesh-check {spec!r}: expected comma-separated axis "
-                 "sizes, e.g. 2,4 or 2,2,2")
-        return
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # virtual devices so the geometry is testable without the real chips
     flags = env.get("XLA_FLAGS", "")
     env["XLA_FLAGS"] = (flags + " "
-                        f"--xla_force_host_platform_device_count={total}"
-                        ).strip()
+                        f"--xla_force_host_platform_device_count"
+                        f"={n_devices}").strip()
     try:
-        proc = subprocess.run([sys.executable, "-c", _MESH_CHILD, str(spec),
-                               str(n_folds), str(batch_size)],
-                              capture_output=True, text=True, env=env,
-                              timeout=timeout_s)
+        proc = subprocess.run(
+            [sys.executable, "-c", child_src, str(spec),
+             *[str(a) for a in extra_argv]],
+            capture_output=True, text=True, env=env, timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        _finding(results, "mesh-check", FAIL,
-                 f"mesh {spec} preflight still compiling after "
+        _finding(results, section, FAIL,
+                 f"{what} {spec} preflight still compiling after "
                  f"{timeout_s:.0f}s")
         return
-    if proc.returncode != 0:
-        tail = (proc.stderr or proc.stdout).strip().splitlines()
-        _finding(results, "mesh-check", FAIL,
-                 f"mesh {spec} preflight failed: "
+    out_lines = (proc.stdout or "").strip().splitlines()
+    if proc.returncode != 0 or not out_lines:
+        tail = ((proc.stderr or proc.stdout or "").strip().splitlines()
+                or ["no output"])
+        _finding(results, section, FAIL,
+                 f"{what} {spec} preflight failed: "
                  + " | ".join(tail[-3:])[-400:])
         return
-    probe = json.loads(proc.stdout.strip().splitlines()[-1])
-    _finding(results, "mesh-check", OK,
-             f"mesh {spec} compiled + ran one fold-parallel train step on "
-             f"{probe['n_devices']} virtual devices ({probe['n_folds']} "
-             f"folds, batch {batch_size}, {probe['seconds']}s) — geometry "
-             "is launchable")
+    _finding(results, section, OK, ok_detail(json.loads(out_lines[-1])))
+
+
+def check_ep_mesh(results, spec: str, timeout_s: float, n_folds: int,
+                  batch_size: int, modalities: int):
+    sizes = _parse_preflight_axes(results, "ep-check", "--ep-check", spec,
+                                  "4,2 or 2,2,2")
+    if sizes is None:
+        return
+    if len(sizes) in (2, 3):
+        # pure-arithmetic launch gates (shared with `train --ep_mesh`):
+        # fail them here without paying the child's framework import
+        from .common import ep_mesh_divisibility
+
+        reason = ep_mesh_divisibility(sizes, n_folds, batch_size,
+                                      modalities)
+        if reason:
+            _finding(results, "ep-check", FAIL, f"ep mesh {spec}: {reason}")
+            return
+    _run_preflight(
+        results, "ep-check", "ep mesh", _EP_CHILD, spec,
+        [n_folds, batch_size, modalities],
+        n_devices=math.prod(sizes), timeout_s=timeout_s,
+        ok_detail=lambda probe: (
+            f"ep mesh {spec} compiled + ran one expert-parallel train "
+            f"epoch on {probe['n_devices']} virtual devices "
+            f"({probe['modalities']} modalities, batch {batch_size}, "
+            f"{probe['seconds']}s) — geometry is launchable"))
+
+
+def check_mesh(results, spec: str, timeout_s: float, n_folds: int,
+               batch_size: int):
+    sizes = _parse_preflight_axes(results, "mesh-check", "--mesh-check",
+                                  spec, "2,4 or 2,2,2")
+    if sizes is None:
+        return
+    _run_preflight(
+        results, "mesh-check", "mesh", _MESH_CHILD, spec,
+        [n_folds, batch_size],
+        n_devices=math.prod(sizes), timeout_s=timeout_s,
+        ok_detail=lambda probe: (
+            f"mesh {spec} compiled + ran one fold-parallel train step on "
+            f"{probe['n_devices']} virtual devices ({probe['n_folds']} "
+            f"folds, batch {batch_size}, {probe['seconds']}s) — geometry "
+            "is launchable"))
 
 
 def main(args):

@@ -203,12 +203,12 @@ def main(args, project_root=None):
                                  'modalities (packed layout shares one block)')
         if not ok:
             raise SystemExit(f'--ep_mesh unavailable ({reason})')
+        indivisible = common.ep_mesh_divisibility(
+            sizes, n_folds, train_config.batch_size, model.modalities)
+        if indivisible:
+            raise SystemExit(f'--ep_mesh {args.ep_mesh}: {indivisible}')
         try:
             if len(sizes) == 3:
-                if n_folds % sizes[0]:
-                    raise SystemExit(
-                        f'--ep_mesh {args.ep_mesh}: {n_folds} folds not '
-                        f'divisible by the fold axis ({sizes[0]})')
                 from ..parallel.modality import (
                     make_ep_mesh3,
                     packed_fold_shardings,

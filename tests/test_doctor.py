@@ -145,6 +145,17 @@ def test_doctor_ep_check_indivisible_modalities(capsys):
     assert rc == 1
 
 
+def test_doctor_ep_check_indivisible_folds(capsys):
+    """F,M,D fold-axis divisibility fails fast in the parent (shared
+    common.ep_mesh_divisibility), before any child subprocess spawns."""
+    rc, out = _run(["--no-attach", "--json", "--ep-check", "3,2,2",
+                    "--mesh-folds", "10", "--mesh-batch", "8"], capsys)
+    results = {r["section"]: r for r in json.loads(out)}
+    assert results["ep-check"]["status"] == "FAIL"
+    assert "folds not divisible" in results["ep-check"]["detail"]
+    assert rc == 1
+
+
 def test_doctor_mesh_check_malformed_spec(capsys):
     rc, out = _run(["--no-attach", "--json", "--mesh-check", "junk"], capsys)
     results = {r["section"]: r for r in json.loads(out)}
