@@ -20,6 +20,9 @@ Checks:
   * mesh preflight (optional --mesh-check F,D[,M]): compile + run one
     fold-parallel train step over the exact --mesh geometry on virtual
     CPU devices — catches bad axis specs before real chips are queued
+  * expert-parallel preflight (optional --ep-check M,D or F,M,D): same
+    for an --ep_mesh geometry, one EP train epoch with --ep-modalities
+    as the modality count the mesh must divide
   * project data layout (optional --root): data/<resource>/ with y.csv
 
 Exit code 0 when nothing FAILs (WARNs allowed), 1 otherwise.
