@@ -89,3 +89,22 @@ def test_cli_ep_mesh_conflicts_and_gates(tmp_path):
             train_supervised.main(
                 _args(ep_mesh="4,2", procedure="SE-gPoE",
                       in_memory_fusion=False), project_root=root)
+
+
+def test_ep_mesh_divisibility_gates():
+    """The shared validator (cli/common.py) mirrors every runtime gate:
+    fold axis (3-axis), modality axis (both), data axis (2-axis only —
+    the 3-axis path lets GSPMD place uneven batch shards)."""
+    from multi_modal_normative_modeling_tpu.cli.common import (
+        ep_mesh_divisibility,
+    )
+
+    ok = ep_mesh_divisibility
+    assert ok([2, 2], n_folds=10, batch_size=8, modalities=4) is None
+    assert ok([2, 2, 2], n_folds=10, batch_size=8, modalities=4) is None
+    assert "folds not divisible" in ok([3, 2, 2], 10, 8, 4)
+    assert "modalities not divisible" in ok([4, 2], 10, 8, 3)
+    assert "modalities not divisible" in ok([2, 4, 1], 10, 8, 3)
+    assert "batch_size 7 not divisible" in ok([2, 2], 10, 7, 4)
+    # 3-axis batch sharding is GSPMD's job: no batch gate
+    assert ok([2, 2, 2], n_folds=10, batch_size=7, modalities=4) is None
