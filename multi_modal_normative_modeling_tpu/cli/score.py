@@ -82,8 +82,10 @@ def score(args, project_root=None) -> pd.DataFrame:
         config = json.loads(
             (fold_model_dir / 'cVAE_model.json').read_text())
         if model is None:
+            from ..infer.ensemble import resolve_combine
+
             model = common.build_model_from_config(config)
-            combine = args.combine
+            combine = resolve_combine(args.combine, config, args.procedure)
 
             @jax.jit
             def infer_fn(params, xes, cs, key):
@@ -190,8 +192,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(argv=None, project_root=None):
     args = build_parser().parse_args(argv)
-    if args.combine is None:
-        args.combine = args.procedure.split('-')[1]
+    # combine resolution happens in score() once the checkpoint config is
+    # in hand (infer.ensemble.resolve_combine: config beats the
+    # procedure-suffix heuristic, which is wrong for SM-* procedures)
     return score(args, project_root=project_root)
 
 

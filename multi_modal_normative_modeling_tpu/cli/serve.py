@@ -85,7 +85,9 @@ class ScoringService:
             pad_to = common.infer_row_tile(mesh, base=pad_to)
         self.resource = resource
         self.procedure = procedure
-        self.combine = combine or procedure.split('-')[1]
+        # resolved after the checkpoint load below: the trained config's
+        # 'combine' beats the procedure-suffix heuristic (wrong for SM-*)
+        self.combine = combine
         self.n_splits = n_splits
         self.seed = seed
         self.pad_to = pad_to
@@ -106,6 +108,7 @@ class ScoringService:
                               n_splits=n_splits,
                               project_root=self.project_root, seed=seed)
         self.state = state
+        self.combine = state.combine
         self.dataset_names = state.dataset_names
         self.model, self.config = state.model, state.config
         self._train_covs = state.train_covs

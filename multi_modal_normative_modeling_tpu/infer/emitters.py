@@ -93,6 +93,12 @@ class DeviationEmitter:
             "reconstruction_error_roi": roi,
             "deviation_as_feature_importance": importance,
         }
+        # fail fast on writes that already finished with an error (ENOSPC,
+        # permissions): surface them before the next fold's device compute
+        # instead of only at the emit_combined join
+        for future in self._futures:
+            if future.done():
+                future.result()
         for kind, frame in frames.items():
             self._futures.append(self._pool.submit(
                 write_csv, out_dir / f"{kind}_{dataset_name}.csv", frame))
@@ -112,8 +118,14 @@ class DeviationEmitter:
                 self._futures.append(self._pool.submit(
                     write_csv, out_dir / f"{kind}_{dataset_name}.csv",
                     combined))
-        # join EVERY write before surfacing errors: a single failed file
-        # (e.g. ENOSPC) must not leak running writers or hide later failures
+        self.close()
+
+    def close(self) -> None:
+        """Join EVERY pending write, shut the pool down, then surface
+        failures: a single failed file (e.g. ENOSPC) must not leak running
+        writers or hide later failures. Idempotent; use it (or the context
+        manager) on abort paths that never reach emit_combined, so already-
+        submitted per-fold writes cannot fail silently."""
         errors = []
         try:
             for future in self._futures:
@@ -128,3 +140,16 @@ class DeviationEmitter:
             raise RuntimeError(
                 f"{len(errors)} deviation CSV write(s) failed; first: "
                 f"{errors[0]!r}") from errors[0]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+            return False
+        try:  # don't mask the in-flight exception with a write error
+            self.close()
+        except Exception:
+            pass
+        return False

@@ -68,7 +68,13 @@ def validate_features(features: dict, modalities, feature_dims,
         if name not in features:
             raise error_cls(f'missing features for modality {name!r} '
                             f'(need {list(modalities)})')
-        mat = np.asarray(features[name], np.float32)
+        try:
+            mat = np.asarray(features[name], np.float32)
+        except (ValueError, TypeError) as exc:
+            # ragged rows / non-numeric cells: keep the error_cls contract
+            # (serve maps it to a 400) instead of leaking a raw ValueError
+            raise error_cls(f'modality {name!r}: features are not a '
+                            f'numeric [n_subjects, {dim}] matrix ({exc})')
         if mat.ndim != 2 or mat.shape[1] != dim:
             raise error_cls(
                 f'modality {name!r}: expected [n_subjects, {dim}] '
@@ -78,6 +84,32 @@ def validate_features(features: dict, modalities, feature_dims,
     if len(ns) != 1:
         raise error_cls(f'modalities disagree on subject count: {ns}')
     return mats, ns.pop()
+
+
+def resolve_combine(combine, config, procedure: str) -> str:
+    """Fusion method for a scoring surface: explicit flag > the fusion the
+    checkpoint was trained with (config['combine'], written by
+    common.model_config_dict on every trainer) > the reference's
+    '<datasets>-<fusion>' procedure-suffix convention (train:293). The
+    suffix is a MODALITY name for SM-* procedures, so when the heuristic
+    must be used it is validated here — a bad guess would otherwise surface
+    as ValueError('No such combination method') deep inside jit tracing at
+    the first scoring request (or silently score through the M==1
+    single-modality shortcut)."""
+    if combine:
+        return combine
+    from_config = (config or {}).get('combine')
+    if from_config:
+        return from_config
+    parts = str(procedure).split('-')
+    guess = parts[1] if len(parts) > 1 else ''
+    if guess.lower() not in ('poe', 'gpoe', 'moe', 'mopoe'):
+        raise ValueError(
+            'cannot infer the fusion method: the checkpoint config records '
+            f"no 'combine' and procedure {procedure!r} has suffix "
+            f"{guess!r}, not one of ('poe', 'gpoe', 'moe', 'mopoe') — pass "
+            'the fusion explicitly (--combine)')
+    return guess
 
 
 def load_ensemble(resource: str, procedure: str, combine: str = None,
@@ -124,7 +156,7 @@ def load_ensemble(resource: str, procedure: str, combine: str = None,
     return EnsembleState(
         resource=resource,
         procedure=procedure,
-        combine=combine or procedure.split('-')[1],
+        combine=resolve_combine(combine, config, procedure),
         n_splits=n_splits,
         seed=seed,
         model=model,

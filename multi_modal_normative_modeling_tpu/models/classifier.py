@@ -216,10 +216,21 @@ def evaluate_classifier(model: MLPClassifier, params, x_test, y_test) -> dict:
         roc_auc_score,
     )
 
-    logits = np.asarray(model.apply(params, x_test, train=False))
+    # one jitted program (cached on the model instance): eagerly the MLP
+    # would issue ~2 remote ops per layer plus the softmax through the
+    # TPU tunnel, per evaluation
+    forward = getattr(model, "_eval_forward_jit", None)
+    if forward is None:
+        def _fwd(p, x):
+            lg = model.apply(p, x, train=False)
+            return lg, jax.nn.softmax(lg, axis=1)
+
+        forward = model._eval_forward_jit = jax.jit(_fwd)
+    logits, prob_mat = forward(params, np.asarray(x_test, np.float32))
+    logits = np.asarray(logits)
     y_pred = np.argmax(logits, axis=1)
     y_true = np.asarray(y_test)
-    probs = np.asarray(jax.nn.softmax(logits, axis=1))[:, 1]
+    probs = np.asarray(prob_mat)[:, 1]
 
     # labels pinned so a single-class fold still yields a 2x2 matrix, and
     # AUROC degrades to NaN instead of raising on one-class y_true

@@ -28,10 +28,9 @@ import numpy as np
 
 from ..ops import fusion
 from ..ops.linear import leaky_relu
+from ..ops.losses import _HALF_LOG_2PI, kl_standard_normal
 from .cvae import reparameterize
 from .multimodal import MultimodalCVAE
-
-_HALF_LOG_2PI = 0.9189385332046727
 
 
 def _pad_axis0(a: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -219,16 +218,13 @@ class StackedMultimodalCVAE:
         ll_elem = (-0.5 * (x_packed - fwd["recon_means"]) ** 2 * jnp.exp(-lvo)
                    - 0.5 * lvo - _HALF_LOG_2PI) * col
         ll_rows = jnp.sum(ll_elem, axis=2)                     # [M, B]
-        kl_rows = -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar),
-                                 axis=1)                       # [B]
+        kl = kl_standard_normal(mu, logvar, mask)
         if mask is None:
             ll = jnp.mean(ll_rows, axis=1)                     # [M]
-            kl = jnp.mean(kl_rows)
         else:
             w = mask.astype(ll_rows.dtype)
-            denom = jnp.maximum(jnp.sum(w), 1.0)
-            ll = jnp.sum(ll_rows * w[None, :], axis=1) / denom
-            kl = jnp.sum(kl_rows * w) / denom
+            ll = (jnp.sum(ll_rows * w[None, :], axis=1)
+                  / jnp.maximum(jnp.sum(w), 1.0))
         total = self.modalities * kl - jnp.sum(ll)
         return {"total": total, "kl": self.modalities * kl,
                 "ll": jnp.sum(ll)}

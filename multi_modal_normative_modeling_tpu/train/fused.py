@@ -185,27 +185,23 @@ class FusedFoldTrainer:
         memo = getattr(self, "_pack_memo", None)
         if memo is not None and memo[0] is per_modality_params:
             return memo[1]
-        from ..cli.common import _local_cpu_device
-        from ..utils.jaxconfig import no_compile_cache
-        from .packed import _pack_params_host
+        from .packed import _host_tree_op, _pack_params_host
 
         packed = _pack_params_host(self.stacked, per_modality_params)
-        cpu = _local_cpu_device()
-        if (cpu is not None and all(
-                isinstance(leaf, np.ndarray)
-                for leaf in jax.tree_util.tree_leaves(packed))):
-            with no_compile_cache(), jax.default_device(cpu):
-                padded = self.step.pad_params(packed)
-            padded = jax.tree_util.tree_map(np.asarray, padded)
-        else:
-            padded = self.step.pad_params(packed)
+        padded = _host_tree_op(self.step.pad_params, packed)
         self._pack_memo = (per_modality_params, padded)
         return padded
 
     def _unpack(self, padded_params):
         host = jax.tree_util.tree_map(np.asarray,
                                       jax.device_get(padded_params))
-        return self.stacked.unpack_params(self.step.unpad_named(host))
+        from .packed import _host_tree_op
+
+        # unpad_named + unpack_params both reshuffle with jnp ops: keep the
+        # whole host tree's transform on the local cpu backend
+        return _host_tree_op(
+            lambda t: self.stacked.unpack_params(self.step.unpad_named(t)),
+            host)
 
     def run(self, per_modality_params, data_list, cov, key=None):
         """Takes/returns the standard per-modality pytree (checkpoints and

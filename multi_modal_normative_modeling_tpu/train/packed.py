@@ -71,13 +71,13 @@ def make_packed_fold_batches(stacked: StackedMultimodalCVAE,
     }
 
 
-def _pack_params_host(stacked: StackedMultimodalCVAE, params) -> dict:
-    """pack_params with host-friendly placement: for numpy input trees the
-    O(modalities x layers) concatenate/pad ops run on the LOCAL cpu backend
-    (each would otherwise be an eager remote op — a compile + round trip
-    through the TPU tunnel), returning numpy for one upload at the jit
-    boundary. Device trees pack where they live."""
-    leaves = jax.tree_util.tree_leaves(params)
+def _host_tree_op(fn, tree):
+    """Run a jnp tree-reshuffle (pack/unpack) with host-friendly placement:
+    for numpy input trees the O(modalities x layers) concatenate/pad/slice
+    ops run on the LOCAL cpu backend (each would otherwise be an eager
+    remote op — a compile + round trip through the TPU tunnel), returning a
+    pure-numpy tree. Device trees transform where they live."""
+    leaves = jax.tree_util.tree_leaves(tree)
     if all(isinstance(leaf, np.ndarray) for leaf in leaves):
         from ..cli.common import _local_cpu_device
         from ..utils.jaxconfig import no_compile_cache
@@ -85,9 +85,23 @@ def _pack_params_host(stacked: StackedMultimodalCVAE, params) -> dict:
         cpu = _local_cpu_device()
         if cpu is not None:
             with no_compile_cache(), jax.default_device(cpu):
-                packed = stacked.pack_params(params)
-            return jax.tree_util.tree_map(np.asarray, packed)
-    return stacked.pack_params(params)
+                out = fn(tree)
+            return jax.tree_util.tree_map(np.asarray, out)
+    return fn(tree)
+
+
+def _pack_params_host(stacked: StackedMultimodalCVAE, params) -> dict:
+    """pack_params on the local cpu for host trees (one upload at the jit
+    boundary instead of an eager remote op per concatenate/pad)."""
+    return _host_tree_op(stacked.pack_params, params)
+
+
+def _unpack_params_host(stacked: StackedMultimodalCVAE, packed) -> dict:
+    """unpack_params with the same placement rationale: the layer-0
+    concatenate per modality would otherwise run as an eager remote op on
+    the default backend for every fold/milestone/checkpoint unpack, and
+    the result would mix device arrays into host checkpoints."""
+    return _host_tree_op(stacked.unpack_params, packed)
 
 
 def _packed_loss_fn(stacked: StackedMultimodalCVAE, combine: str):
@@ -131,7 +145,7 @@ class PackedStateTrainerBase:
         packed = self._packed(per_modality_params)
         out, logs = self._train(packed, self._batches(data_list, cov), key)
         host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        return (self.stacked.unpack_params(host),
+        return (_unpack_params_host(self.stacked, host),
                 jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
 
     def compile(self, per_modality_params, data_list, cov, key=None) -> float:
@@ -175,7 +189,7 @@ class PackedStateTrainerBase:
                                    checkpoint_every, resume, packed, None,
                                    key, run_chunk, template_fn)
         host = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
-        return self.stacked.unpack_params(host), logs
+        return _unpack_params_host(self.stacked, host), logs
 
 
 class PackedFoldTrainer(PackedStateTrainerBase):
@@ -315,7 +329,8 @@ class PackedMultiFoldTrainer:
         host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
         host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
         per_fold_params = [
-            self.stacked.unpack_params(
+            _unpack_params_host(
+                self.stacked,
                 jax.tree_util.tree_map(lambda leaf: leaf[f], host))
             for f in range(n_folds)
         ]

@@ -85,3 +85,67 @@ def test_write_csv_matches_pandas_bytes(tmp_path):
     frame.to_csv(tmp_path / "ref.csv", index=False)
     assert (tmp_path / "fast.csv").read_bytes() == \
         (tmp_path / "ref.csv").read_bytes()
+
+
+def _fold_payload(fold, n=3):
+    rng = np.random.default_rng(fold)
+    cov = pd.DataFrame({
+        "participant_id": [f"f{fold}_s{i}" for i in range(n)],
+        "DIA": np.zeros(n, dtype=np.int64),
+        "AGE": np.full(n, 70.0),
+        "PTGENDER": np.ones(n, dtype=np.int64),
+    })
+    x = rng.normal(size=(n, 3))
+    return cov, x, x + 0.1, ((x - 0.1 - x) ** 2).mean(axis=1)
+
+
+def test_close_surfaces_write_errors_without_emit_combined(tmp_path):
+    """An abort path that never reaches emit_combined must still learn about
+    failed per-fold writes (and shut the pool down): close() joins and
+    raises; the context manager calls it."""
+    emitter = DeviationEmitter(["av45"], write_threads=1)
+    cov, x, pred, dev = _fold_payload(0)
+    target = tmp_path / "fold_0"
+    target.write_text("")  # a FILE where emit_fold needs a directory
+    with pytest.raises(OSError):
+        emitter.emit_fold(target, "av45", ["a", "b", "c"], cov, x, pred, dev)
+    emitter.close()  # idempotent, no pending writes
+
+    bad = DeviationEmitter(["av45"], write_threads=1)
+    bad.emit_fold(tmp_path / "fold_1", "av45", ["a", "b", "c"],
+                  cov, x, pred, dev)
+
+    def boom(path, frame):
+        raise OSError("disk full")
+
+    bad._futures.append(bad._pool.submit(boom, None, None))
+    with pytest.raises(RuntimeError, match="write\\(s\\) failed"):
+        bad.close()
+    assert not bad._futures  # drained
+
+
+def test_emit_fold_fails_fast_on_completed_write_error(tmp_path):
+    """A write that already failed surfaces at the NEXT emit_fold, before
+    more device compute, not only at the final join."""
+    emitter = DeviationEmitter(["av45"], write_threads=1)
+
+    def boom(path, frame):
+        raise OSError("disk full")
+
+    fut = emitter._pool.submit(boom, None, None)
+    emitter._futures.append(fut)
+    fut.exception()  # wait until it is done
+    cov, x, pred, dev = _fold_payload(1)
+    with pytest.raises(OSError, match="disk full"):
+        emitter.emit_fold(tmp_path / "f", "av45", ["a", "b", "c"],
+                          cov, x, pred, dev)
+    emitter._futures.clear()
+    emitter.close()
+
+
+def test_context_manager_joins_on_success(tmp_path):
+    cov, x, pred, dev = _fold_payload(2)
+    with DeviationEmitter(["av45"], write_threads=1) as emitter:
+        emitter.emit_fold(tmp_path / "f0", "av45", ["a", "b", "c"],
+                          cov, x, pred, dev)
+    assert (tmp_path / "f0" / "av45" / "normalized_av45.csv").exists()

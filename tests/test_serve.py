@@ -334,3 +334,43 @@ def test_http_adversarial_payloads_never_kill_the_daemon(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_combine_resolution_prefers_checkpoint_config(trained_project):
+    """An SM-* procedure's suffix is a MODALITY, not a fusion: without an
+    explicit --combine the service must pick up the fusion the checkpoint
+    was trained with (config['combine']) instead of guessing 'av45' and
+    crashing (or silently mis-fusing) at the first request."""
+    svc = serve.ScoringService("ADNI", "SM-av45", combine=None,
+                               n_splits=2, project_root=trained_project)
+    assert svc.combine == "PoE"
+    assert svc.health()["combine"] == "PoE"
+    ids = list(svc._frames[0].index[:2])
+    out = svc.score_ids(ids)
+    assert len(out["deviation"]) == 2
+    assert np.isfinite(np.asarray(out["deviation"])).all()
+
+
+def test_resolve_combine_rules():
+    from multi_modal_normative_modeling_tpu.infer.ensemble import (
+        resolve_combine,
+    )
+
+    # explicit flag > checkpoint config > validated procedure suffix
+    assert resolve_combine("MoE", {"combine": "gPoE"}, "SM-av45") == "MoE"
+    assert resolve_combine(None, {"combine": "gPoE"}, "SM-av45") == "gPoE"
+    assert resolve_combine(None, {}, "SE-MoE") == "MoE"
+    with pytest.raises(ValueError, match="pass the fusion explicitly"):
+        resolve_combine(None, {}, "SM-av45")
+    with pytest.raises(ValueError, match="pass the fusion explicitly"):
+        resolve_combine(None, None, "nodash")
+
+
+def test_raw_payload_ragged_features_are_a_client_error(service):
+    """Ragged / non-numeric feature matrices must surface as ServeError
+    (HTTP 400), not a raw ValueError (HTTP 500)."""
+    covs = {"AGE": [70, 71], "PTGENDER": [1, 0]}
+    with pytest.raises(serve.ServeError, match="not a numeric"):
+        service.score_raw({"av45": [[0.1] * 90, [0.2] * 89]}, covs)
+    with pytest.raises(serve.ServeError, match="not a numeric"):
+        service.score_raw({"av45": [["x"] * 90, ["y"] * 90]}, covs)
