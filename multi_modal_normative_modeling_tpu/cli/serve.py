@@ -29,6 +29,25 @@ request. This daemon pays them once:
     reuse the compiled program (the persistent compile cache,
     utils/jaxconfig.py, covers daemon restarts).
 
+Bind contract (non-loopback hardening):
+
+  * default bind is loopback (127.0.0.1) — safe on a shared box with no
+    further configuration;
+  * binding any other interface is allowed but should carry a bearer token
+    (``--auth_token`` or the ``MMNM_SERVE_TOKEN`` env var). With a token
+    set, every ``POST /score`` must send ``Authorization: Bearer <token>``
+    (constant-time comparison) or gets 401; ``GET /healthz`` stays open for
+    liveness probes and carries no cohort data. A non-loopback bind with
+    no token logs a loud warning;
+  * request bodies are capped (``--max_body_bytes``, default 64 MiB —
+    sized for a batch-256 PPMI-width raw JSON payload): oversized or
+    length-less requests are rejected 413/411 BEFORE the body is read, so
+    a hostile client cannot balloon daemon memory;
+  * TLS is out of scope — front with a reverse proxy for encrypted or
+    internet-facing deployments. This daemon's trust boundary is
+    "research network with a token", not "public internet".
+
+
 Scoring semantics match cli/score.py (same per-fold scalers, train-binned
 covariates, per-fold PRNG streams, fold-ensemble mean), with the per-fold
 loop replaced by one vmap over stacked params — tested against score.py
@@ -275,8 +294,34 @@ class ScoringService:
 
 
 # ------------------------------------------------------------------ HTTP
+DEFAULT_MAX_BODY_BYTES = 64 * 1024 * 1024  # fits a batch-256 PPMI-width
+#                                            (3 x 3485 floats) raw JSON body
+
+
 def make_server(service: ScoringService, host: str = '127.0.0.1',
-                port: int = 0) -> ThreadingHTTPServer:
+                port: int = 0, auth_token: str = None,
+                max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
+                ) -> ThreadingHTTPServer:
+    """Build the HTTP server around a :class:`ScoringService`.
+
+    ``auth_token`` (optional) gates every POST behind
+    ``Authorization: Bearer <token>`` (compared constant-time);
+    ``GET /healthz`` stays open for liveness probes. ``max_body_bytes``
+    rejects oversized (413) or length-less (411) requests before the body
+    is read. See the module docstring's bind contract.
+    """
+    import hmac
+    import logging
+
+    if auth_token is not None and not auth_token:
+        raise ValueError('auth_token must be non-empty when set')
+    if host not in ('127.0.0.1', 'localhost', '::1') and not auth_token:
+        logging.getLogger('mmnm.serve').warning(
+            'binding non-loopback interface %s WITHOUT --auth_token: '
+            'any client that can reach this port can score payloads — '
+            'set --auth_token / MMNM_SERVE_TOKEN (module docstring: '
+            'bind contract)', host)
+
     class Handler(BaseHTTPRequestHandler):
         server_version = 'mmnm-serve/1.0'
 
@@ -284,13 +329,21 @@ def make_server(service: ScoringService, host: str = '127.0.0.1',
             import logging                   # stderr-per-request
             logging.getLogger('mmnm.serve').info(fmt, *args)
 
-        def _reply(self, code: int, payload: dict):
+        def _reply(self, code: int, payload: dict, headers=()):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header('Content-Type', 'application/json')
             self.send_header('Content-Length', str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
+
+        def _authorized(self) -> bool:
+            if auth_token is None:
+                return True
+            supplied = self.headers.get('Authorization', '')
+            return hmac.compare_digest(supplied, f'Bearer {auth_token}')
 
         def do_GET(self):
             if self.path.rstrip('/') in ('', '/healthz'.rstrip('/')):
@@ -302,8 +355,25 @@ def make_server(service: ScoringService, host: str = '127.0.0.1',
             if self.path.rstrip('/') != '/score':
                 self._reply(404, {'error': f'no route {self.path}'})
                 return
+            if not self._authorized():
+                self._reply(401, {'error': 'missing or invalid bearer '
+                                           'token'},
+                            headers=[('WWW-Authenticate', 'Bearer')])
+                return
             try:
                 length = int(self.headers.get('Content-Length', 0))
+            except (TypeError, ValueError):
+                length = -1
+            if length < 0:
+                self._reply(411, {'error': 'Content-Length required'})
+                return
+            if length > max_body_bytes:
+                # refuse BEFORE reading: the cap exists so a hostile
+                # client cannot balloon daemon memory
+                self._reply(413, {'error': f'request body {length} bytes '
+                                  f'exceeds cap {max_body_bytes}'})
+                return
+            try:
                 req = json.loads(self.rfile.read(length) or b'{}')
                 roi = bool(req.get('roi', False))
                 fold = req.get('fold')
@@ -346,16 +416,30 @@ def build_parser() -> argparse.ArgumentParser:
                              '(fold, data) device mesh: ensemble folds over '
                              'F, request rows over D; product must equal '
                              'the visible device count')
+    parser.add_argument('--auth_token', default=None,
+                        help='require "Authorization: Bearer <token>" on '
+                             'POST /score (default: $MMNM_SERVE_TOKEN if '
+                             'set; /healthz stays open for liveness). '
+                             'Strongly recommended for non-loopback binds '
+                             '— see the module docstring bind contract.')
+    parser.add_argument('--max_body_bytes', type=int,
+                        default=DEFAULT_MAX_BODY_BYTES,
+                        help='reject request bodies larger than this '
+                             '(413) before reading them (default 64 MiB)')
     return parser
 
 
 def run(argv=None, project_root=None):
+    import os
+
     args = build_parser().parse_args(argv)
+    token = args.auth_token or os.environ.get('MMNM_SERVE_TOKEN') or None
     service = ScoringService(
         args.dataset_resourse, args.procedure, combine=args.combine,
         n_splits=args.n_splits, project_root=project_root, seed=args.seed,
         mesh=common.parse_infer_mesh(args.mesh))
-    server = make_server(service, args.host, args.port)
+    server = make_server(service, args.host, args.port, auth_token=token,
+                         max_body_bytes=args.max_body_bytes)
     host, port = server.server_address[:2]
     if args.ready_file:
         Path(args.ready_file).write_text(f'{host}:{port}\n')

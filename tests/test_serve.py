@@ -374,3 +374,95 @@ def test_raw_payload_ragged_features_are_a_client_error(service):
         service.score_raw({"av45": [[0.1] * 90, [0.2] * 89]}, covs)
     with pytest.raises(serve.ServeError, match="not a numeric"):
         service.score_raw({"av45": [["x"] * 90, ["y"] * 90]}, covs)
+
+
+def test_http_auth_token_and_body_cap(service):
+    """Bind-contract hardening: with a token set, POST /score requires
+    Authorization: Bearer <token> (401 otherwise), /healthz stays open for
+    liveness probes, and oversized / length-less bodies are refused
+    (413/411) before being read."""
+    import urllib.error
+
+    server = serve.make_server(service, port=0, auth_token="s3cret",
+                               max_body_bytes=512)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+
+    def post(payload_bytes, headers=None):
+        req = urllib.request.Request(
+            base + "/score", data=payload_bytes,
+            headers={"Content-Type": "application/json", **(headers or {})})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read()), resp.headers
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read()), e.headers
+
+    ids = list(service._frames[0].index[:2])
+    body = json.dumps({"ids": ids}).encode()
+    try:
+        # healthz needs no token (liveness probes must stay cheap)
+        with urllib.request.urlopen(base + "/healthz") as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+
+        status, out, headers = post(body)                   # no token
+        assert status == 401 and "token" in out["error"]
+        assert headers.get("WWW-Authenticate") == "Bearer"
+        status, out, _ = post(body, {"Authorization": "Bearer wrong"})
+        assert status == 401
+        status, out, _ = post(body, {"Authorization": "Bearer s3cret"})
+        assert status == 200 and len(out["deviation"]) == 2
+
+        # body cap: an oversized Content-Length is refused up front
+        big = json.dumps({"ids": ids, "pad": "x" * 4096}).encode()
+        status, out, _ = post(big, {"Authorization": "Bearer s3cret"})
+        assert status == 413 and "exceeds cap" in out["error"]
+
+        # auth outranks the cap: no token + oversized is still 401
+        status, out, _ = post(big)
+        assert status == 401
+
+        # daemon still alive and correct after the refusals
+        status, out, _ = post(body, {"Authorization": "Bearer s3cret"})
+        assert status == 200
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_missing_content_length_is_411(service):
+    """A POST whose Content-Length is unparseable gets 411, not a crash."""
+    import http.client
+
+    server = serve.make_server(service, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    try:
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.putrequest("POST", "/score", skip_accept_encoding=True)
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 411
+        assert "Content-Length" in json.loads(resp.read())["error"]
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_make_server_refuses_empty_token_and_warns_on_open_bind(service,
+                                                                caplog):
+    import logging
+
+    with pytest.raises(ValueError, match="non-empty"):
+        serve.make_server(service, port=0, auth_token="")
+    with caplog.at_level(logging.WARNING, logger="mmnm.serve"):
+        server = serve.make_server(service, host="0.0.0.0", port=0)
+        server.server_close()
+    assert any("WITHOUT --auth_token" in r.getMessage()
+               for r in caplog.records)
