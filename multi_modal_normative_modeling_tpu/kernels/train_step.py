@@ -305,6 +305,9 @@ class FusedTrainStep:
     Compat path (parity tests): ``loss_and_grads`` pads/unpads per call.
     """
 
+    # batch-axis padding multiple (the tiled subclass raises it to tile_b)
+    row_align: int = SUBLANE
+
     def __init__(self, stacked_model, combine: str,
                  interpret: bool | None = None):
         from ..models.stacked import StackedMultimodalCVAE
@@ -483,7 +486,7 @@ class FusedTrainStep:
         rowmask [B] -> (xc [M, Bp, K], c_tail [Bp, ZC-Zp], rm [Bp, 1],
         nvalid [1, 1])."""
         M, B = self.M, x_packed.shape[1]
-        Bp = _round_up(B, SUBLANE)
+        Bp = _round_up(B, self.row_align)
 
         def padmb(a, cols):
             return jnp.pad(a.astype(jnp.float32),
@@ -503,10 +506,15 @@ class FusedTrainStep:
                              1.0).reshape(1, 1)
         return xc, c_tail, rm, nvalid
 
+    def cast_batch(self, batch: dict) -> dict:
+        """Storage-dtype cast hook for packed batches (identity here; the
+        tiled bf16 subclass overrides it to stream bf16 tiles)."""
+        return batch
+
     def pad_eps(self, eps):
         """[B, latent_dim] -> [Bp, Zp] (the PRNG stream stays the XLA
         trainer's: draw [B, Z] first, pad after)."""
-        Bp = _round_up(eps.shape[0], SUBLANE)
+        Bp = _round_up(eps.shape[0], self.row_align)
         return jnp.pad(eps.astype(jnp.float32),
                        ((0, Bp - eps.shape[0]), (0, self.Zp - eps.shape[1])))
 

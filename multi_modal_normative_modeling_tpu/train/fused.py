@@ -32,29 +32,58 @@ from ..models.stacked import StackedMultimodalCVAE
 from .trainer import TrainConfig, build_optimizer
 
 
-def supported(model, config: TrainConfig, batch_size: int,
-              fold_parallel: bool = False) -> Tuple[bool, str]:
-    """(ok, reason). ``model`` is the MultimodalCVAE the CLI built."""
+def select_kernel(model, config: TrainConfig, batch_size: int,
+                  fold_parallel: bool = False) -> Tuple[Optional[str], str]:
+    """(kernel, reason): kernel is 'single' (whole-batch single-block,
+    kernels/train_step.py — fastest at narrow widths where the step is
+    chain-latency bound), 'tiled' (grid over batch tiles with resident
+    weights, kernels/train_step_tiled.py — the wide-feature architecture,
+    and the only one with a bf16 path), or None (fall back to XLA,
+    ``reason`` says why)."""
     variant = getattr(model, "variant", None)
     if variant != "cvae":
-        return False, f"model variant {variant!r} (fused supports 'cvae')"
+        return None, f"model variant {variant!r} (fused supports 'cvae')"
     if config.combine.lower() not in ("poe", "gpoe", "moe", "mopoe"):
-        return False, f"fusion {config.combine!r}"
-    if config.precision != "fp32":
-        return False, f"precision {config.precision!r} (fused kernel is fp32)"
+        return None, f"fusion {config.combine!r}"
+    if config.precision not in ("fp32", "bf16"):
+        return None, f"precision {config.precision!r}"
     if config.shuffle:
-        return False, "shuffle=True (fused path trains in fixed batch order)"
+        return None, "shuffle=True (fused path trains in fixed batch order)"
     if fold_parallel:
-        return False, "--fold_parallel (fused path trains folds sequentially)"
+        return None, "--fold_parallel (fused path trains folds sequentially)"
     stacked = StackedMultimodalCVAE(
         model.input_dim_list, model.hidden_dim, model.latent_dim,
         model.c_dim, model.modalities, model.non_linear)
+    if config.precision == "bf16":
+        # only the tiled kernel computes in bf16 (fp32 accumulation)
+        from ..kernels.train_step_tiled import TiledFusedTrainStep
+
+        step = TiledFusedTrainStep(stacked, config.combine,
+                                   compute_dtype=jnp.bfloat16,
+                                   interpret=None)
+        if step.fits_vmem(batch_size):
+            return "tiled", ""
+        mb = step.vmem_bytes_tiled(min(step.tile_b, batch_size)) / 2**20
+        return None, (f"bf16 tiled kernel needs ~{mb:.0f} MiB VMEM "
+                      "(exceeds this core's budget)")
     step = FusedTrainStep(stacked, config.combine, interpret=None)
-    if not step.fits_vmem(batch_size):
-        mb = step.vmem_bytes(batch_size) / 2**20
-        return False, (f"shapes need ~{mb:.0f} MiB VMEM "
-                       "(exceeds this core's budget)")
-    return True, ""
+    if step.fits_vmem(batch_size):
+        return "single", ""
+    from ..kernels.train_step_tiled import TiledFusedTrainStep
+
+    tiled = TiledFusedTrainStep(stacked, config.combine, interpret=None)
+    if tiled.fits_vmem(batch_size):
+        return "tiled", ""
+    mb = tiled.vmem_bytes_tiled(min(tiled.tile_b, batch_size)) / 2**20
+    return None, (f"shapes need ~{mb:.0f} MiB VMEM even batch-tiled "
+                  "(exceeds this core's budget)")
+
+
+def supported(model, config: TrainConfig, batch_size: int,
+              fold_parallel: bool = False) -> Tuple[bool, str]:
+    """(ok, reason). ``model`` is the MultimodalCVAE the CLI built."""
+    kernel, reason = select_kernel(model, config, batch_size, fold_parallel)
+    return kernel is not None, reason
 
 
 def make_packed_batches(step: FusedTrainStep,
@@ -67,7 +96,7 @@ def make_packed_batches(step: FusedTrainStep,
     n = data_list[0].shape[0]
     nb = max(1, -(-n // batch_size))
     padded = nb * batch_size
-    bp = _round_up(batch_size, SUBLANE)
+    bp = _round_up(batch_size, step.row_align)
 
     xc = np.zeros((nb, m.modalities, bp, step.K), dtype=np.float32)
     c_tail = np.zeros((nb, bp, step.ZC - step.Zp), dtype=np.float32)
@@ -98,13 +127,30 @@ class FusedFoldTrainer:
     with identical padded shapes."""
 
     def __init__(self, model, config: TrainConfig, n_samples: int,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, kernel: str = None,
+                 tile_b: int = None):
         self.stacked = StackedMultimodalCVAE(
             model.input_dim_list, model.hidden_dim, model.latent_dim,
             model.c_dim, model.modalities, model.non_linear)
         self.config = config
-        self.step = FusedTrainStep(self.stacked, config.combine,
-                                   interpret=interpret)
+        if kernel is None:
+            kernel, reason = select_kernel(model, config, config.batch_size)
+            if kernel is None:
+                raise ValueError(f"fused train step unsupported: {reason}")
+        self.kernel = kernel
+        if kernel == "tiled":
+            from ..kernels.train_step_tiled import TiledFusedTrainStep
+
+            self.step = TiledFusedTrainStep(
+                self.stacked, config.combine, tile_b=tile_b,
+                compute_dtype=(jnp.bfloat16 if config.precision == "bf16"
+                               else jnp.float32),
+                interpret=interpret)
+        else:
+            if config.precision != "fp32":
+                raise ValueError("single-block fused kernel is fp32-only")
+            self.step = FusedTrainStep(self.stacked, config.combine,
+                                       interpret=interpret)
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_chunk = self._build_chunk()
         self._train = jax.jit(self._build_train())
@@ -209,8 +255,8 @@ class FusedFoldTrainer:
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
         padded = self._padded_params(per_modality_params)
-        batches = make_packed_batches(self.step, data_list, cov,
-                                      self.config.batch_size)
+        batches = self.step.cast_batch(make_packed_batches(
+            self.step, data_list, cov, self.config.batch_size))
         out, logs = self._train(padded, jax.device_put(batches), key)
         return (self._unpack(out),
                 jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
@@ -228,8 +274,8 @@ class FusedFoldTrainer:
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
         padded = self._padded_params(per_modality_params)
-        batches = jax.device_put(make_packed_batches(
-            self.step, data_list, cov, self.config.batch_size))
+        batches = jax.device_put(self.step.cast_batch(make_packed_batches(
+            self.step, data_list, cov, self.config.batch_size)))
 
         def template_fn():
             shapes = jax.eval_shape(self.optimizer.init, padded)
