@@ -198,9 +198,39 @@ def main(args, project_root=None):
     if mesh is not None:
         axes = dict(zip(mesh.axis_names, mesh.devices.shape))
         print(f'sweep training programs run over a {axes} device mesh')
+    # --ep_mesh F,M,D: every grid point trains on the PACKED layout over a
+    # ('fold','modality','data') mesh — GSPMD shards the per-modality
+    # encoder/decoder stacks (expert-parallel) on top of fold-parallelism,
+    # exactly the train CLI's 3-axis form (cli/train_supervised.py). The
+    # PPMI-class wide-feature grids are where the modality axis pays:
+    # per-device FLOPs/params drop by the axis size while only latent-sized
+    # fusion all-reduces cross the interconnect (parallel/modality.py:17-22).
+    ep_mesh = None
+    if getattr(args, 'ep_mesh', None):
+        if mesh is not None:
+            raise SystemExit('--ep_mesh is mutually exclusive with --mesh')
+        ep_sizes = common.parse_axis_sizes(
+            args.ep_mesh, '--ep_mesh', (3,), '2,2,2 (fold,modality,data)')
+        from ..parallel.modality import make_ep_mesh3
+
+        try:
+            ep_mesh = make_ep_mesh3(n_fold=ep_sizes[0],
+                                    n_modality=ep_sizes[1],
+                                    n_data=ep_sizes[2])
+        except ValueError as exc:
+            raise SystemExit(f'--ep_mesh {args.ep_mesh}: {exc}')
+        axes = dict(zip(ep_mesh.axis_names, ep_mesh.devices.shape))
+        print(f'sweep training programs run expert-parallel over a {axes} '
+              f'device mesh')
     for procedure in procedures:
         dataset_names = registry.get_datasets_name(args.dataset_resourse,
                                                    procedure)
+        if ep_mesh is not None:
+            indivisible = common.ep_mesh_divisibility(
+                ep_sizes, n_folds, 256, len(dataset_names))
+            if indivisible:
+                raise SystemExit(
+                    f'--ep_mesh {args.ep_mesh} ({procedure}): {indivisible}')
         prep_args = _point_args(args, procedure, hz_grid[0], max_epochs,
                                 *lr_grid[0])
         with phase('prep (host fold x modality)'):
@@ -233,20 +263,43 @@ def main(args, project_root=None):
                 # (reference re-seeds 42 per fold, train:119): identical
                 # inits, computed once on the local CPU backend
                 init_params = common.host_init_params(model)
-                stacked = stack_params([init_params] * n_folds)
-                keys = jnp.stack([common.host_prng_key(42)] * n_folds)
-                mft = MultiFoldTrainer(model, train_config, max_n,
-                                       mesh=mesh,
-                                       shardings_fn=mesh_shardings)
+                if ep_mesh is not None:
+                    from ..parallel.modality import packed_fold_shardings
+                    from ..train.packed import (
+                        PackedMultiFoldTrainer,
+                        packed_supported,
+                    )
 
-                for epochs, host_params, logs in timed_iter(
-                        mft.run_milestones(stacked, batches, keys,
-                                           epochs_list),
+                    ok, reason = packed_supported(model, train_config)
+                    if not ok:
+                        raise SystemExit(
+                            f'--ep_mesh unavailable ({reason})')
+                    ep_mft = PackedMultiFoldTrainer(
+                        model, train_config, max_n, mesh=ep_mesh,
+                        shardings_fn=packed_fold_shardings)
+                    milestone_stream = ep_mft.run_milestones(
+                        [init_params] * n_folds, folds,
+                        [common.host_prng_key(42)] * n_folds, epochs_list)
+                else:
+                    stacked = stack_params([init_params] * n_folds)
+                    keys = jnp.stack([common.host_prng_key(42)] * n_folds)
+                    mft = MultiFoldTrainer(model, train_config, max_n,
+                                           mesh=mesh,
+                                           shardings_fn=mesh_shardings)
+                    milestone_stream = (
+                        (epochs,
+                         unstack_params(host_params, n_folds),
+                         [{k: v[f] for k, v in logs.items()}
+                          for f in range(n_folds)])
+                        for epochs, host_params, logs in mft.run_milestones(
+                            stacked, batches, keys, epochs_list))
+
+                for epochs, per_fold, fold_logs in timed_iter(
+                        milestone_stream,
                         'train (compile + device + fetch)'):
                     point = _point_args(args, procedure, hz, epochs,
                                         base_lr, max_lr)
                     with phase('artifacts (plots + checkpoints)'):
-                        per_fold = unstack_params(host_params, n_folds)
                         # checkpoints every milestone (the test stage reads
                         # them); loss-curve PNGs only at the run's last
                         # milestone — intermediate ones are overwritten
@@ -256,9 +309,7 @@ def main(args, project_root=None):
                         # thread away
                         final = epochs == epochs_list[-1]
                         common.emit_fold_artifacts(
-                            model_dir,
-                            [{k: v[fold] for k, v in logs.items()}
-                             for fold in range(n_folds)] if final else None,
+                            model_dir, fold_logs if final else None,
                             per_fold, config_dict, n_folds, plot=final)
                     with phase('test stage'):
                         test_supervised.main(point, project_root=project_root)
@@ -352,6 +403,12 @@ def build_parser() -> argparse.ArgumentParser:
                              'data-parallel) or F,D,M (+ tensor-parallel '
                              'model axis); product must equal the visible '
                              'device count')
+    parser.add_argument('--ep_mesh', dest='ep_mesh', default=None,
+                        metavar='F,M,D',
+                        help='train every grid point expert-parallel on the '
+                             'packed layout over a (fold, modality, data) '
+                             'device mesh (GSPMD places the fusion '
+                             'all-reduces); mutually exclusive with --mesh')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true')
     return parser

@@ -25,6 +25,57 @@ from . import common
 _INFER_CACHE: dict = {}
 
 
+def _ep_infer_program(config: dict, combine: str, mesh):
+    """Expert-parallel inference: the packed-modality forward
+    (models/stacked.py) vmapped over folds and GSPMD-sharded over a
+    ('fold', 'modality', 'data') mesh — per-device FLOPs/params drop by the
+    modality-axis size (the PPMI-width win, parallel/modality.py:17-22)
+    while rows stay independent. Returns (stacked, vinfer): ``vinfer``
+    takes (fold-stacked packed params, x_packed [F, M, rows, d_max],
+    cs [F, rows, C], seeds [F]) and returns (recons [F, M, rows, d_max],
+    devs [F, M, rows]). PRNG streams match the per-modality program (one
+    [rows, Z] draw per fold), so recon values agree to fusion-reorder float
+    tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.stacked import StackedMultimodalCVAE
+
+    mesh_key = tuple(zip(mesh.axis_names, mesh.devices.shape))
+    key = (json.dumps(config, sort_keys=True), combine, 'ep', mesh_key)
+    if key not in _INFER_CACHE:
+        if config.get('model', 'cVAE_multimodal') != 'cVAE_multimodal':
+            raise SystemExit(
+                f"--ep_mesh inference supports the cVAE family only "
+                f"(checkpoint model {config.get('model')!r})")
+        stacked = StackedMultimodalCVAE(
+            config['input_dim_list'], config['hidden_dim'],
+            config['latent_dim'], config['c_dim'], config['modalities'],
+            config.get('non_linear', True))
+
+        def infer_one(packed_params, x_packed, c, seed):
+            k = jax.random.PRNGKey(seed)
+            recons = stacked.pred_recon(packed_params, x_packed, c, k,
+                                        combine)
+            return recons, stacked.reconstruction_deviation(x_packed, recons)
+
+        def sh(spec):
+            return NamedSharding(mesh, spec)
+
+        # fold-stacked packed params: every leaf is [F, M, ...]
+        shapes = jax.eval_shape(
+            lambda k: stacked.pack_params(
+                common.build_model_from_config(config).init_params(k)),
+            jax.ShapeDtypeStruct((2,), np.uint32))
+        params_sh = jax.tree_util.tree_map(
+            lambda s: sh(P('fold', 'modality', *([None] * len(s.shape[1:])))),
+            shapes)
+        vinfer = jax.jit(jax.vmap(infer_one), in_shardings=(
+            params_sh, sh(P('fold', 'modality', 'data', None)),
+            sh(P('fold', 'data', None)), sh(P('fold'))))
+        _INFER_CACHE[key] = (stacked, vinfer)
+    return _INFER_CACHE[key]
+
+
 def _infer_program(config: dict, combine: str, use_fused: bool, mesh=None):
     """Returns (model, vinfer, template) where ``vinfer`` runs ALL folds'
     inference as one vmapped device program over stacked per-fold params —
@@ -114,6 +165,27 @@ def main(args, project_root=None):
 
     emitter = DeviationEmitter(dataset_names)
     infer_mesh = common.parse_infer_mesh(getattr(args, 'mesh', None))
+    # --ep_mesh M,D or F,M,D: expert-parallel inference on the packed
+    # layout (modality axis sharded; the M,D form leaves folds unsharded)
+    ep_mesh = None
+    if getattr(args, 'ep_mesh', None):
+        if infer_mesh is not None:
+            raise SystemExit('--ep_mesh is mutually exclusive with --mesh')
+        ep_sizes = common.parse_axis_sizes(
+            args.ep_mesh, '--ep_mesh', (2, 3),
+            '4,2 (modality,data) or 2,2,2 (fold,modality,data)')
+        if len(ep_sizes) == 2:
+            ep_sizes = [1] + ep_sizes
+        indivisible = common.ep_mesh_divisibility(
+            ep_sizes, args.n_splits, 1, len(dataset_names))
+        if indivisible:
+            raise SystemExit(f'--ep_mesh {args.ep_mesh}: {indivisible}')
+        from ..parallel.modality import make_ep_mesh3
+
+        ep_mesh = make_ep_mesh3(n_fold=ep_sizes[0], n_modality=ep_sizes[1],
+                                n_data=ep_sizes[2])
+        axes = dict(zip(ep_mesh.axis_names, ep_mesh.devices.shape))
+        print(f'test inference expert-parallel over a {axes} device mesh')
     model = None
     vinfer = None
     template = None
@@ -191,9 +263,14 @@ def main(args, project_root=None):
         max_rows = max(j['test_data_list'][0].shape[0] for j in pending)
         common.check_infer_fold_axis(infer_mesh, len(pending),
                                      'folds with checkpoints')
+        if ep_mesh is not None and len(pending) % ep_mesh.shape['fold']:
+            raise SystemExit(
+                f"--ep_mesh: {len(pending)} folds with checkpoints not "
+                f"divisible by the fold axis ({ep_mesh.shape['fold']})")
         # with a mesh, pad rows to a multiple of the data axis too, so the
         # row shard boundaries land evenly
-        tile = common.infer_row_tile(infer_mesh)
+        tile = common.infer_row_tile(ep_mesh if ep_mesh is not None
+                                     else infer_mesh)
         padded_rows = -(-max_rows // tile) * tile
 
         def pad(a):
@@ -210,28 +287,50 @@ def main(args, project_root=None):
         keys = np.array([1000 + j['fold'] for j in pending], dtype=np.uint32)
         from ..parallel import stack_params
 
-        stacked_params = stack_params([j['params'] for j in pending])
-        mark('stack + keys')
-        try:
-            predictions, _ = vinfer(stacked_params, xes, cs, keys)
-            mark('vmapped inference dispatch')
-            # one bulk device->host fetch per modality, then numpy slicing
-            host_preds = [np.asarray(p) for p in predictions]
-        except Exception as exc:
-            if not getattr(args, 'fused_inference', False):
-                raise
-            # the fused Pallas path has no batch tiling: a wide modality x
-            # large fold can exceed VMEM and fail Mosaic compilation — fall
-            # back to the XLA program (same numerics contract as the fused
-            # train step's fallback)
-            print(f'fused inference failed to compile ({exc!r}); '
-                  'using the XLA path')
-            model, vinfer, template, stats_fn = _infer_program(
-                config, args.combine, False, mesh=infer_mesh)
-            predictions, _ = vinfer(stacked_params, xes, cs, keys)
-            mark('vmapped inference dispatch')
-            host_preds = [np.asarray(p) for p in predictions]
-        mark('device->host fetch')
+        if ep_mesh is not None:
+            from ..train.packed import _pack_params_host
+
+            stacked_model, ep_vinfer = _ep_infer_program(
+                config, args.combine, ep_mesh)
+            packed_params = stack_params([
+                _pack_params_host(stacked_model, j['params'])
+                for j in pending])
+            x_packed = np.stack([
+                stacked_model.pack_inputs(
+                    [pad(x) for x in j['test_data_list']])
+                for j in pending])                 # [F, M, rows, d_max]
+            mark('pack + stack (ep)')
+            recons, _ = ep_vinfer(packed_params, x_packed, cs_stack, keys)
+            mark('ep inference dispatch')
+            host_rec = np.asarray(recons)          # one bulk fetch
+            host_preds = [
+                host_rec[:, m, :, : stacked_model.input_dim_list[m]]
+                for m in range(n_mod)]
+            mark('device->host fetch')
+        else:
+            stacked_params = stack_params([j['params'] for j in pending])
+            mark('stack + keys')
+            try:
+                predictions, _ = vinfer(stacked_params, xes, cs, keys)
+                mark('vmapped inference dispatch')
+                # one bulk device->host fetch per modality, then numpy
+                # slicing
+                host_preds = [np.asarray(p) for p in predictions]
+            except Exception as exc:
+                if not getattr(args, 'fused_inference', False):
+                    raise
+                # the fused Pallas path has no batch tiling: a wide modality
+                # x large fold can exceed VMEM and fail Mosaic compilation —
+                # fall back to the XLA program (same numerics contract as
+                # the fused train step's fallback)
+                print(f'fused inference failed to compile ({exc!r}); '
+                      'using the XLA path')
+                model, vinfer, template, stats_fn = _infer_program(
+                    config, args.combine, False, mesh=infer_mesh)
+                predictions, _ = vinfer(stacked_params, xes, cs, keys)
+                mark('vmapped inference dispatch')
+                host_preds = [np.asarray(p) for p in predictions]
+            mark('device->host fetch')
 
         # ---- phase 3: per-fold deviation math + CSV emission (threaded) ---
         for i, job in enumerate(pending):
@@ -320,6 +419,13 @@ def build_parser() -> argparse.ArgumentParser:
                              '(fold, data) device mesh: folds over F, '
                              'padded test rows over D; product must equal '
                              'the visible device count')
+    parser.add_argument('--ep_mesh', dest='ep_mesh', default=None,
+                        metavar='M,D',
+                        help='expert-parallel inference: the packed-modality '
+                             'forward sharded over a (modality, data) or '
+                             '(fold, modality, data) device mesh — the wide-'
+                             'feature (PPMI-class) scoring scale-out; '
+                             'mutually exclusive with --mesh')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true',
                         help='build the UCA early-fusion modality by '

@@ -338,6 +338,72 @@ class PackedMultiFoldTrainer:
                          for f in range(n_folds)]
         return per_fold_params, per_fold_logs
 
+    def _chunk_jit(self, n: int, p, opt_state, k, batches):
+        """Jitted vmapped chunk of ``n`` epochs, cached per size; meshed
+        in_shardings mirror run()'s."""
+        import functools
+
+        cache = getattr(self, "_chunk_cache", None)
+        if cache is None:
+            cache = self._chunk_cache = {}
+        if n not in cache:
+            chunk = jax.vmap(functools.partial(self._raw_train.chunk, n))
+            if self.mesh is not None:
+                p_sh, b_sh, k_sh = self._shardings_fn(self.mesh, p,
+                                                      batches, k)
+                o_sh = self._shardings_fn.opt(self.mesh, opt_state, p, p_sh)
+                cache[n] = jax.jit(chunk,
+                                   in_shardings=(p_sh, o_sh, k_sh, b_sh))
+            else:
+                cache[n] = jax.jit(chunk)
+        return cache[n]
+
+    def run_milestones(self, params_list, folds, keys, milestones):
+        """Train to each milestone epoch in turn, yielding
+        ``(epoch, per_fold_params, per_fold_logs)`` after each — the packed
+        (optionally expert-parallel-meshed) counterpart of
+        parallel/folds.MultiFoldTrainer.run_milestones, with the same
+        chunk-program-reuse policy (chunked scans are prefix-bit-identical,
+        tests/test_sweep_supervised.py). Collapses the epochs axis of the
+        sweep grid (cli/sweep_supervised.py --ep_mesh)."""
+        stacked_params = self._stack_packed(params_list)
+        batches = self._place(self.pack_folds(folds))
+        keys = jnp.stack(list(keys))
+        params, key = stacked_params, keys
+        opt_state = jax.jit(jax.vmap(self.optimizer.init))(params)
+        logs_acc, cur = None, 0
+        for m in milestones:
+            if m < cur:
+                raise ValueError(f"milestones must ascend, got {milestones}")
+            if m > cur:
+                delta = m - cur
+                cache = getattr(self, "_chunk_cache", {})
+                divisors = [s for s in cache
+                            if delta % s == 0 and delta // s <= 16]
+                if delta in cache or not divisors:
+                    size, reps = delta, 1
+                else:
+                    size = max(divisors)
+                    reps = delta // size
+                fn = self._chunk_jit(size, params, opt_state, key, batches)
+                rep_logs = []
+                for _ in range(reps):
+                    params, opt_state, key, logs = fn(params, opt_state,
+                                                      key, batches)
+                    rep_logs.append(logs)
+                host_reps = jax.tree_util.tree_map(
+                    np.asarray, jax.device_get(rep_logs))
+                for host_logs in host_reps:
+                    logs_acc = host_logs if logs_acc is None else {
+                        k: np.concatenate([logs_acc[k], host_logs[k]],
+                                          axis=1)
+                        for k in host_logs
+                    }
+                cur = m
+            per_fold_params, per_fold_logs = self._per_fold(
+                params, logs_acc, len(params_list))
+            yield m, per_fold_params, per_fold_logs
+
     def run_resumable(self, params_list, folds, keys, state_dir,
                       checkpoint_every: int, resume: bool = True):
         """Checkpointed fold-parallel packed training: ONE whole-run train

@@ -108,3 +108,68 @@ def test_ep_mesh_divisibility_gates():
     assert "batch_size 7 not divisible" in ok([2, 2], 10, 7, 4)
     # 3-axis batch sharding is GSPMD's job: no batch gate
     assert ok([2, 2, 2], n_folds=10, batch_size=7, modalities=4) is None
+
+
+def test_ep_mesh_test_stage_matches_plain(tmp_path):
+    """--ep_mesh on the test stage: the packed expert-parallel inference
+    program (fold x modality x rows GSPMD) reproduces the per-modality
+    vmapped program's deviation CSVs to fusion-reorder float tolerance
+    (same per-fold PRNG streams, SURVEY.md Q2)."""
+    import shutil
+
+    import jax
+    import numpy as np
+    import pandas as pd
+
+    from multi_modal_normative_modeling_tpu.cli import test_supervised
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-virtual-device test platform")
+
+    plain_root = tmp_path / "plain"
+    make_synthetic_resource(plain_root, "ADNI", n_hc=30,
+                            n_disease={0: 10, 1: 10})
+    train_supervised.main(_args(), project_root=plain_root)
+    ep_root = tmp_path / "ep"
+    shutil.copytree(plain_root, ep_root)  # identical checkpoints/cohort
+
+    test_supervised.main(_args(), project_root=plain_root)
+    test_supervised.main(_args(ep_mesh="2,2,2"), project_root=ep_root)
+
+    rel = ("deviation/supervised_cvae/ADNI/UCA-gPoE/path_model/"
+           "early_fusion_modalities_ADNI/"
+           "reconstruction_error_early_fusion_modalities_ADNI.csv")
+    plain = pd.read_csv(plain_root / rel)
+    ep = pd.read_csv(ep_root / rel)
+    assert list(plain["participant_id"]) == list(ep["participant_id"])
+    np.testing.assert_allclose(ep["Reconstruction error"],
+                               plain["Reconstruction error"],
+                               rtol=1e-3, atol=1e-6)
+    # the 2-axis (modality, data) form works too and matches
+    ep2_root = tmp_path / "ep2"
+    shutil.copytree(plain_root, ep2_root)
+    # plain test artifacts were written into plain_root after the copy for
+    # ep_root, so remove any stale deviation dir defensively
+    shutil.rmtree(ep2_root / "deviation", ignore_errors=True)
+    test_supervised.main(_args(ep_mesh="4,2"), project_root=ep2_root)
+    ep2 = pd.read_csv(ep2_root / rel)
+    np.testing.assert_allclose(ep2["Reconstruction error"],
+                               plain["Reconstruction error"],
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_ep_mesh_test_stage_gates(tmp_path):
+    import jax
+
+    from multi_modal_normative_modeling_tpu.cli import test_supervised
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-virtual-device test platform")
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=30, n_disease={0: 10})
+    train_supervised.main(_args(), project_root=tmp_path)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        test_supervised.main(_args(ep_mesh="4,2", mesh="2,4"),
+                             project_root=tmp_path)
+    # 4 modalities don't divide an 8-way modality axis -> loud failure
+    with pytest.raises(SystemExit, match="not divisible"):
+        test_supervised.main(_args(ep_mesh="1,8,1"), project_root=tmp_path)

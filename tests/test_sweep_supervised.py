@@ -226,3 +226,66 @@ def test_milestones_reuse_compiled_chunk_bit_identical():
     np.testing.assert_array_equal(
         outs[-1][2]["total"],
         np.asarray(jax.device_get(oracle_logs["total"])))
+
+
+def test_sweep_ep_mesh_matches_unsharded(tmp_path):
+    """--ep_mesh F,M,D: every grid point trains on the packed layout with
+    the modality axis GSPMD-sharded (expert-parallel) on top of
+    fold-parallelism; checkpoints and AUCs match the plain engine within
+    partitioning fp drift (the mesh reorders the fusion partial sums)."""
+    import pytest
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-virtual-device test platform")
+    plain_root = tmp_path / "plain"
+    ep_root = tmp_path / "ep"
+    for root in (plain_root, ep_root):
+        make_synthetic_resource(root, "ADNI", n_hc=48,
+                                n_disease={0: 24, 1: 24}, effect=1.0)
+
+    # UCA adds the early-fusion concat as a 4th modality -> a 2-way
+    # modality axis divides it
+    kwargs = dict(n_splits=2, epochs_list=[2, 4], hz_grid="16 6",
+                  lr_grid="1e-4:5e-3", procedures=["UCA-PoE"],
+                  combine="PoE", in_memory_fusion=True)
+    plain_recs = sweep_supervised.main(_sweep_args(**kwargs),
+                                       project_root=plain_root)
+    ep_recs = sweep_supervised.main(_sweep_args(ep_mesh="2,2,2", **kwargs),
+                                    project_root=ep_root)
+
+    assert len(plain_recs) == len(ep_recs) == 2
+    for pr, er in zip(plain_recs, ep_recs):
+        assert pr["epochs"] == er["epochs"]
+        np.testing.assert_allclose(er["stats"]["auc"], pr["stats"]["auc"],
+                                   atol=2e-2)
+    for fold in range(2):
+        plain_params, _ = load_checkpoint(
+            plain_root / "outputs" / "kfold_analysis" / "supervised_cvae" /
+            f"{fold:03d}")
+        ep_params, _ = load_checkpoint(
+            ep_root / "outputs" / "kfold_analysis" / "supervised_cvae" /
+            f"{fold:03d}")
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+            plain_params, ep_params)
+
+
+def test_sweep_ep_mesh_gates(tmp_path):
+    """Indivisible geometries fail loud before any training."""
+    import pytest
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-virtual-device test platform")
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=30, n_disease={0: 10})
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        sweep_supervised.main(
+            _sweep_args(n_splits=2, epochs_list=[2], hz_grid="16 6",
+                        lr_grid="1e-4:5e-3", mesh="2,4", ep_mesh="2,2,2"),
+            project_root=tmp_path)
+    # SM-av45 has ONE modality: a 2-way modality axis cannot divide it
+    with pytest.raises(SystemExit, match="not divisible"):
+        sweep_supervised.main(
+            _sweep_args(n_splits=2, epochs_list=[2], hz_grid="16 6",
+                        lr_grid="1e-4:5e-3", ep_mesh="2,2,2"),
+            project_root=tmp_path)
