@@ -36,6 +36,32 @@ EPOCHS = 200
 FOLDS = 5
 SEED = 0
 
+# wide-regime (PPMI-class) floor row: 3 x 3485 features, 1 fold,
+# 400 in-program steps (>=400 amortizes the tunnel's 30-100 ms variable
+# invocation overhead — CLAUDE.md / RESULTS.md "window sensitivity")
+PPMI_DIMS = [3485, 3485, 3485]
+PPMI_N = 2560
+PPMI_EPOCHS = 40
+
+# MXU peak for the MFU estimate (v5e; fp32 runs the MXU at 1/4 its bf16
+# rate). The estimate is coarse — it exists so round-over-round regressions
+# are distinguishable from tunnel weather, not as a marketing number.
+PEAK_TFLOPS_FP32 = 49.2
+
+
+def _matmul_flops_per_step(dims, hidden, latent, c_dim, batch) -> float:
+    """Analytic fwd+bwd matmul FLOPs per optimizer step (bwd ~= 2x fwd)."""
+    fwd = 0.0
+    h = list(hidden)
+    for d in dims:
+        widths = [d + c_dim] + h          # encoder chain
+        fwd += sum(2 * batch * a * b for a, b in zip(widths[:-1], widths[1:]))
+        fwd += 2 * 2 * batch * h[-1] * latent            # mu / logvar heads
+        dwidths = [latent + c_dim] + h[::-1] + [d]       # decoder chain
+        fwd += sum(2 * batch * a * b
+                   for a, b in zip(dwidths[:-1], dwidths[1:]))
+    return 3.0 * fwd
+
 
 def _make_data(rng):
     data = [rng.normal(size=(N_SUBJECTS, d)).astype(np.float32) for d in DIMS]
@@ -115,6 +141,59 @@ def bench_jax() -> float:
     assert np.isfinite(total).all()
     # min over repeats: tunnel latency spikes are one-sided noise
     return float(np.min(times))
+
+
+def bench_ppmi_floor() -> dict:
+    """Per-step device floor at PPMI width (3x3485, 1 fold, 400 in-program
+    steps). This is the stable cross-round signal: a degraded tunnel window
+    moves wall-clock rows but not this floor (min over reps of a long
+    program), so round-over-round regressions are distinguishable from
+    weather."""
+    import jax
+
+    from multi_modal_normative_modeling_tpu.cli.common import (
+        host_init_params,
+        host_prng_key,
+    )
+    from multi_modal_normative_modeling_tpu.models import build_model
+    from multi_modal_normative_modeling_tpu.train import (
+        FoldTrainer,
+        TrainConfig,
+    )
+    from multi_modal_normative_modeling_tpu.train.trainer import make_batches
+
+    rng = np.random.default_rng(SEED)
+    model = build_model("cVAE_multimodal", PPMI_DIMS, HIDDEN, LATENT,
+                        C_DIM, len(PPMI_DIMS))
+    data = [rng.normal(size=(PPMI_N, d)).astype(np.float32)
+            for d in PPMI_DIMS]
+    cov = rng.normal(size=(PPMI_N, C_DIM)).astype(np.float32)
+    params = host_init_params(model)
+    key = host_prng_key(42)
+    config = TrainConfig(epochs=PPMI_EPOCHS, batch_size=BATCH,
+                         combine="gpoe")
+    trainer = FoldTrainer(model, config, PPMI_N)
+    batches = jax.device_put(make_batches(data, [cov] * len(PPMI_DIMS),
+                                          BATCH))
+    steps = PPMI_EPOCHS * -(-PPMI_N // BATCH)
+    out, logs = trainer.run_batches(params, batches, key)
+    np.asarray(logs["total"])  # warm-up + compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, logs = trainer.run_batches(params, batches, key)
+        np.asarray(logs["total"])
+        times.append(time.perf_counter() - t0)
+    sec = float(np.min(times))
+    us_per_step = sec / steps * 1e6
+    flops = _matmul_flops_per_step(PPMI_DIMS, HIDDEN, LATENT, C_DIM, BATCH)
+    return {
+        "ppmi_us_per_step": round(us_per_step, 1),
+        "ppmi_us_per_subject": round(us_per_step / BATCH, 3),
+        "ppmi_mfu_pct": round(
+            flops / (us_per_step * 1e-6) / (PEAK_TFLOPS_FP32 * 1e12) * 100,
+            2),
+    }
 
 
 def bench_torch_single_fold(epochs: int) -> float:
@@ -227,12 +306,28 @@ def _attach_seconds():
 
 
 def _child_main():
-    """Child mode (MMNM_BENCH_CHILD=1): run the device measurement and print
-    one tiny JSON line for the parent."""
+    """Child mode (MMNM_BENCH_CHILD=1): run the device measurements and
+    print one tiny JSON line for the parent."""
     import jax
 
     jax_seconds = bench_jax()
+    flag_steps = EPOCHS * -(-N_SUBJECTS // BATCH)
+    flag_us = jax_seconds / flag_steps * 1e6
+    flag_flops = FOLDS * _matmul_flops_per_step(DIMS, HIDDEN, LATENT,
+                                                C_DIM, BATCH)
+    floor = {
+        "flagship_5fold_us_per_step": round(flag_us, 1),
+        "flagship_mfu_pct": round(
+            flag_flops / (flag_us * 1e-6) / (PEAK_TFLOPS_FP32 * 1e12) * 100,
+            2),
+    }
+    try:
+        floor.update(bench_ppmi_floor())
+    except Exception as exc:  # the headline metric must survive a floor
+        floor["ppmi_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    floor["peak_tflops_assumed_fp32"] = PEAK_TFLOPS_FP32
     print(json.dumps({"jax_seconds": jax_seconds,
+                      "floor": floor,
                       "attach_seconds": _attach_seconds(),
                       "platform": jax.default_backend()}))
 
@@ -310,6 +405,10 @@ def main():
 
     detail = {
         "jax_5fold_seconds": round(jax_seconds, 3),
+        # window-robust per-step device floors + MFU estimates: compare
+        # THESE across rounds (wall-clock rows move with tunnel weather;
+        # the floors are min-over-reps of >=400-step programs)
+        "floor": child.get("floor"),
         "torch_cpu_single_fold_seconds": round(torch_seconds, 3),
         # tunnel health at measurement time: a multi-minute attach means
         # a degraded window whose ~120ms/invocation overhead inflates
