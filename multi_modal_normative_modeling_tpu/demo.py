@@ -15,13 +15,21 @@ import numpy as np
 
 
 def _args(epochs: int, n_splits: int, procedure: str) -> argparse.Namespace:
+    from . import registry
+
+    suffix = procedure.split("-")[1]
+    single = procedure.startswith("SM-")
     return argparse.Namespace(
         dataset_resourse="ADNI", hz_para_list=[32, 32, 8],
-        procedure=procedure, combine=procedure.split("-")[1],
+        procedure=procedure,
+        # SM-<modality>'s suffix is a MODALITY name, not a fusion
+        combine="gPoE" if single else suffix,
         epochs=epochs, n_splits=n_splits, oversample_percentage=1,
         model="cVAE_multimodal", single_modality=None,
         base_learning_rate=0.0001, max_learning_rate=0.005,
         training_class="nm", lr_schedule="constant",
+        # UCA appends the early-fusion concat modality; build it in memory
+        in_memory_fusion=procedure.startswith("UCA"),
     )
 
 
@@ -67,6 +75,21 @@ def ensure_demo_project(root="outputs/notebook_demo", epochs: int = 60,
     return root
 
 
+def ensure_procedure_projects(base_root="outputs/notebook_demo_procedures",
+                              procedures=("SM-av45", "SE-gPoE", "UCA-gPoE"),
+                              epochs: int = 60, n_splits: int = 3) -> dict:
+    """One demo project per PROCEDURE (SM single-modality / SE simple
+    fusion / UCA early-fusion-augmented — the reference's procedure grammar,
+    utils.py:731-755), each trained on the same synthetic cohort. Feeds the
+    per-procedure latent t-SNE panels (tsne.ipynb) and the procedure
+    comparison tables (table_visualization.ipynb)."""
+    base = Path(base_root)
+    return {proc: ensure_demo_project(base / proc.replace("-", "_"),
+                                      epochs=epochs, n_splits=n_splits,
+                                      procedure=proc)
+            for proc in procedures}
+
+
 def load_fold_model(project_root, fold: int = 0):
     """(model, params, config) from a demo-project fold checkpoint."""
     from .cli.common import load_model_and_params
@@ -76,9 +99,14 @@ def load_fold_model(project_root, fold: int = 0):
     return load_model_and_params(fold_dir)
 
 
-def cohort_latents(project_root, model, params, combine: str = "gpoe"):
+def cohort_latents(project_root, model, params, combine: str = "gpoe",
+                   procedure: str = None):
     """Fused latent means for the WHOLE cohort (scaled on the full cohort)
-    plus diagnosis labels — feeds the latent t-SNE (tsne.ipynb)."""
+    plus diagnosis labels — feeds the latent t-SNE (tsne.ipynb). With
+    ``procedure`` the modality set follows the procedure grammar
+    (get_datasets_name, utils.py:731-755); the UCA early-fusion modality is
+    built in memory by concatenating the scaled base blocks (numerically
+    the file-based path, cli/common.fuse_preps)."""
     import pandas as pd
     from sklearn.preprocessing import RobustScaler
 
@@ -87,7 +115,14 @@ def cohort_latents(project_root, model, params, combine: str = "gpoe"):
 
     project_root = Path(project_root)
     y = pd.read_csv(project_root / "data" / "ADNI" / "y.csv")
-    names = [n for n in registry.BASE_MODALITIES["ADNI"]]
+    if procedure is None:
+        names = [n for n in registry.BASE_MODALITIES["ADNI"]]
+        fuse_tail = False
+    else:
+        names = list(registry.get_datasets_name("ADNI", procedure))
+        fuse_tail = procedure.startswith("UCA")
+        if fuse_tail:
+            names = names[:-1]  # early-fusion block built from the bases
     # one shared subject order: reindex every modality against y's IIDs so
     # rows align across modalities regardless of per-CSV ordering
     iids = y["IID"]
@@ -100,5 +135,8 @@ def cohort_latents(project_root, model, params, combine: str = "gpoe"):
         xes.append(RobustScaler().fit_transform(
             merged[cols].values).astype(np.float32))
         cs.append(one_hot_covariates(merged[["DIA", "PTGENDER", "AGE"]]))
+    if procedure is not None and fuse_tail:
+        xes.append(np.concatenate(xes, axis=1))
+        cs.append(cs[-1])
     mus, _ = model.latent_stats(params, xes, cs, combine)
     return np.asarray(mus), y["DIA"].values

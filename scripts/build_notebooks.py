@@ -96,6 +96,55 @@ plt.show()
         md("The latent space is trained normatively (reconstruction + KL "
            "only); group structure visible here comes from the injected "
            "per-subject deviation effect in the synthetic cohort."),
+        md("## Per-procedure latent spaces: SM vs SE vs UCA\n\n"
+           "The reference's procedure grammar (utils.py:731-755) spans "
+           "single-modality (`SM-av45`), simple fusion over the base "
+           "modalities (`SE-gPoE`), and early-fusion-augmented fusion "
+           "(`UCA-gPoE`, which appends the concatenated table as an extra "
+           "modality). One demo model per procedure, same cohort — the "
+           "panels below compare their fused latent organisations "
+           "(the reference's tsne.ipynb embeds the analogous per-resource/"
+           "per-procedure panels for its private cohorts)."),
+        code('''\
+# train one compact demo model per procedure (cached across rebuilds)
+from multi_modal_normative_modeling_tpu.demo import (
+    ensure_procedure_projects, load_fold_model, cohort_latents)
+
+projects = ensure_procedure_projects(repo / "outputs" / "notebook_demo_procedures")
+list(projects)
+'''),
+        code('''\
+# 3-panel latent t-SNE: one fused latent space per procedure
+fig, axes = plt.subplots(1, len(projects), figsize=(5.5 * len(projects), 5))
+for ax, (proc, proot) in zip(axes, projects.items()):
+    m, p, cfg = load_fold_model(proot, fold=0)
+    mus, dia = cohort_latents(proot, m, p, combine=cfg["combine"].lower(),
+                              procedure=proc)
+    emb = TSNE(n_components=2, perplexity=30,
+               random_state=42).fit_transform(np.asarray(mus))
+    for d, label in [(2, "HC"), (1, "MCI"), (0, "AD")]:
+        sel = dia == d
+        ax.scatter(emb[sel, 0], emb[sel, 1], s=14, alpha=0.75, label=label)
+    ax.set_title(f"{proc} ({cfg['modalities']} modalities)")
+    ax.legend()
+plt.suptitle("Fused latent means by procedure (fold-0 models)")
+plt.tight_layout()
+plt.show()
+'''),
+        code('''\
+# quantify: silhouette of the diagnosis grouping in each latent space
+from sklearn.metrics import silhouette_score
+import pandas as pd
+rows = []
+for proc, proot in projects.items():
+    m, p, cfg = load_fold_model(proot, fold=0)
+    mus, dia = cohort_latents(proot, m, p, combine=cfg["combine"].lower(),
+                              procedure=proc)
+    rows.append({"procedure": proc, "modalities": cfg["modalities"],
+                 "latent_silhouette(DIA)": round(
+                     float(silhouette_score(np.asarray(mus), dia)), 3)})
+pd.DataFrame(rows)
+'''),
     ]
     return cells
 
@@ -150,6 +199,68 @@ plt.show()
 # 3-pair averages (result_4.txt)
 text4 = (project / "result_baseline" / "result_4.txt").read_text()
 print(text4[-800:])
+'''),
+        md("## Multi-experiment comparison: procedures x shapes x epochs\n\n"
+           "The reference notebook's core analysis is comparing AUC tables "
+           "across whole experiment grids (its AE / CVAE / FAAE sections "
+           "each parse a different sweep's result file). Here the same "
+           "comparison runs live: the whole-grid sweep engine "
+           "(`cli/sweep_supervised.py`) trains a procedures x hidden-shapes "
+           "x epoch-counts grid on the demo cohort — every point a full "
+           "train/test/analysis — and the records pivot into the "
+           "comparison tables."),
+        code('''\
+# run (or reuse) a small sweep grid (own project root: the sweep rewrites
+# checkpoints per grid point, which must not disturb the shared demo)
+import argparse, json
+from multi_modal_normative_modeling_tpu.cli import sweep_supervised
+from multi_modal_normative_modeling_tpu.data.synthetic import (
+    make_synthetic_resource)
+
+sweep_root = repo / "outputs" / "notebook_demo_sweep"
+if not (sweep_root / "data" / "ADNI" / "y.csv").exists():
+    make_synthetic_resource(sweep_root, "ADNI", n_hc=90,
+                            n_disease={0: 40, 1: 40}, effect=0.8)
+sweep_summary = sweep_root / "outputs" / "sweep_supervised_results.json"
+if not sweep_summary.exists():
+    sweep_args = argparse.Namespace(
+        dataset_resourse="ADNI", n_splits=3, oversample_percentage=1,
+        model="cVAE_multimodal", training_class="nm", combine="gPoE",
+        procedures=["SM-av45", "SE-gPoE"], epochs_list=[20, 60],
+        hz_grid="32 32 8;16 8", lr_grid="1e-4:5e-3",
+        lr_schedule="constant", precision="fp32", in_memory_fusion=False)
+    sweep_supervised.main(sweep_args, project_root=sweep_root)
+records = json.loads(sweep_summary.read_text())
+len(records)
+'''),
+        code('''\
+# pivot: mean HC-vs-patient AUC per (procedure, shape, epochs)
+rows = []
+for r in records:
+    rows.append({"procedure": r["procedure"],
+                 "hz": "x".join(str(h) for h in r["hz_para_list"]),
+                 "epochs": r["epochs"],
+                 "mean_auc": round(sum(r["stats"]["auc"][:2]) / 2, 4)})
+grid = pd.DataFrame(rows).drop_duplicates()
+pivot = grid.pivot_table(index=["procedure", "hz"], columns="epochs",
+                         values="mean_auc")
+pivot
+'''),
+        code('''\
+# LaTeX export of the comparison table (the reference emits its tables
+# as LaTeX for the paper)
+print(pivot.to_latex(float_format="%.4f"))
+'''),
+        code('''\
+# chart: AUC by epochs per (procedure, shape)
+fig, ax = plt.subplots(figsize=(7, 4))
+for (proc, hz), sub in grid.groupby(["procedure", "hz"]):
+    sub = sub.sort_values("epochs")
+    ax.plot(sub["epochs"], sub["mean_auc"], marker="o",
+            label=f"{proc} hz={hz}")
+ax.set_xlabel("training epochs"); ax.set_ylabel("mean deviation AUC")
+ax.legend(); ax.set_title("Sweep grid comparison (HC-vs-AD / HC-vs-MCI mean)")
+plt.tight_layout(); plt.show()
 '''),
     ]
     return cells
