@@ -105,7 +105,10 @@ def _tiled_kernel(m_count: int, n_hidden: int, combine: str, d_pad: int,
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     n = nvalid[0, 0]
-    rm = rowmask[:]                        # [tile_b, 1] fp32
+    # rowmask is carried lane-wide ([Bp, LANE], all lanes equal) so every
+    # grid-blocked operand keeps a 128-lane last dim (Mosaic-conservative);
+    # the kernel uses one lane
+    rm = rowmask[:, :1]                    # [tile_b, 1] fp32
     zp = eps.shape[1]
     zm = (jax.lax.broadcasted_iota(jnp.int32, (1, zp), 1)
           < z_dim).astype(jnp.float32)
@@ -203,11 +206,11 @@ def _tiled_kernel(m_count: int, n_hidden: int, combine: str, d_pad: int,
         d_zc = d_zc + dg
 
     total = M * kl - ll_total
-    # SMEM accepts only scalar stores (Mosaic) — accumulate element-wise
-    acc(losses_out, (0, 0), total)
-    acc(losses_out, (0, 1), M * kl)
-    acc(losses_out, (0, 2), ll_total)
-    acc(losses_out, (0, 3), jnp.float32(0.0))
+    # losses live in a (1, 4) VMEM accumulator (vector store)
+    acc(losses_out, (slice(None), slice(None)), jnp.concatenate([
+        jnp.reshape(total, (1, 1)), jnp.reshape(M * kl, (1, 1)),
+        jnp.reshape(ll_total, (1, 1)), jnp.zeros((1, 1), jnp.float32),
+    ], axis=1))
 
     # ---------------- backward: reparam + KL --------------------------------
     dz = d_zc[:, : z.shape[1]] * zm
@@ -250,8 +253,8 @@ def _tiled_kernel(m_count: int, n_hidden: int, combine: str, d_pad: int,
             d_alpha_vals = [s[m] * (ds[m] - total_sds) for m in range(M)]
         else:
             d_alpha_vals = [jnp.float32(0.0)] * M
-    for m in range(M):
-        acc(d_alpha, (m, 0), d_alpha_vals[m])
+    acc(d_alpha, (slice(None), slice(None)), jnp.concatenate(
+        [jnp.reshape(v, (1, 1)) for v in d_alpha_vals], axis=0))
 
     # ---------------- backward: encoders ------------------------------------
     for m in range(M):
@@ -385,7 +388,12 @@ class TiledFusedTrainStep(FusedTrainStep):
         grid = (bp // self.tile_b,)
         tb = self.tile_b
 
-        operands = ([xc, c_tail, eps_p, rm, nvalid]
+        from .mlp import LANE
+
+        # lane-widen the [Bp, 1] row mask: grid-blocked operands keep a
+        # 128-lane last dim (Mosaic-conservative; see _tiled_kernel)
+        rm_wide = jnp.tile(rm.astype(jnp.float32), (1, LANE))
+        operands = ([xc, c_tail, eps_p, rm_wide, nvalid]
                     + [padded[k] for k in self._param_names])
         shapes = self._grad_shapes()
         out_shape = [jax.ShapeDtypeStruct(s, jnp.float32)
@@ -404,22 +412,18 @@ class TiledFusedTrainStep(FusedTrainStep):
                          memory_space=pltpu.VMEM),          # xc
             tile_rows((tb, c_tail.shape[1])),               # c_tail
             tile_rows((tb, eps_p.shape[1])),                # eps
-            tile_rows((tb, 1)),                             # rm
+            tile_rows((tb, LANE)),                          # rm (lane-wide)
             pl.BlockSpec(nvalid.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),          # nvalid
             pl.BlockSpec((self.M, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),          # alpha
         ] + [const3(padded[k]) for k in self._param_names[1:]]
 
-        out_specs = (
-            [pl.BlockSpec((1, 4), lambda i: (0, 0),
-                          memory_space=pltpu.SMEM),         # losses
-             pl.BlockSpec((self.M, 1), lambda i: (0, 0),
-                          memory_space=pltpu.SMEM)]         # d_alpha
-            + [pl.BlockSpec(s, lambda i, _n=len(s): (0,) * _n,
-                            memory_space=pltpu.VMEM)
-               for s in list(shapes.values())[2:]]
-        )
+        # every output is a VMEM accumulator with a constant index map
+        # (resident across the grid, one HBM writeback at the end)
+        out_specs = [pl.BlockSpec(s, lambda i, _n=len(s): (0,) * _n,
+                                  memory_space=pltpu.VMEM)
+                     for s in shapes.values()]
 
         outs = pl.pallas_call(
             functools.partial(_tiled_kernel, self.M, self.L, self.combine,
