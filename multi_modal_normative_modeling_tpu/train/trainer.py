@@ -120,7 +120,16 @@ def default_loss_fn(model, config: TrainConfig) -> Callable:
             p16 = _half_cast(p)
             x16 = [x.astype(jnp.bfloat16) for x in batch["x"]]
             c16 = [c.astype(jnp.bfloat16) for c in batch["c"]]
-            fwd = _full_cast(model.forward(p16, x16, c16, k, config.combine))
+            fwd = model.forward(p16, x16, c16, k, config.combine)
+            # upcast ONLY the latent-sized statistics (KL/reparam numerics,
+            # latent-dim cheap); the WIDE recon means stay bf16 — the loss's
+            # elementwise (x_fp32 - mean_bf16) promotes inline, which XLA
+            # fuses, instead of materializing fp32 copies of every wide
+            # intermediate in HBM (the round-2 _full_cast did exactly that
+            # and measured bf16 ~20% SLOWER than fp32 at PPMI width —
+            # RESULTS.md fused-width table)
+            fwd = {k_: (_full_cast(v) if k_ != "recon_means" else v)
+                   for k_, v in fwd.items()}
             losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
             return losses["total"], losses
     else:
