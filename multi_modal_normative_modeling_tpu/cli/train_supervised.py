@@ -530,8 +530,11 @@ def build_parser() -> argparse.ArgumentParser:
                         action='store_true',
                         help='run each optimizer step as ONE fused Pallas '
                              'fwd+bwd kernel (cVAE_multimodal, '
-                             'poe/gpoe/moe/mopoe, fp32); automatically falls '
-                             'back to the XLA path when unsupported.')
+                             'poe/gpoe/moe/mopoe): single-block when the '
+                             'batch fits VMEM, otherwise the batch-tiled '
+                             'grid kernel (weights resident; also the bf16 '
+                             'path under --precision bf16); automatically '
+                             'falls back to the XLA path when unsupported.')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true',
                         help='build the UCA early-fusion modality by '
