@@ -245,6 +245,35 @@ def main(args, project_root=None):
             print(f'packed XLA path unavailable ({reason}); '
                   'using the per-modality path')
 
+    fd_loss = None
+    if getattr(args, 'fused_decoder', False):
+        # fused decoder-head + NLL Pallas op (kernels/decoder_nll.py): the
+        # wide-regime partial fusion — works under the plain and
+        # fold-parallel trainers (pallas batches through vmap); the other
+        # specialized paths have their own kernels/shardings
+        conflicts = [name for name, on in [
+            ('--mesh', mesh is not None),
+            ('--packed_xla', packed_xla),
+            ('--fused_train_step', fused_trainer is not None),
+            ('--ep_mesh', getattr(args, 'ep_mesh', None) is not None
+             and bool(getattr(args, 'ep_mesh', None))),
+        ] if on]
+        if conflicts:
+            print('fused decoder unavailable (mutually exclusive with '
+                  + ', '.join(conflicts) + '); using the plain loss')
+        elif getattr(model, 'variant', None) != 'cvae' \
+                or train_config.precision != 'fp32':
+            print('fused decoder unavailable (cvae variant, fp32 only); '
+                  'using the plain loss')
+        else:
+            from ..kernels.decoder_nll import fused_decoder_loss_fn
+
+            if getattr(args, 'remat', False):
+                print('--remat applies to the standard XLA loss; ignoring '
+                      'it for --fused_decoder')
+            fd_loss = fused_decoder_loss_fn(model, train_config)
+            print('train model (fused decoder+NLL Pallas op)')
+
     if fused_trainer is not None:
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
@@ -384,7 +413,8 @@ def main(args, project_root=None):
             print('train model (all folds fold-parallel)')
         max_n = max(f[0][0].shape[0] for f in folds)
         mft = MultiFoldTrainer(model, train_config, max_n, mesh=mesh,
-                               shardings_fn=mesh_shardings)
+                               shardings_fn=mesh_shardings,
+                               loss_fn=fd_loss)
         stacked = stack_params(params_list)
         batches = stack_fold_batches([f[0] for f in folds],
                                      [f[1] for f in folds],
@@ -415,7 +445,8 @@ def main(args, project_root=None):
             {k: v[f] for k, v in host_logs.items()} for f in range(n_folds)
         ]
     elif fused_trainer is None:
-        trainer = FoldTrainer(model, train_config, folds[0][0][0].shape[0])
+        trainer = FoldTrainer(model, train_config, folds[0][0][0].shape[0],
+                              loss_fn=fd_loss)
         if getattr(args, 'warmup_only', False):
             from ..train.trainer import make_batches
 
@@ -535,6 +566,15 @@ def build_parser() -> argparse.ArgumentParser:
                              'grid kernel (weights resident; also the bf16 '
                              'path under --precision bf16); automatically '
                              'falls back to the XLA path when unsupported.')
+    parser.add_argument('--fused_decoder', dest='fused_decoder',
+                        action='store_true',
+                        help='fuse each modality\'s wide decoder-head + '
+                             'Gaussian NLL (fwd AND hand-derived bwd) into '
+                             'one batch-tiled Pallas op — the wide-feature '
+                             '(PPMI-class) partial fusion that keeps the '
+                             'recon means/residuals out of HBM while XLA '
+                             'pipelines the narrow layers; cvae variant, '
+                             'fp32, plain or --fold_parallel trainers.')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true',
                         help='build the UCA early-fusion modality by '

@@ -49,8 +49,16 @@ from .train_step import (
     FusedTrainStep,
     _dlrelu_from_out,
     _lrelu,
-    default_vmem_budget,
 )
+
+# Measured Mosaic ceiling for THIS kernel architecture on v5e (round 3,
+# scripts-era probe): with the grid + resident weights/accumulators the
+# compiler accepts ~13 MiB estimated residency (3x1536 features) and
+# crashes server-side at ~17 MiB (3x2048) — far below the ~48 MiB the
+# grid-free single-block kernel compiled at. Budget set under the measured
+# ceiling; wide multi-modality shapes (PPMI 3x3485) therefore route to the
+# XLA path / the fused decoder+NLL op (kernels/decoder_nll.py) instead.
+VMEM_BUDGET_TILED = 14 * 1024 * 1024
 
 # weight tensors cast to the compute dtype on the bf16 path; biases, lvo and
 # alpha stay fp32 (added to fp32 matmul outputs / SMEM scalars)
@@ -337,7 +345,7 @@ class TiledFusedTrainStep(FusedTrainStep):
 
     def choose_tile(self, budget: int = None) -> int:
         if budget is None:
-            budget = default_vmem_budget()
+            budget = VMEM_BUDGET_TILED
         floor = 16 if self.compute_dtype == jnp.dtype(jnp.bfloat16) else 8
         for tile in (512, 256, 128, 64, 32, 16, 8):
             if tile >= floor and self.vmem_bytes_tiled(tile) <= budget:
@@ -346,7 +354,7 @@ class TiledFusedTrainStep(FusedTrainStep):
 
     def fits_vmem(self, batch: int, budget: int = None) -> bool:
         if budget is None:
-            budget = default_vmem_budget()
+            budget = VMEM_BUDGET_TILED
         return self.vmem_bytes_tiled(min(self.tile_b, batch)) <= budget
 
     # ---- storage-dtype casts -------------------------------------------------

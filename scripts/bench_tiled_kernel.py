@@ -88,6 +88,22 @@ def bench_width(name, dims, n, batch, epochs, hidden=(110, 110), latent=10,
         tr16 = FoldTrainer(model, cfg16, n)
         batches = jax.device_put(make_batches(data, [cov] * len(dims), batch))
         report("xla_bf16", _time(tr16.run_batches, params, batches, key))
+    if "fused_dec" in variants:
+        from multi_modal_normative_modeling_tpu.kernels.decoder_nll import (
+            fused_decoder_loss_fn,
+        )
+
+        cfg = TrainConfig(epochs=epochs, batch_size=batch, combine=combine)
+        try:
+            trd = FoldTrainer(model, cfg, n,
+                              loss_fn=fused_decoder_loss_fn(model, cfg))
+            batches = jax.device_put(make_batches(data, [cov] * len(dims),
+                                                  batch))
+            report("fused_dec", _time(trd.run_batches, params, batches, key))
+        except Exception as exc:
+            print(f"  fused_dec   FAILED: {type(exc).__name__}: "
+                  f"{str(exc).splitlines()[0][:160]}", flush=True)
+            results["fused_dec"] = None
 
     for tag, kernel, precision in (("tiled", "tiled", "fp32"),
                                    ("tiled_bf16", "tiled", "bf16"),
@@ -123,9 +139,10 @@ def main():
     variants = (tuple(sys.argv[2].split(",")) if len(sys.argv) > 2
                 else ("xla", "xla_bf16", "tiled", "tiled_bf16", "single"))
     out = {}
+    ppmi_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     if which in ("all", "ppmi"):
-        out["ppmi"] = bench_width("ppmi", [3485, 3485, 3485], 2560, 256, 20,
-                                  variants=variants)
+        out["ppmi"] = bench_width("ppmi", [3485, 3485, 3485], 2560, 256,
+                                  ppmi_epochs, variants=variants)
     if which in ("all", "flagship"):
         out["flagship"] = bench_width("flagship", [90, 90, 90, 270], 512,
                                       256, 50, variants=variants)

@@ -90,16 +90,29 @@ def test_supported_pre_checks():
     assert supported(model, config, 256)[0]
     ok, reason = supported(model, config, 256, fold_parallel=True)
     assert not ok and "fold_parallel" in reason
-    ok, reason = supported(model, TrainConfig(combine="gpoe",
-                                              precision="bf16"), 256)
-    assert not ok and "precision" in reason
+    # round 3: bf16 routes to the TILED kernel (bf16-resident weights/tiles)
+    from multi_modal_normative_modeling_tpu.train.fused import select_kernel
+
+    kernel, reason = select_kernel(
+        model, TrainConfig(combine="gpoe", precision="bf16"), 256)
+    assert kernel == "tiled", reason
+    kernel, reason = select_kernel(
+        model, TrainConfig(combine="gpoe", precision="fp16"), 256)
+    assert kernel is None and "precision" in reason
     dmvae = build_model("DMVAE", [20, 12], [10, 8], 6, 3, 2)
     ok, reason = supported(dmvae, config, 256)
     assert not ok
-    # PPMI-width shapes exceed a v4-class VMEM budget -> falls back on CPU
+    # PPMI 3-modality width exceeds even the tiled kernel's MEASURED Mosaic
+    # ceiling (kernels/train_step_tiled.VMEM_BUDGET_TILED) -> honest XLA
+    # fallback; single-modality wide fits the tiled kernel
     wide = build_model("cVAE_multimodal", [3485] * 3, [110, 110], 10, 29, 3)
-    ok, reason = supported(wide, config, 256)
-    assert not ok and "VMEM" in reason
+    kernel, reason = select_kernel(wide, config, 256)
+    assert kernel is None and "VMEM" in reason
+    wide1 = build_model("cVAE_multimodal", [3485], [110, 110], 10, 29, 1)
+    kernel, reason = select_kernel(wide1, config, 256)
+    assert kernel == "tiled", reason
+    # small shapes keep the single-block kernel (fastest at narrow widths)
+    assert select_kernel(model, config, 256)[0] == "single"
 
 
 def test_cli_fused_pipeline(tmp_path, capsys):
