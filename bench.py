@@ -37,11 +37,14 @@ FOLDS = 5
 SEED = 0
 
 # wide-regime (PPMI-class) floor row: 3 x 3485 features, 1 fold,
-# 400 in-program steps (>=400 amortizes the tunnel's 30-100 ms variable
-# invocation overhead — CLAUDE.md / RESULTS.md "window sensitivity")
+# 2000 in-program steps. Round 3 measured that 400-step programs (~120 ms
+# of device work) are still inflatable ~2x by the tunnel's 30-150 ms
+# variable invocation overhead — the round-2 "558 us/step" PPMI figure was
+# exactly that artifact; at 2000 steps the same step measures 293 us
+# (RESULTS.md round-3 section).
 PPMI_DIMS = [3485, 3485, 3485]
 PPMI_N = 2560
-PPMI_EPOCHS = 40
+PPMI_EPOCHS = 200
 
 # MXU peak for the MFU estimate (v5e; fp32 runs the MXU at 1/4 its bf16
 # rate). The estimate is coarse — it exists so round-over-round regressions
