@@ -47,6 +47,36 @@ def test_decoder_nll_value_and_grads_match_autodiff():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_decoder_nll_grads_at_ppmi_width():
+    """Parity AT the target width (H=110, D=3485): pins the wide-regime
+    lane padding (3485->3584) and the multi-tile recompute backward."""
+    rng = np.random.default_rng(5)
+    B, H, D = 16, 110, 3485
+    g = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, D)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.1)
+    lvo = jnp.full((1, D), -3.0, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    mask = jnp.asarray(np.r_[np.ones(B - 2), np.zeros(2)].astype(np.float32))
+    n = jnp.maximum(jnp.sum(mask), 1.0)
+
+    def plain(g, w, b, lvo):
+        return gaussian_ll(x, g @ w + b, lvo, mask)
+
+    def fused(g, w, b, lvo):
+        return decoder_nll(g, w, b, lvo, x, mask, n, tile_b=8)
+
+    ref_val, ref_grads = jax.value_and_grad(plain, argnums=(0, 1, 2, 3))(
+        g, w, b, lvo)
+    got_val, got_grads = jax.value_and_grad(fused, argnums=(0, 1, 2, 3))(
+        g, w, b, lvo)
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-5)
+    for got, ref in zip(got_grads, ref_grads):
+        ref = np.asarray(ref).reshape(np.asarray(got).shape)
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   rtol=1e-3, atol=1e-5)
+
+
 @pytest.mark.parametrize("combine", ["gpoe", "moe"])
 def test_fused_decoder_loss_matches_default(combine):
     dims = [24, 40, 16]

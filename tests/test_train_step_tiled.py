@@ -52,6 +52,26 @@ def test_tiled_grads_match_autodiff(combine):
         grads, ref_grads)
 
 
+def test_tiled_grads_match_autodiff_at_ppmi_width():
+    """Gradient parity AT the target width (3x3485, flagship hiddens):
+    the small-width parametrized cases exercise the math; this one pins the
+    actual wide-regime shapes (lane padding 3485->3584, multi-tile grid)."""
+    model, params, xp, c, eps, rowmask = _problem(
+        [110, 110], dims=(3485, 3485, 3485), seed=3, b=16)
+    loss_ref = _reference_loss(model, xp, c, eps, rowmask, "gpoe")
+    ref_total, ref_grads = jax.value_and_grad(loss_ref)(params)
+
+    step = TiledFusedTrainStep(model, "gpoe", tile_b=8, interpret=True)
+    losses, grads = step.loss_and_grads(params, xp, c, eps, rowmask)
+
+    np.testing.assert_allclose(float(losses["total"]), float(ref_total),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-5),
+        grads, ref_grads)
+
+
 @pytest.mark.parametrize("hidden", [[14], [12, 12], [20, 12, 8]],
                          ids=["1hidden", "2hidden", "3hidden"])
 def test_tiled_grads_any_depth(hidden):
