@@ -274,6 +274,20 @@ def main(args, project_root=None):
             fd_loss = fused_decoder_loss_fn(model, train_config)
             print('train model (fused decoder+NLL Pallas op)')
 
+    if getattr(args, 'stream_shards', 0):
+        stream_conflicts = [name for name, on in [
+            ('--fold_parallel', fold_parallel),
+            ('--mesh', mesh is not None),
+            ('--packed_xla', packed_xla),
+            ('--fused_train_step', fused_trainer is not None),
+            ('--ep_mesh', bool(getattr(args, 'ep_mesh', None))),
+        ] if on]
+        if stream_conflicts:
+            raise SystemExit('--stream_shards is mutually exclusive with '
+                             + ', '.join(stream_conflicts)
+                             + ' (out-of-core streaming is a sequential '
+                               'whole-fold path)')
+
     if fused_trainer is not None:
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
@@ -445,17 +459,36 @@ def main(args, project_root=None):
             {k: v[f] for k, v in host_logs.items()} for f in range(n_folds)
         ]
     elif fused_trainer is None:
-        trainer = FoldTrainer(model, train_config, folds[0][0][0].shape[0],
-                              loss_fn=fd_loss)
-        if getattr(args, 'warmup_only', False):
-            from ..train.trainer import make_batches
+        stream_shards = getattr(args, 'stream_shards', 0) or 0
+        if stream_shards:
+            # out-of-core streaming: batch shards double-buffer host->HBM
+            # while a jitted scan consumes each shard; bit-identical to the
+            # resident trainer (train/streaming.py), so the resumable state
+            # dir is shared with it
+            from ..train import StreamingFoldTrainer
 
+            trainer = StreamingFoldTrainer(
+                model, train_config, folds[0][0][0].shape[0],
+                shards=stream_shards, loss_fn=fd_loss)
+            print(f'train model (streamed, {stream_shards} batch shards)')
+        else:
+            trainer = FoldTrainer(model, train_config,
+                                  folds[0][0][0].shape[0], loss_fn=fd_loss)
+        if getattr(args, 'warmup_only', False):
             data_list, cov_list = folds[0]
-            batches = jax.device_put(make_batches(
-                data_list, cov_list, train_config.batch_size))
-            secs = trainer.compile(params_list[0], batches, keys[0])
-            print(f'warmup: whole-fold train program compiled in '
-                  f'{secs:.1f}s (persistent cache populated)')
+            if stream_shards:
+                secs = trainer.compile(params_list[0], data_list, cov_list,
+                                       keys[0])
+                print(f'warmup: streamed shard programs compiled in '
+                      f'{secs:.1f}s (persistent cache populated)')
+            else:
+                from ..train.trainer import make_batches
+
+                batches = jax.device_put(make_batches(
+                    data_list, cov_list, train_config.batch_size))
+                secs = trainer.compile(params_list[0], batches, keys[0])
+                print(f'warmup: whole-fold train program compiled in '
+                      f'{secs:.1f}s (persistent cache populated)')
             run_log.event('warmup_done', seconds=secs)
             return
         per_fold_params, per_fold_logs = [], []
@@ -575,6 +608,15 @@ def build_parser() -> argparse.ArgumentParser:
                              'recon means/residuals out of HBM while XLA '
                              'pipelines the narrow layers; cvae variant, '
                              'fp32, plain or --fold_parallel trainers.')
+    parser.add_argument('--stream_shards', dest='stream_shards', type=int,
+                        default=0, metavar='S',
+                        help='out-of-core training for cohorts that exceed '
+                             'HBM: split each epoch into S contiguous batch '
+                             'shards, double-buffer the host->device upload '
+                             'of shard i+1 under the jitted scan of shard i '
+                             '(donated buffers; peak batch HBM ~2/S of the '
+                             'cohort). Bit-identical to the resident '
+                             'trainer; sequential path only. 0 disables.')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true',
                         help='build the UCA early-fusion modality by '

@@ -6,6 +6,7 @@ from .trainer import (  # noqa: F401
     make_batches,
     train_single_fold,
 )
+from .streaming import StreamingFoldTrainer  # noqa: F401
 from .schedules import cyclic_triangular  # noqa: F401
 from .checkpoints import (  # noqa: F401
     checkpoint_exists,

@@ -266,7 +266,24 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
             length=n_epochs)
         return params, opt_state, key, logs
 
+    def batches_chunk(split_key, params, opt_state, key, batches):
+        """Scan ``step`` over a SUBSET of an epoch's batches from an explicit
+        carry — the unit of out-of-core streaming (train/streaming.py).
+        ``split_key`` (static) replays the plain epoch's per-epoch key split
+        on the FIRST shard, so shard-chunked epochs are bit-identical to the
+        single-scan epoch. Returns (params, opt_state, key, first-batch aux).
+        Shuffle is structurally unsupported here (the permutation spans
+        shards); callers must guard."""
+        if split_key:
+            key, _ = jax.random.split(key)
+        (params, opt_state, key), aux = jax.lax.scan(
+            step, (params, opt_state, key), batches)
+        logs = {k: v for k, v in aux.items() if not k.startswith("__")}
+        first = jax.tree_util.tree_map(lambda a: a[0], logs)
+        return params, opt_state, key, first
+
     train.chunk = train_chunk
+    train.batches_chunk = batches_chunk
     return train
 
 
