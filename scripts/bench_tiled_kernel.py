@@ -146,6 +146,13 @@ def main():
     if which in ("all", "flagship"):
         out["flagship"] = bench_width("flagship", [90, 90, 90, 270], 512,
                                       256, 50, variants=variants)
+    if which == "mid":
+        # the select_kernel routing window: single-block does not fit
+        # batch 256 but the tiled kernel does (tile_b 32-128) — does the
+        # tiled kernel actually beat XLA where the router prefers it?
+        for w in (768, 1024, 1536):
+            out[f"mid{w}"] = bench_width(f"mid{w}", [w, w, w], 2560, 256,
+                                         ppmi_epochs, variants=variants)
     print("\nsummary (us/step):")
     for w, res in out.items():
         for tag, us in res.items():
