@@ -147,7 +147,7 @@ def bench_jax() -> float:
 
 
 def bench_ppmi_floor() -> dict:
-    """Per-step device floor at PPMI width (3x3485, 1 fold, 400 in-program
+    """Per-step device floor at PPMI width (3x3485, 1 fold, 2000 in-program
     steps). This is the stable cross-round signal: a degraded tunnel window
     moves wall-clock rows but not this floor (min over reps of a long
     program), so round-over-round regressions are distinguishable from

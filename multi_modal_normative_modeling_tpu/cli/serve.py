@@ -342,8 +342,14 @@ def make_server(service: ScoringService, host: str = '127.0.0.1',
         def _authorized(self) -> bool:
             if auth_token is None:
                 return True
-            supplied = self.headers.get('Authorization', '')
-            return hmac.compare_digest(supplied, f'Bearer {auth_token}')
+            # compare as bytes: compare_digest raises TypeError on
+            # non-ASCII str operands (headers decode as latin-1), which
+            # would abort the connection instead of returning 401
+            supplied = self.headers.get('Authorization', '').encode(
+                'latin-1', 'backslashreplace')
+            expected = f'Bearer {auth_token}'.encode(
+                'latin-1', 'backslashreplace')
+            return hmac.compare_digest(supplied, expected)
 
         def do_GET(self):
             if self.path.rstrip('/') in ('', '/healthz'.rstrip('/')):
@@ -360,8 +366,12 @@ def make_server(service: ScoringService, host: str = '127.0.0.1',
                                            'token'},
                             headers=[('WWW-Authenticate', 'Bearer')])
                 return
+            # a MISSING header must also 411 (the contract: reject
+            # length-less requests before reading; a chunked body left
+            # unread would desync subsequent keep-alive requests)
+            raw_length = self.headers.get('Content-Length')
             try:
-                length = int(self.headers.get('Content-Length', 0))
+                length = int(raw_length)
             except (TypeError, ValueError):
                 length = -1
             if length < 0:

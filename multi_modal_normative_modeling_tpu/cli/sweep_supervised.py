@@ -245,6 +245,20 @@ def main(args, project_root=None):
                 [f[0] for f in folds], [f[1] for f in folds], 256)
             if mesh is None:
                 batches = jax.device_put(batches)
+        if ep_mesh is not None:
+            # the packed layout feeds ONE covariate block to every modality
+            # — only equivalent when the per-modality blocks are identical
+            # (same gate as the train CLI's --ep_mesh path: never assume
+            # it silently)
+            for _, cov_list in folds:
+                first = cov_list[0]
+                for c in cov_list[1:]:
+                    if c.shape != first.shape or not np.array_equal(c, first):
+                        raise SystemExit(
+                            f'--ep_mesh unavailable ({procedure}): '
+                            'per-modality covariates differ across '
+                            'modalities (packed layout shares one block)')
+        ep_batches = None  # packed+placed once per procedure, reused per point
 
         for hz in hz_grid:
             for base_lr, max_lr in lr_points:
@@ -277,9 +291,15 @@ def main(args, project_root=None):
                     ep_mft = PackedMultiFoldTrainer(
                         model, train_config, max_n, mesh=ep_mesh,
                         shardings_fn=packed_fold_shardings)
+                    if ep_batches is None:
+                        # packed layout depends only on (folds, batch,
+                        # input dims) — build + mesh-place once per
+                        # procedure, not per grid point
+                        ep_batches = ep_mft.prepare_batches(folds)
                     milestone_stream = ep_mft.run_milestones(
                         [init_params] * n_folds, folds,
-                        [common.host_prng_key(42)] * n_folds, epochs_list)
+                        [common.host_prng_key(42)] * n_folds, epochs_list,
+                        packed_batches=ep_batches)
                 else:
                     stacked = stack_params([init_params] * n_folds)
                     keys = jnp.stack([common.host_prng_key(42)] * n_folds)

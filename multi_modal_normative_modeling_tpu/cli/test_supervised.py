@@ -277,11 +277,7 @@ def main(args, project_root=None):
             a = np.asarray(a, dtype=np.float32)
             return np.pad(a, ((0, padded_rows - a.shape[0]), (0, 0)))
 
-        xes = tuple(
-            np.stack([pad(j['test_data_list'][m]) for j in pending])
-            for m in range(n_mod))
         cs_stack = np.stack([pad(j['test_cov']) for j in pending])
-        cs = (cs_stack,) * n_mod
         # same per-fold PRNG streams as sequential inference (SURVEY.md Q2);
         # plain integer seeds — keys are derived inside the jitted program
         keys = np.array([1000 + j['fold'] for j in pending], dtype=np.uint32)
@@ -308,6 +304,14 @@ def main(args, project_root=None):
                 for m in range(n_mod)]
             mark('device->host fetch')
         else:
+            # per-modality padded stacks only on the non-ep path (the ep
+            # branch builds the packed [F, M, rows, d_max] layout directly —
+            # duplicating the cohort here would double host memory at
+            # exactly the wide-feature scale ep targets)
+            xes = tuple(
+                np.stack([pad(j['test_data_list'][m]) for j in pending])
+                for m in range(n_mod))
+            cs = (cs_stack,) * n_mod
             stacked_params = stack_params([j['params'] for j in pending])
             mark('stack + keys')
             try:

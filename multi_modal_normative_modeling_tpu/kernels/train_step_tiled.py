@@ -293,14 +293,15 @@ class TiledFusedTrainStep(FusedTrainStep):
     """
 
     def __init__(self, stacked_model, combine: str, tile_b: int = None,
-                 compute_dtype=jnp.float32, interpret: bool | None = None):
+                 compute_dtype=jnp.float32, interpret: bool | None = None,
+                 batch_hint: int = None):
         super().__init__(stacked_model, combine, interpret=interpret)
         self.compute_dtype = jnp.dtype(compute_dtype)
         if self.compute_dtype not in (jnp.dtype(jnp.float32),
                                       jnp.dtype(jnp.bfloat16)):
             raise ValueError(f"compute_dtype {compute_dtype}")
         if tile_b is None:
-            tile_b = self.choose_tile()
+            tile_b = self.choose_tile(batch_hint=batch_hint)
         # bf16 blocks need (16, 128) min tiles; fp32 (8, 128)
         align = 16 if self.compute_dtype == jnp.dtype(jnp.bfloat16) else 8
         if tile_b % align:
@@ -343,19 +344,29 @@ class TiledFusedTrainStep(FusedTrainStep):
         n += 3 * tile_b * self.D * 4
         return n
 
-    def choose_tile(self, budget: int = None) -> int:
+    def choose_tile(self, budget: int = None, batch_hint: int = None) -> int:
+        """Largest power-of-two tile under the VMEM budget. ``batch_hint``
+        caps the tile at the (alignment-rounded) batch size — a tile larger
+        than the batch would only pad every batch up to itself (wasted
+        rows) while RAISING the real block residency."""
         if budget is None:
             budget = VMEM_BUDGET_TILED
         floor = 16 if self.compute_dtype == jnp.dtype(jnp.bfloat16) else 8
+        cap = 512
+        if batch_hint is not None:
+            cap = max(floor, -(-batch_hint // floor) * floor)
         for tile in (512, 256, 128, 64, 32, 16, 8):
-            if tile >= floor and self.vmem_bytes_tiled(tile) <= budget:
+            if floor <= tile <= cap and self.vmem_bytes_tiled(tile) <= budget:
                 return tile
         return floor
 
     def fits_vmem(self, batch: int, budget: int = None) -> bool:
+        """Whether the COMPILED block residency fits: batches are padded UP
+        to tile_b (row_align), so the block is always tile_b rows — do not
+        understate with min(tile_b, batch)."""
         if budget is None:
             budget = VMEM_BUDGET_TILED
-        return self.vmem_bytes_tiled(min(self.tile_b, batch)) <= budget
+        return self.vmem_bytes_tiled(self.tile_b) <= budget
 
     # ---- storage-dtype casts -------------------------------------------------
     def cast_exec(self, padded: Dict[str, jnp.ndarray]):

@@ -44,6 +44,55 @@ def stack_params(params_list: Sequence) -> dict:
     )
 
 
+def milestone_scan(milestones, params, opt_state, key, batches,
+                   chunk_fn_for, cache, emit):
+    """Shared milestone-iteration engine behind
+    MultiFoldTrainer.run_milestones and PackedMultiFoldTrainer.run_milestones
+    (one reuse policy, one log accumulator — the two must not drift).
+
+    Trains to each milestone epoch (ascending) in turn, yielding
+    ``(milestone,) + emit(params, logs_acc)`` after each. Chunked scans are
+    prefix-bit-identical to one long scan, so one training run to
+    max(milestones) serves every requested epoch count
+    (tests/test_sweep_supervised.py).
+
+    ``chunk_fn_for(size, params, opt_state, key, batches)`` returns the
+    jitted chunk program for ``size`` epochs; ``cache`` is its compiled-size
+    dict, consulted by the reuse policy: an already-compiled chunk size is
+    re-dispatched up to 16x rather than compiling the exact delta (a compile
+    is ~1 s persistent-cache-hit / 10-30 s server-cold through the tunnel vs
+    ~0.1 s per extra dispatch).
+    """
+    logs_acc, cur = None, 0
+    for m in milestones:
+        if m < cur:
+            raise ValueError(f"milestones must ascend, got {milestones}")
+        if m > cur:
+            delta = m - cur
+            divisors = [s for s in cache
+                        if delta % s == 0 and delta // s <= 16]
+            if delta in cache or not divisors:
+                size, reps = delta, 1
+            else:
+                size = max(divisors)
+                reps = delta // size
+            fn = chunk_fn_for(size, params, opt_state, key, batches)
+            rep_logs = []
+            for _ in range(reps):
+                params, opt_state, key, logs = fn(params, opt_state, key,
+                                                  batches)
+                rep_logs.append(logs)  # keep on device: reps pipeline
+            host_reps = jax.tree_util.tree_map(
+                np.asarray, jax.device_get(rep_logs))  # one fetch
+            for host_logs in host_reps:
+                logs_acc = host_logs if logs_acc is None else {
+                    k: np.concatenate([logs_acc[k], host_logs[k]], axis=1)
+                    for k in host_logs
+                }
+            cur = m
+        yield (m,) + tuple(emit(params, logs_acc))
+
+
 def unstack_params(stacked, n_folds: int) -> List:
     """Slice the leading fold axis. Prefer passing host (numpy) trees: on
     device arrays each slice is an eager dispatch (a compile + round trip
@@ -206,48 +255,19 @@ class MultiFoldTrainer:
         don't depend on the total scan length. This collapses the epochs axis
         of a hyperparameter grid (cli/sweep_supervised.py).
         """
-        init_opt = jax.jit(jax.vmap(self.optimizer.init))
-        params, key = stacked_params, keys
-        opt_state = init_opt(params)
-        logs_acc, cur = None, 0
-        for m in milestones:
-            if m < cur:
-                raise ValueError(f"milestones must ascend, got {milestones}")
-            if m > cur:
-                delta = m - cur
-                # Reuse an already-compiled chunk size when the delta is a
-                # small multiple of it: a compile (persistent-cache hit ~1 s,
-                # server-cold 10-30 s through the tunnel) costs more than a
-                # few extra dispatches (~0.1 s each), and chunked scans are
-                # prefix-bit-identical regardless of the split
-                # (tests/test_sweep_supervised.py).
-                divisors = [s for s in self._chunk_cache
-                            if delta % s == 0 and delta // s <= 16]
-                if delta in self._chunk_cache or not divisors:
-                    size, reps = delta, 1
-                else:
-                    size = max(divisors)
-                    reps = delta // size
-                fn = self._chunk_fn(
-                    size,
-                    example_args=(params, opt_state, key, stacked_batches))
-                rep_logs = []
-                for _ in range(reps):
-                    params, opt_state, key, logs = fn(params, opt_state, key,
-                                                      stacked_batches)
-                    rep_logs.append(logs)  # keep on device: reps pipeline
-                host_reps = jax.tree_util.tree_map(
-                    np.asarray, jax.device_get(rep_logs))  # one fetch
-                for host_logs in host_reps:
-                    logs_acc = host_logs if logs_acc is None else {
-                        k: np.concatenate([logs_acc[k], host_logs[k]],
-                                          axis=1)
-                        for k in host_logs
-                    }
-                cur = m
-            host_params = jax.tree_util.tree_map(
-                np.asarray, jax.device_get(params))
-            yield m, host_params, logs_acc
+        opt_state = jax.jit(jax.vmap(self.optimizer.init))(stacked_params)
+
+        def chunk_for(size, p, o, k, b):
+            return self._chunk_fn(size, example_args=(p, o, k, b))
+
+        def emit(params, logs_acc):
+            return (jax.tree_util.tree_map(np.asarray,
+                                           jax.device_get(params)),
+                    logs_acc)
+
+        yield from milestone_scan(milestones, stacked_params, opt_state,
+                                  keys, stacked_batches, chunk_for,
+                                  self._chunk_cache, emit)
 
     def run_resumable(self, stacked_params, stacked_batches, keys, state_dir,
                       checkpoint_every: int, resume: bool = True):

@@ -60,10 +60,10 @@ def select_kernel(model, config: TrainConfig, batch_size: int,
 
         step = TiledFusedTrainStep(stacked, config.combine,
                                    compute_dtype=jnp.bfloat16,
-                                   interpret=None)
+                                   interpret=None, batch_hint=batch_size)
         if step.fits_vmem(batch_size):
             return "tiled", ""
-        mb = step.vmem_bytes_tiled(min(step.tile_b, batch_size)) / 2**20
+        mb = step.vmem_bytes_tiled(step.tile_b) / 2**20
         return None, (f"bf16 tiled kernel needs ~{mb:.0f} MiB VMEM "
                       "(exceeds this core's budget)")
     step = FusedTrainStep(stacked, config.combine, interpret=None)
@@ -71,10 +71,11 @@ def select_kernel(model, config: TrainConfig, batch_size: int,
         return "single", ""
     from ..kernels.train_step_tiled import TiledFusedTrainStep
 
-    tiled = TiledFusedTrainStep(stacked, config.combine, interpret=None)
+    tiled = TiledFusedTrainStep(stacked, config.combine, interpret=None,
+                                batch_hint=batch_size)
     if tiled.fits_vmem(batch_size):
         return "tiled", ""
-    mb = tiled.vmem_bytes_tiled(min(tiled.tile_b, batch_size)) / 2**20
+    mb = tiled.vmem_bytes_tiled(tiled.tile_b) / 2**20
     return None, (f"shapes need ~{mb:.0f} MiB VMEM even batch-tiled "
                   "(exceeds this core's budget)")
 
@@ -145,7 +146,7 @@ class FusedFoldTrainer:
                 self.stacked, config.combine, tile_b=tile_b,
                 compute_dtype=(jnp.bfloat16 if config.precision == "bf16"
                                else jnp.float32),
-                interpret=interpret)
+                interpret=interpret, batch_hint=config.batch_size)
         else:
             if config.precision != "fp32":
                 raise ValueError("single-block fused kernel is fp32-only")

@@ -358,59 +358,45 @@ class PackedMultiFoldTrainer:
                 cache[n] = jax.jit(chunk)
         return cache[n]
 
-    def run_milestones(self, params_list, folds, keys, milestones):
+    def prepare_batches(self, folds):
+        """Packed + mesh-placed batch tensors for ``folds`` — depends only
+        on (folds, batch_size, input layout), NOT on hidden dims, so a
+        hyperparameter sweep builds this once per procedure and passes it to
+        every grid point's ``run_milestones`` (cli/sweep_supervised.py)."""
+        return self._place(self.pack_folds(folds))
+
+    def run_milestones(self, params_list, folds, keys, milestones,
+                       packed_batches=None):
         """Train to each milestone epoch in turn, yielding
         ``(epoch, per_fold_params, per_fold_logs)`` after each — the packed
         (optionally expert-parallel-meshed) counterpart of
-        parallel/folds.MultiFoldTrainer.run_milestones, with the same
-        chunk-program-reuse policy (chunked scans are prefix-bit-identical,
-        tests/test_sweep_supervised.py). Collapses the epochs axis of the
-        sweep grid (cli/sweep_supervised.py --ep_mesh)."""
+        parallel/folds.MultiFoldTrainer.run_milestones, driven by the SAME
+        shared engine (parallel/folds.milestone_scan: one reuse policy, one
+        log accumulator). Collapses the epochs axis of the sweep grid
+        (cli/sweep_supervised.py --ep_mesh). ``packed_batches`` (from
+        ``prepare_batches``) skips re-packing the cohort per grid point."""
+        from ..parallel.folds import milestone_scan
+
         stacked_params = self._stack_packed(params_list)
-        batches = self._place(self.pack_folds(folds))
+        batches = (packed_batches if packed_batches is not None
+                   else self.prepare_batches(folds))
         keys = jnp.stack(list(keys))
-        params, key = stacked_params, keys
-        opt_state = jax.jit(jax.vmap(self.optimizer.init))(params)
-        logs_acc, cur = None, 0
-        for m in milestones:
-            if m < cur:
-                raise ValueError(f"milestones must ascend, got {milestones}")
-            if m > cur:
-                delta = m - cur
-                cache = getattr(self, "_chunk_cache", {})
-                divisors = [s for s in cache
-                            if delta % s == 0 and delta // s <= 16]
-                if delta in cache or not divisors:
-                    size, reps = delta, 1
-                else:
-                    size = max(divisors)
-                    reps = delta // size
-                fn = self._chunk_jit(size, params, opt_state, key, batches)
-                rep_logs = []
-                for _ in range(reps):
-                    params, opt_state, key, logs = fn(params, opt_state,
-                                                      key, batches)
-                    rep_logs.append(logs)
-                host_reps = jax.tree_util.tree_map(
-                    np.asarray, jax.device_get(rep_logs))
-                for host_logs in host_reps:
-                    logs_acc = host_logs if logs_acc is None else {
-                        k: np.concatenate([logs_acc[k], host_logs[k]],
-                                          axis=1)
-                        for k in host_logs
-                    }
-                cur = m
-            per_fold_params, per_fold_logs = self._per_fold(
-                params, logs_acc, len(params_list))
-            yield m, per_fold_params, per_fold_logs
+        opt_state = jax.jit(jax.vmap(self.optimizer.init))(stacked_params)
+        if not hasattr(self, "_chunk_cache"):
+            self._chunk_cache = {}
+
+        def emit(params, logs_acc):
+            return self._per_fold(params, logs_acc, len(params_list))
+
+        yield from milestone_scan(milestones, stacked_params, opt_state,
+                                  keys, batches, self._chunk_jit,
+                                  self._chunk_cache, emit)
 
     def run_resumable(self, params_list, folds, keys, state_dir,
                       checkpoint_every: int, resume: bool = True):
         """Checkpointed fold-parallel packed training: ONE whole-run train
         state (stacked packed params + stacked optax state + per-fold PRNG
         keys + epoch cursor); bit-identical to the single-scan run."""
-        import functools
-
         from .checkpoints import run_chunked
 
         stacked_params = self._stack_packed(params_list)
@@ -425,23 +411,13 @@ class PackedMultiFoldTrainer:
                     "opt_state": jax.tree_util.tree_map(
                         lambda s: np.zeros(s.shape, s.dtype), shapes)}
 
-        chunk_cache: dict = {}
-
         def run_chunk(n, p, opt_state, k):
             if opt_state is None:
                 opt_state = init_opt(p)
-            if n not in chunk_cache:
-                chunk = jax.vmap(functools.partial(self._raw_train.chunk, n))
-                if self.mesh is not None:
-                    p_sh, b_sh, k_sh = self._shardings_fn(self.mesh, p,
-                                                          batches, k)
-                    o_sh = self._shardings_fn.opt(self.mesh, opt_state, p,
-                                                  p_sh)
-                    chunk_cache[n] = jax.jit(
-                        chunk, in_shardings=(p_sh, o_sh, k_sh, b_sh))
-                else:
-                    chunk_cache[n] = jax.jit(chunk)
-            return chunk_cache[n](p, opt_state, k, batches)
+            # shared jitted-chunk cache with run_milestones (_chunk_jit):
+            # one place owns the mesh/sharding wiring
+            return self._chunk_jit(n, p, opt_state, k, batches)(
+                p, opt_state, k, batches)
 
         # vmapped chunk logs come back [F, n]; accumulate on the epoch axis
         params, logs = run_chunked(state_dir, self.config.epochs,

@@ -433,23 +433,61 @@ def test_http_auth_token_and_body_cap(service):
 
 
 def test_http_missing_content_length_is_411(service):
-    """A POST whose Content-Length is unparseable gets 411, not a crash."""
+    """Unparseable AND truly-absent Content-Length both get 411, not a
+    crash (an absent header would otherwise default to 0 and a chunked
+    body would be left unread, desyncing keep-alive connections)."""
     import http.client
 
     server = serve.make_server(service, port=0)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     host, port = server.server_address[:2]
-    try:
+
+    def post_with_headers(headers):
         conn = http.client.HTTPConnection(host, port, timeout=10)
         conn.putrequest("POST", "/score", skip_accept_encoding=True)
-        conn.putheader("Content-Type", "application/json")
-        conn.putheader("Content-Length", "not-a-number")
+        for k, v in headers:
+            conn.putheader(k, v)
         conn.endheaders()
         resp = conn.getresponse()
-        assert resp.status == 411
-        assert "Content-Length" in json.loads(resp.read())["error"]
+        out = (resp.status, json.loads(resp.read()))
         conn.close()
+        return out
+
+    try:
+        status, body = post_with_headers(
+            [("Content-Type", "application/json"),
+             ("Content-Length", "not-a-number")])
+        assert status == 411 and "Content-Length" in body["error"]
+        status, body = post_with_headers(
+            [("Content-Type", "application/json")])  # header absent
+        assert status == 411 and "Content-Length" in body["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_non_ascii_auth_header_is_401_not_a_crash(service):
+    """hmac.compare_digest raises TypeError on non-ASCII str operands;
+    the handler must compare bytes and answer 401, not drop the
+    connection with a traceback."""
+    import urllib.error
+
+    server = serve.make_server(service, port=0, auth_token="s3cret")
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/score", data=b"{}",
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s\xe9cret"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 401
     finally:
         server.shutdown()
         server.server_close()
