@@ -467,6 +467,28 @@ def main(args, project_root=None):
             # dir is shared with it
             from ..train import StreamingFoldTrainer
 
+            if stream_shards == -1:
+                # auto-size from the device HBM budget: smallest S keeping
+                # ~2 resident shards (double buffer) under half the HBM
+                # (params/activations/XLA temporaries need the other half)
+                from ..train.streaming import shard_plan
+
+                try:
+                    stats = jax.local_devices()[0].memory_stats() or {}
+                except Exception:
+                    stats = {}
+                hbm = int(stats.get('bytes_limit', 16 * 2**30))
+                budget = hbm // 2
+                total = sum(int(np.asarray(a).nbytes)
+                            for a in list(folds[0][0]) + list(folds[0][1]))
+                stream_shards = shard_plan(total, budget)
+                print(f'--stream_shards auto: {total / 2**20:.0f} MiB '
+                      f'batch data vs {budget / 2**20:.0f} MiB budget '
+                      f'-> {stream_shards} shard(s)')
+            elif stream_shards < 1:
+                raise SystemExit(
+                    f'--stream_shards must be >= 1 (or -1 for auto), '
+                    f'got {stream_shards}')
             trainer = StreamingFoldTrainer(
                 model, train_config, folds[0][0][0].shape[0],
                 shards=stream_shards, loss_fn=fd_loss)
@@ -616,7 +638,8 @@ def build_parser() -> argparse.ArgumentParser:
                              'of shard i+1 under the jitted scan of shard i '
                              '(donated buffers; peak batch HBM ~2/S of the '
                              'cohort). Bit-identical to the resident '
-                             'trainer; sequential path only. 0 disables.')
+                             'trainer; sequential path only. 0 disables; '
+                             '-1 auto-sizes from the device HBM budget.')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true',
                         help='build the UCA early-fusion modality by '

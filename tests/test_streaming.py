@@ -132,6 +132,23 @@ def test_stream_shards_cli_checkpoints_match_plain(tmp_path):
     assert (plain_root / rel).read_bytes() == (stream_root / rel).read_bytes()
 
 
+def test_stream_shards_cli_auto(tmp_path, capsys):
+    """--stream_shards -1 auto-sizes via shard_plan (tiny cohort -> 1
+    shard) and trains to working checkpoints."""
+    from multi_modal_normative_modeling_tpu.cli import train_supervised
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=40, n_disease={0: 10},
+                            seed=5)
+    train_supervised.main(_cli_args(stream_shards=-1), project_root=tmp_path)
+    out = capsys.readouterr().out
+    assert "--stream_shards auto" in out
+    assert (tmp_path / "outputs/kfold_analysis/supervised_cvae/000"
+            / "cVAE_model.ckpt").exists()
+
+
 def test_stream_shards_cli_conflicts(tmp_path):
     from multi_modal_normative_modeling_tpu.cli import train_supervised
     from multi_modal_normative_modeling_tpu.data.synthetic import (
