@@ -143,6 +143,70 @@ def default_loss_fn(model, config: TrainConfig) -> Callable:
     return loss_fn
 
 
+def fused_heads_loss_fn(model, config: TrainConfig) -> Callable:
+    """default_loss_fn variant 'cvae' with each encoder's mu/logvar heads
+    merged into ONE [H, 2Z] matmul (+ a free slice).
+
+    Why: the flagship-width step is bound by the serialized matmul chain's
+    fixed per-op latency, not FLOPs (RESULTS.md perf model). mu and logvar
+    are two independent [H, Z] matmuls consuming the same activation, but a
+    TPU core executes ops one at a time — merging them removes one chain
+    link per modality per direction. Measured +6% per step at flagship
+    shapes (scripts/bench_fused_heads.py). The weight concat happens at
+    trace time from the STANDARD params (checkpoints unchanged); numerics
+    match the default loss to matmul-tiling reorder tolerance (exact on
+    CPU), so this ships as an opt-in (`--fused_heads`), not the default.
+    """
+    from ..models.cvae import reparameterize
+    from ..ops.linear import apply_linear, leaky_relu
+    from ..ops.losses import gaussian_ll, kl_standard_normal
+
+    if getattr(model, "variant", None) != "cvae":
+        raise ValueError("fused heads support the 'cvae' variant")
+    if config.precision != "fp32":
+        raise ValueError("fused heads are fp32-only")
+    combine = config.combine
+    m_count = model.modalities
+
+    def loss_fn(p, batch, k):
+        xes, cs, mask = batch["x"], batch["c"], batch["mask"]
+        mus, lvs = [], []
+        for m in range(m_count):
+            enc = p["enc"][m]
+            h = jnp.concatenate(
+                [xes[m], cs[m].reshape(xes[m].shape[0], -1)], axis=1)
+            for layer in enc["hidden"]:
+                h = apply_linear(layer, h)
+                if model.non_linear:
+                    h = leaky_relu(h)
+            w2 = jnp.concatenate([enc["mu"]["w"], enc["logvar"]["w"]],
+                                 axis=1)
+            b2 = jnp.concatenate([enc["mu"]["b"], enc["logvar"]["b"]])
+            out = h @ w2 + b2
+            z_dim = enc["mu"]["w"].shape[1]
+            mus.append(out[:, :z_dim])
+            lvs.append(out[:, z_dim:])
+        fmu, flv = model.fuse(p, jnp.stack(mus), jnp.stack(lvs), combine)
+        z = reparameterize(k, fmu, flv)
+        kl = kl_standard_normal(fmu, flv, mask)
+        ll = 0.0
+        for m in range(m_count):
+            dec = p["dec"][m]
+            g = jnp.concatenate([z, cs[m].reshape(z.shape[0], -1)], axis=1)
+            for layer in dec["hidden"]:
+                g = apply_linear(layer, g)
+                if model.non_linear:
+                    g = leaky_relu(g)
+            mean = apply_linear(dec["mean"], g)
+            ll = ll + gaussian_ll(xes[m], mean, dec["logvar_out"], mask)
+        total = m_count * kl - ll
+        return total, {"total": total, "kl": m_count * kl, "ll": ll}
+
+    if config.remat:
+        loss_fn = jax.checkpoint(loss_fn)
+    return loss_fn
+
+
 def build_optimizer(config: TrainConfig, n_samples: int) -> optax.GradientTransformation:
     if config.lr_schedule == "cyclic":
         step_size = 2.0 * float(np.ceil(n_samples / config.batch_size))
