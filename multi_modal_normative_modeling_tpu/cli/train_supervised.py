@@ -107,6 +107,7 @@ def main(args, project_root=None):
         seed=42,
         precision=getattr(args, 'precision', 'fp32'),
         remat=getattr(args, 'remat', False),
+        fused_heads=not getattr(args, 'no_fused_heads', False),
     )
     # The reference re-seeds 42 per fold (train:119), so every fold's init is
     # IDENTICAL — init once on the LOCAL CPU backend (bit-identical threefry;
@@ -273,32 +274,6 @@ def main(args, project_root=None):
                       'it for --fused_decoder')
             fd_loss = fused_decoder_loss_fn(model, train_config)
             print('train model (fused decoder+NLL Pallas op)')
-
-    if getattr(args, 'fused_heads', False):
-        # merged mu/logvar encoder heads (one [H, 2Z] matmul per modality):
-        # shortens the serialized matmul chain the flagship step is bound
-        # by — measured +6%/step (scripts/bench_fused_heads.py). Pure-XLA
-        # loss variant sharing the fd_loss slot (plain + fold-parallel
-        # trainers); trajectory matches to matmul-reorder float tolerance.
-        conflicts = [name for name, on in [
-            ('--fused_decoder', fd_loss is not None),
-            ('--mesh', mesh is not None),
-            ('--packed_xla', packed_xla),
-            ('--fused_train_step', fused_trainer is not None),
-            ('--ep_mesh', bool(getattr(args, 'ep_mesh', None))),
-        ] if on]
-        if conflicts:
-            print('fused heads unavailable (mutually exclusive with '
-                  + ', '.join(conflicts) + '); using the plain loss')
-        elif getattr(model, 'variant', None) != 'cvae' \
-                or train_config.precision != 'fp32':
-            print('fused heads unavailable (cvae variant, fp32 only); '
-                  'using the plain loss')
-        else:
-            from ..train.trainer import fused_heads_loss_fn
-
-            fd_loss = fused_heads_loss_fn(model, train_config)
-            print('train model (fused mu/logvar encoder heads)')
 
     if getattr(args, 'stream_shards', 0):
         stream_conflicts = [name for name, on in [
@@ -656,15 +631,14 @@ def build_parser() -> argparse.ArgumentParser:
                              'recon means/residuals out of HBM while XLA '
                              'pipelines the narrow layers; cvae variant, '
                              'fp32, plain or --fold_parallel trainers.')
-    parser.add_argument('--fused_heads', dest='fused_heads',
+    parser.add_argument('--no_fused_heads', dest='no_fused_heads',
                         action='store_true',
-                        help='merge each encoder\'s mu/logvar heads into '
-                             'one [H, 2Z] matmul: one fewer serialized '
-                             'MXU op per modality per direction in the '
-                             'chain-latency-bound flagship regime '
-                             '(measured +6%%/step); cvae variant, fp32, '
-                             'plain or --fold_parallel trainers; numerics '
-                             'match to float-reorder tolerance.')
+                        help='disable the default merged mu/logvar encoder '
+                             'heads (one [H, 2Z] matmul per modality, '
+                             'measured +6-7%%/step — RESULTS.md round 3) '
+                             'and run the two-matmul reference-shaped '
+                             'loss; the merged math is exact on CPU and '
+                             'float-reorder-tolerant on the MXU.')
     parser.add_argument('--stream_shards', dest='stream_shards', type=int,
                         default=0, metavar='S',
                         help='out-of-core training for cohorts that exceed '

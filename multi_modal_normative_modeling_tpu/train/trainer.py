@@ -49,6 +49,14 @@ class TrainConfig:
     # recompute FLOPs for activation HBM traffic/memory — an opt-in for
     # wide-feature regimes; numerically identical (XLA is deterministic)
     remat: bool = False
+    # merged mu/logvar encoder heads for the cvae/fp32 path (one [H, 2Z]
+    # matmul per modality instead of two [H, Z]): one fewer link in the
+    # serialized matmul chain per modality per direction, measured
+    # +6-7%/step at flagship shapes sequential AND fold-parallel
+    # (RESULTS.md round 3). Exact math on CPU; matmul-reorder float
+    # tolerance on the MXU. Default ON; `--no_fused_heads` restores the
+    # two-matmul loss.
+    fused_heads: bool = True
 
 
 def make_batches(data_list: Sequence[np.ndarray],
@@ -114,7 +122,12 @@ def default_loss_fn(model, config: TrainConfig) -> Callable:
     """ELBO loss over a batch slice; with precision='bf16' the forward
     (encoder/decoder matmuls) runs in bfloat16 on the MXU while master
     params stay fp32 (grads accumulate through the cast) and the loss
-    reductions see fp32 upcasts."""
+    reductions see fp32 upcasts. For the cvae/fp32 path the mu/logvar
+    encoder heads run merged by default (config.fused_heads — measured
+    +6-7%/step, exact math on CPU)."""
+    if (config.fused_heads and config.precision == "fp32"
+            and getattr(model, "variant", None) == "cvae"):
+        return fused_heads_loss_fn(model, config)
     if config.precision == "bf16":
         def loss_fn(p, batch, k):
             p16 = _half_cast(p)

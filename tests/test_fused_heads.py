@@ -44,24 +44,39 @@ def test_fused_heads_loss_matches_default(combine):
         got_grads, ref_grads)
 
 
-def test_fused_heads_trajectory_tracks_plain():
+def test_fused_heads_default_trajectory_tracks_two_matmul_loss():
+    """fused_heads=True is the DEFAULT for cvae/fp32 (default_loss_fn);
+    its trajectory stays float-close to the two-matmul loss
+    (fused_heads=False), and exact on CPU."""
     dims = [24, 16]
     model = build_model("cVAE_multimodal", dims, [12, 12], 6, 5, len(dims))
     params = model.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(2)
     data = [rng.normal(size=(40, d)).astype(np.float32) for d in dims]
     cov = [rng.normal(size=(40, 5)).astype(np.float32)] * len(dims)
-    config = TrainConfig(epochs=4, batch_size=16, combine="gpoe")
+    plain_cfg = TrainConfig(epochs=4, batch_size=16, combine="gpoe",
+                            fused_heads=False)
+    fused_cfg = TrainConfig(epochs=4, batch_size=16, combine="gpoe")
 
-    p1, logs1 = FoldTrainer(model, config, 40).run(params, data, cov)
-    p2, logs2 = FoldTrainer(
-        model, config, 40,
-        loss_fn=fused_heads_loss_fn(model, config)).run(params, data, cov)
+    p1, logs1 = FoldTrainer(model, plain_cfg, 40).run(params, data, cov)
+    p2, logs2 = FoldTrainer(model, fused_cfg, 40).run(params, data, cov)
     np.testing.assert_allclose(logs2["total"], logs1["total"], rtol=1e-4)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5),
         p2, p1)
+
+
+def test_default_loss_gates_fused_heads():
+    """default_loss_fn routes to the merged-head loss only for cvae+fp32
+    with fused_heads on; bf16 and fused_heads=False keep the plain path."""
+    model = build_model("cVAE_multimodal", [8, 8], [6], 3, 2, 2)
+    on = default_loss_fn(model, TrainConfig())
+    off = default_loss_fn(model, TrainConfig(fused_heads=False))
+    bf = default_loss_fn(model, TrainConfig(precision="bf16"))
+    assert on.__qualname__.startswith("fused_heads_loss_fn")
+    assert not off.__qualname__.startswith("fused_heads_loss_fn")
+    assert not bf.__qualname__.startswith("fused_heads_loss_fn")
 
 
 def test_fused_heads_rejects_unsupported():
@@ -74,8 +89,9 @@ def test_fused_heads_rejects_unsupported():
 
 
 def test_fused_heads_cli_pipeline(tmp_path):
-    """--fused_heads trains working checkpoints through the CLI (plain and
-    fold-parallel) and the test stage runs clean on them."""
+    """The merged-head default trains working checkpoints through the CLI
+    (fold-parallel), --no_fused_heads also trains clean, and the test
+    stage runs on both."""
     import argparse
 
     from multi_modal_normative_modeling_tpu.cli import (
@@ -94,7 +110,6 @@ def test_fused_heads_cli_pipeline(tmp_path):
         single_modality=None, base_learning_rate=0.0001,
         max_learning_rate=0.005, training_class="nm",
         lr_schedule="constant", fold_parallel=True, precision="fp32",
-        fused_heads=True,
     )
     train_supervised.main(args, project_root=tmp_path)
     model_dir = tmp_path / "outputs" / "kfold_analysis" / "supervised_cvae"
@@ -104,3 +119,8 @@ def test_fused_heads_cli_pipeline(tmp_path):
     dev = (tmp_path / "deviation" / "supervised_cvae" / "ADNI" / "SE-gPoE"
            / "path_model" / "av45" / "reconstruction_error_av45.csv")
     assert dev.exists()
+    # escape hatch trains clean too
+    args.no_fused_heads = True
+    args.fold_parallel = True
+    train_supervised.main(args, project_root=tmp_path)
+    assert (model_dir / "000" / "cVAE_model.ckpt").exists()
