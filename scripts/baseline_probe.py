@@ -79,7 +79,12 @@ image): OLS/Logit with .fit().pvalues backed by the native scipy
 implementation (same test statistics; see
 multi_modal_normative_modeling_tpu/infer/deviation.py)."""
 import sys
-sys.path.insert(0, {repo!r})
+# APPEND, never insert(0): the repo root also carries the reference-named
+# drop-in shims (cVAE.py, utils.py, ...), which must NOT shadow the staged
+# reference's own modules in this work dir (the shims deliberately omit
+# dead legacy names like `cVAE` that the reference scripts import)
+if {repo!r} not in sys.path:
+    sys.path.append({repo!r})
 import numpy as np
 from multi_modal_normative_modeling_tpu.infer.deviation import (
     _logit_pvalues, _ols_pvalues)
