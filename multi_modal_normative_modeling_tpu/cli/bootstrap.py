@@ -177,7 +177,9 @@ def train(args, project_root=None) -> None:
     model = common.build_model_from_config(config_dict)
     tconfig = TrainConfig(epochs=args.epochs, batch_size=256,
                           learning_rate=0.0001, combine='gpoe',
-                          shuffle=False, seed=42)
+                          shuffle=False, seed=42,
+                          fused_heads=not getattr(args, 'no_fused_heads',
+                                                  False))
 
     n_reps = len(reps)
     init = common.host_init_params(model)
@@ -393,6 +395,12 @@ def build_parser() -> argparse.ArgumentParser:
                              'model axis); product must equal the visible '
                              'device count')
     common.add_resume_flags(parser)
+    parser.add_argument('--no_fused_heads', dest='no_fused_heads',
+                        action='store_true',
+                        help='disable the default merged mu/logvar encoder '
+                             'heads (train/trainer.py fused_heads_loss_fn) '
+                             'for numeric consistency with a '
+                             '--no_fused_heads train run')
     parser.add_argument('--unconditioned', action='store_true',
                         help='plain-VAE variant: constant zero covariates')
     return parser

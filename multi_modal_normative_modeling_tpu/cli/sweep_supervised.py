@@ -272,6 +272,7 @@ def main(args, project_root=None):
                     combine=pa.combine, lr_schedule=args.lr_schedule,
                     base_lr=base_lr, max_lr=max_lr, shuffle=False, seed=42,
                     precision=pa.precision,
+                    fused_heads=not getattr(args, 'no_fused_heads', False),
                 )
                 # same per-fold seeding as the standalone trainer
                 # (reference re-seeds 42 per fold, train:119): identical
@@ -429,6 +430,12 @@ def build_parser() -> argparse.ArgumentParser:
                              'packed layout over a (fold, modality, data) '
                              'device mesh (GSPMD places the fusion '
                              'all-reduces); mutually exclusive with --mesh')
+    parser.add_argument('--no_fused_heads', dest='no_fused_heads',
+                        action='store_true',
+                        help='disable the default merged mu/logvar encoder '
+                             'heads for every grid point (numeric '
+                             'consistency with --no_fused_heads '
+                             'standalone runs)')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true')
     return parser

@@ -148,10 +148,9 @@ class MultiFoldTrainer:
         # tensor-parallel 'model' axis for wide layer stacks
         self._shardings_fn = shardings_fn or fold_data_shardings
         optimizer = build_optimizer(config, n_samples)
-        if loss_fn is None:
-            from ..train.trainer import default_loss_fn
+        from ..train.trainer import resolve_loss
 
-            loss_fn = default_loss_fn(model, config)
+        loss_fn, self.loss_meta = resolve_loss(model, config, loss_fn)
         self.optimizer = optimizer
         train = build_train_fn(loss_fn, optimizer, config.epochs,
                                config.shuffle, state_update=state_update)
@@ -307,4 +306,5 @@ class MultiFoldTrainer:
         # vmapped chunk logs come back [F, n]; accumulate on the epoch axis
         return run_chunked(state_dir, self.config.epochs, checkpoint_every,
                            resume, stacked_params, None, keys, run_chunk,
-                           template_fn, logs_concat_axis=1)
+                           template_fn, logs_concat_axis=1,
+                           meta=self.loss_meta)

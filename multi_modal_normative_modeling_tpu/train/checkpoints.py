@@ -131,12 +131,23 @@ def checkpoint_exists(directory, name: str = "cVAE_model") -> bool:
 # state — cursor and tensors can never disagree.
 
 def save_train_state(directory, params, opt_state, key, epoch: int,
-                     logs=None, name: str = "train_state") -> Path:
+                     logs=None, name: str = "train_state",
+                     meta: "dict | None" = None) -> Path:
+    """``meta`` (flat str->str dict) fingerprints the numeric trajectory
+    family (loss variant, precision) so a resume under DIFFERENT numerics
+    is refused instead of silently continuing a hybrid trajectory (see
+    run_chunked)."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
+    # meta rides as a uint8 JSON blob: flax/msgpack serialize ndarray
+    # leaves, not python/numpy strings
+    meta_arr = np.frombuffer(
+        json.dumps({str(k): str(v) for k, v in (meta or {}).items()},
+                   sort_keys=True).encode(), dtype=np.uint8).copy()
     host = jax.tree_util.tree_map(
         np.asarray, {"params": params, "opt_state": opt_state, "key": key,
                      "epoch": np.int64(epoch),
+                     "meta": meta_arr,
                      "logs": dict(logs) if logs is not None else {}})
     blob = serialization.to_bytes(host)
     import os
@@ -168,24 +179,57 @@ def load_train_state(directory, template: dict, name: str = "train_state"):
     return state, epoch, logs
 
 
+def peek_train_meta(directory, name: str = "train_state"):
+    """The stored trajectory fingerprint, or None for pre-meta / untagged
+    states."""
+    blob = (Path(directory) / f"{name}.ckpt").read_bytes()
+    raw = serialization.msgpack_restore(blob)
+    meta = raw.get("meta")
+    if meta is None:
+        return None
+    decoded = json.loads(bytes(np.asarray(meta, dtype=np.uint8)).decode())
+    return decoded or None
+
+
 def train_state_exists(directory, name: str = "train_state") -> bool:
     return (Path(directory) / f"{name}.ckpt").exists()
 
 
 def run_chunked(state_dir, total_epochs: int, checkpoint_every: int,
                 resume: bool, params, opt_state, key, run_chunk,
-                template_fn, logs_concat_axis: int = 0):
+                template_fn, logs_concat_axis: int = 0,
+                meta: "dict | None" = None):
     """Shared chunked-training loop behind FoldTrainer.run_resumable and
     MultiFoldTrainer.run_resumable: resume from disk if present, run
     ``run_chunk(n, params, opt_state, key) -> (params, opt_state, key,
     logs)`` until ``total_epochs``, checkpointing atomically after every
     chunk. ``template_fn()`` builds the typed restore template lazily;
-    ``opt_state`` may be None (initialized by the caller's template)."""
+    ``opt_state`` may be None (initialized by the caller's template).
+
+    ``meta`` fingerprints the run's numeric trajectory family (loss
+    variant, precision — trainer.loss_fingerprint): a resume whose
+    fingerprint differs from the stored state's is REFUSED, because
+    continuing under different numerics would produce a hybrid trajectory
+    matching neither an uninterrupted old-config run nor a fresh
+    new-config one (e.g. resuming a pre-fused-heads checkpoint under the
+    merged-head default, or dropping --no_fused_heads on the resume
+    invocation). Pre-meta states (older builds) skip the check."""
     if checkpoint_every <= 0:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}")
     start, logs_acc = 0, None
     if resume and train_state_exists(state_dir):
+        stored_meta = peek_train_meta(state_dir)
+        if meta and stored_meta and stored_meta != {
+                str(k): str(v) for k, v in meta.items()}:
+            raise ValueError(
+                f"refusing to resume {state_dir}: the stored train state "
+                f"was written under {stored_meta}, but this run is "
+                f"configured as { {str(k): str(v) for k, v in meta.items()} }"
+                " — a mixed-numerics trajectory would match neither "
+                "config. Re-launch with the original flags (e.g. "
+                "--no_fused_heads / --precision) or delete the state to "
+                "restart fresh.")
         template = template_fn()
         state, start, logs_acc = load_train_state(state_dir, template)
         params, opt_state, key = (state["params"], state["opt_state"],
@@ -202,7 +246,7 @@ def run_chunked(state_dir, total_epochs: int, checkpoint_every: int,
         start += n
         save_train_state(state_dir, _to_host(params),
                          _to_host(opt_state), _to_host(key),
-                         start, logs_acc)
+                         start, logs_acc, meta=meta)
     return params, (logs_acc if logs_acc is not None else {})
 
 

@@ -44,8 +44,8 @@ from .trainer import (
     TrainConfig,
     build_optimizer,
     build_train_fn,
-    default_loss_fn,
     make_batches,
+    resolve_loss,
 )
 
 
@@ -101,8 +101,7 @@ class StreamingFoldTrainer:
         self.shards = shards
         self.inflight = inflight
         self.optimizer = build_optimizer(config, n_samples)
-        if loss_fn is None:
-            loss_fn = default_loss_fn(model, config)
+        loss_fn, self.loss_meta = resolve_loss(model, config, loss_fn)
         raw = build_train_fn(loss_fn, self.optimizer, config.epochs,
                              shuffle=False, state_update=state_update)
         # donate the shard buffer (arg 3 after the static split partial):
@@ -217,6 +216,7 @@ class StreamingFoldTrainer:
 
         params, logs = run_chunked(state_dir, self.config.epochs,
                                    checkpoint_every, resume, params, None,
-                                   key, run_chunk, template_fn)
+                                   key, run_chunk, template_fn,
+                                   meta=self.loss_meta)
         return (jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
                 logs)

@@ -164,13 +164,15 @@ def fused_heads_loss_fn(model, config: TrainConfig) -> Callable:
     fixed per-op latency, not FLOPs (RESULTS.md perf model). mu and logvar
     are two independent [H, Z] matmuls consuming the same activation, but a
     TPU core executes ops one at a time — merging them removes one chain
-    link per modality per direction. Measured +6% per step at flagship
-    shapes (scripts/bench_fused_heads.py). The weight concat happens at
-    trace time from the STANDARD params (checkpoints unchanged); numerics
-    match the default loss to matmul-tiling reorder tolerance (exact on
-    CPU), so this ships as an opt-in (`--fused_heads`), not the default.
+    link per modality per direction. Measured +6%/step single-fold, +7%
+    under the 5-fold vmap (scripts/bench_fused_heads.py). The weight
+    concat happens at trace time from the STANDARD params (checkpoints
+    unchanged); numerics match the two-matmul loss to matmul-tiling
+    reorder tolerance (exact on CPU). This is the DEFAULT cvae/fp32 loss
+    (TrainConfig.fused_heads; the `--no_fused_heads` CLI flag restores
+    the two-matmul path).
     """
-    from ..models.cvae import reparameterize
+    from ..models.cvae import apply_decoder, reparameterize
     from ..ops.linear import apply_linear, leaky_relu
     from ..ops.losses import gaussian_ll, kl_standard_normal
 
@@ -204,20 +206,37 @@ def fused_heads_loss_fn(model, config: TrainConfig) -> Callable:
         kl = kl_standard_normal(fmu, flv, mask)
         ll = 0.0
         for m in range(m_count):
-            dec = p["dec"][m]
-            g = jnp.concatenate([z, cs[m].reshape(z.shape[0], -1)], axis=1)
-            for layer in dec["hidden"]:
-                g = apply_linear(layer, g)
-                if model.non_linear:
-                    g = leaky_relu(g)
-            mean = apply_linear(dec["mean"], g)
-            ll = ll + gaussian_ll(xes[m], mean, dec["logvar_out"], mask)
+            # decoder is unchanged — reuse the canonical apply (only the
+            # encoder head needed custom (merged) code)
+            mean, lvo = apply_decoder(p["dec"][m], z, cs[m],
+                                      model.non_linear)
+            ll = ll + gaussian_ll(xes[m], mean, lvo, mask)
         total = m_count * kl - ll
         return total, {"total": total, "kl": m_count * kl, "ll": ll}
 
     if config.remat:
         loss_fn = jax.checkpoint(loss_fn)
     return loss_fn
+
+
+def resolve_loss(model, config: TrainConfig,
+                 loss_fn: Optional[Callable]) -> Tuple[Callable, dict]:
+    """(loss_fn, trajectory fingerprint) for a trainer: resolves the
+    default loss when none is given and produces the flat str->str meta
+    dict the resume guard compares (checkpoints.run_chunked) — a
+    checkpointed run resumed under a DIFFERENT loss family (e.g. the
+    merged-head default vs --no_fused_heads, or a custom --fused_decoder
+    loss) must be refused, not silently continued."""
+    if loss_fn is not None:
+        name = getattr(loss_fn, "__qualname__", "custom").split(".")[0]
+    else:
+        fused = (config.fused_heads and config.precision == "fp32"
+                 and getattr(model, "variant", None) == "cvae")
+        name = "fused_heads_loss_fn" if fused else "default_loss_fn"
+        loss_fn = default_loss_fn(model, config)
+    meta = {"loss": name, "precision": config.precision,
+            "remat": str(config.remat)}
+    return loss_fn, meta
 
 
 def build_optimizer(config: TrainConfig, n_samples: int) -> optax.GradientTransformation:
@@ -379,8 +398,7 @@ class FoldTrainer:
         self.model = model
         self.config = config
         self.optimizer = build_optimizer(config, n_samples)
-        if loss_fn is None:
-            loss_fn = default_loss_fn(model, config)
+        loss_fn, self.loss_meta = resolve_loss(model, config, loss_fn)
         self._raw_train = build_train_fn(
             loss_fn, self.optimizer, config.epochs, config.shuffle,
             state_update=state_update,
@@ -450,7 +468,8 @@ class FoldTrainer:
 
         params, logs = run_chunked(state_dir, self.config.epochs,
                                    checkpoint_every, resume, params, None,
-                                   key, run_chunk, template_fn)
+                                   key, run_chunk, template_fn,
+                                   meta=self.loss_meta)
         return (jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
                 logs)
 

@@ -46,14 +46,21 @@ N, B = 512, 256
 def main():
     configure_jax_cache()
     print("devices:", jax.devices())
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    # default 200 epochs x 2 batches = 400-step timed programs (CLAUDE.md:
+    # shorter programs are dominated by the tunnel's variable invocation
+    # overhead)
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     rng = np.random.default_rng(0)
     model = build_model("cVAE_multimodal", DIMS, HID, Z, C, len(DIMS))
     data = [rng.normal(size=(N, d)).astype(np.float32) for d in DIMS]
     cov = [rng.normal(size=(N, C)).astype(np.float32)] * len(DIMS)
     params = model.init_params(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(42)
-    config = TrainConfig(epochs=epochs, batch_size=B, combine="gpoe")
+    # the baseline must pin fused_heads=False: it became the DEFAULT after
+    # this script's first measurement, and a default-config baseline would
+    # silently compare the fused path against itself
+    config = TrainConfig(epochs=epochs, batch_size=B, combine="gpoe",
+                         fused_heads=False)
     batches = jax.device_put(make_batches(data, cov, B))
     steps = epochs * -(-N // B)
 

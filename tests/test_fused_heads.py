@@ -29,9 +29,14 @@ def test_fused_heads_loss_matches_default(combine):
     batch = jax.tree_util.tree_map(lambda a: a[1], batches)  # ragged batch
     key = jax.random.PRNGKey(7)
 
+    # the REFERENCE side must pin fused_heads=False: merged heads are the
+    # default, so a default-config reference would be the fused loss itself
+    # and the parity check would be vacuous
+    plain_cfg = TrainConfig(epochs=1, batch_size=16, combine=combine,
+                            fused_heads=False)
     config = TrainConfig(epochs=1, batch_size=16, combine=combine)
     (ref_total, ref_aux), ref_grads = jax.value_and_grad(
-        default_loss_fn(model, config), has_aux=True)(params, batch, key)
+        default_loss_fn(model, plain_cfg), has_aux=True)(params, batch, key)
     (got_total, got_aux), got_grads = jax.value_and_grad(
         fused_heads_loss_fn(model, config), has_aux=True)(params, batch, key)
 
@@ -86,6 +91,34 @@ def test_fused_heads_rejects_unsupported():
     dm = build_model("DMVAE", [8, 8], [6], 3, 2, 2)
     with pytest.raises(ValueError, match="cvae"):
         fused_heads_loss_fn(dm, TrainConfig())
+
+
+def test_resume_refuses_loss_family_mismatch(tmp_path):
+    """A checkpointed run resumed under a DIFFERENT loss family (merged
+    heads vs --no_fused_heads) is refused with an actionable error — a
+    mixed-numerics trajectory would match neither config."""
+    dims = [24, 16]
+    model = build_model("cVAE_multimodal", dims, [12, 12], 6, 5, len(dims))
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    data = [rng.normal(size=(40, d)).astype(np.float32) for d in dims]
+    cov = [rng.normal(size=(40, 5)).astype(np.float32)] * len(dims)
+    key = jax.random.PRNGKey(9)
+
+    fused_cfg = TrainConfig(epochs=2, batch_size=16, combine="gpoe")
+    FoldTrainer(model, fused_cfg, 40).run_resumable(
+        params, data, cov, key, tmp_path, checkpoint_every=2)
+
+    plain_cfg = TrainConfig(epochs=4, batch_size=16, combine="gpoe",
+                            fused_heads=False)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        FoldTrainer(model, plain_cfg, 40).run_resumable(
+            params, data, cov, key, tmp_path, checkpoint_every=2,
+            resume=True)
+    # matching config resumes fine
+    FoldTrainer(model, TrainConfig(epochs=4, batch_size=16, combine="gpoe"),
+                40).run_resumable(params, data, cov, key, tmp_path,
+                                  checkpoint_every=2, resume=True)
 
 
 def test_fused_heads_cli_pipeline(tmp_path):
