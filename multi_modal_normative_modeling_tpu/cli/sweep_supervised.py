@@ -240,11 +240,16 @@ def main(args, project_root=None):
             max_n = max(f[0][0].shape[0] for f in folds)
             # with a mesh, keep batches on the host: jit's in_shardings
             # place the shards (an eager device_put would commit them to
-            # one device first)
-            batches = stack_fold_batches(
-                [f[0] for f in folds], [f[1] for f in folds], 256)
-            if mesh is None:
-                batches = jax.device_put(batches)
+            # one device first). The --ep_mesh path trains exclusively on
+            # its packed ep_batches below — building/uploading the
+            # per-modality stack too would double host->HBM traffic and
+            # residency at exactly the wide-feature scale EP targets.
+            batches = None
+            if ep_mesh is None:
+                batches = stack_fold_batches(
+                    [f[0] for f in folds], [f[1] for f in folds], 256)
+                if mesh is None:
+                    batches = jax.device_put(batches)
         if ep_mesh is not None:
             # the packed layout feeds ONE covariate block to every modality
             # — only equivalent when the per-modality blocks are identical

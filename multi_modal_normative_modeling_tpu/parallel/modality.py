@@ -364,6 +364,14 @@ class EPFoldTrainer(PackedStateTrainerBase):
                 f"{mesh.shape['data']}-way 'data' mesh axis")
         self.mesh = mesh
         self.config = config
+        # resume-guard fingerprint (checkpoints.run_chunked via
+        # PackedStateTrainerBase): the EP trajectory depends on the mesh
+        # geometry (psum partial-sum order), so resumes under a different
+        # axis split are refused
+        self.loss_meta = {
+            "loss": "packed_stacked", "precision": config.precision,
+            "path": ("ep:" + ",".join(f"{n}={mesh.shape[n]}"
+                                      for n in mesh.axis_names))}
         self.optimizer = build_optimizer(config, n_samples)
         self.n_data = mesh.shape["data"]
         self._loss = _make_ep_loss(self.stacked, config.combine)

@@ -32,14 +32,31 @@ from ..models.stacked import StackedMultimodalCVAE
 from .trainer import TrainConfig, build_optimizer
 
 
+# Widest per-modality feature width (columns) at which tiled-bf16's win over
+# XLA is window-robust. RESULTS.md round-3 routing table (2000-step programs,
+# batch 256, both measurement windows): tiled-bf16 95.5 vs XLA-fp32 111.8
+# us/step at 3x768 (reproduced 94.9 vs 103.0 in a second window); the 3x1024
+# row read parity in one window and XLA-ahead in the other, 3x1536+ inverts —
+# so >768 routes conservatively to XLA.
+TILED_BF16_MAX_WIDTH = 768
+
+
 def select_kernel(model, config: TrainConfig, batch_size: int,
                   fold_parallel: bool = False) -> Tuple[Optional[str], str]:
     """(kernel, reason): kernel is 'single' (whole-batch single-block,
     kernels/train_step.py — fastest at narrow widths where the step is
     chain-latency bound), 'tiled' (grid over batch tiles with resident
-    weights, kernels/train_step_tiled.py — the wide-feature architecture,
-    and the only one with a bf16 path), or None (fall back to XLA,
-    ``reason`` says why)."""
+    weights, kernels/train_step_tiled.py — bf16-resident path), or None
+    (fall back to XLA, ``reason`` says why).
+
+    Routing follows the MEASURED winners (RESULTS.md round-3 routing
+    table), not just feasibility: fp32 shapes past the single-block VMEM
+    ceiling go to XLA (tiled fp32 measured behind XLA at every mid width —
+    117.0 vs 111.8 @3x768, 154.8 vs 127.0 @3x1024, 245.2 vs 142.9 us/step
+    @3x1536), and tiled-bf16 is selected only up to
+    ``TILED_BF16_MAX_WIDTH``-wide modalities where its win is
+    window-robust. ``FusedFoldTrainer(kernel=...)`` still force-selects
+    either kernel for experiments."""
     variant = getattr(model, "variant", None)
     if variant != "cvae":
         return None, f"model variant {variant!r} (fused supports 'cvae')"
@@ -54,8 +71,14 @@ def select_kernel(model, config: TrainConfig, batch_size: int,
     stacked = StackedMultimodalCVAE(
         model.input_dim_list, model.hidden_dim, model.latent_dim,
         model.c_dim, model.modalities, model.non_linear)
+    width = max(model.input_dim_list)
     if config.precision == "bf16":
         # only the tiled kernel computes in bf16 (fp32 accumulation)
+        if width > TILED_BF16_MAX_WIDTH:
+            return None, (
+                f"tiled-bf16 measured behind XLA above "
+                f"{TILED_BF16_MAX_WIDTH}-wide modalities (widest here is "
+                f"{width}; RESULTS.md round-3 routing table)")
         from ..kernels.train_step_tiled import TiledFusedTrainStep
 
         step = TiledFusedTrainStep(stacked, config.combine,
@@ -69,15 +92,11 @@ def select_kernel(model, config: TrainConfig, batch_size: int,
     step = FusedTrainStep(stacked, config.combine, interpret=None)
     if step.fits_vmem(batch_size):
         return "single", ""
-    from ..kernels.train_step_tiled import TiledFusedTrainStep
-
-    tiled = TiledFusedTrainStep(stacked, config.combine, interpret=None,
-                                batch_hint=batch_size)
-    if tiled.fits_vmem(batch_size):
-        return "tiled", ""
-    mb = tiled.vmem_bytes_tiled(tiled.tile_b) / 2**20
-    return None, (f"shapes need ~{mb:.0f} MiB VMEM even batch-tiled "
-                  "(exceeds this core's budget)")
+    return None, (
+        "single-block kernel exceeds VMEM, and the tiled fp32 kernel "
+        "measures behind XLA at every width past it (RESULTS.md round-3 "
+        "routing table) — use the XLA path, or --precision bf16 at "
+        f"<= {TILED_BF16_MAX_WIDTH}-wide modalities for the tiled win")
 
 
 def supported(model, config: TrainConfig, batch_size: int,
@@ -152,6 +171,12 @@ class FusedFoldTrainer:
                 raise ValueError("single-block fused kernel is fp32-only")
             self.step = FusedTrainStep(self.stacked, config.combine,
                                        interpret=interpret)
+        # trajectory fingerprint for the resume guard (checkpoints.
+        # run_chunked): a fused state checkpointed under fp32 must refuse
+        # to resume under --precision bf16 (or under the other kernel)
+        # instead of silently continuing a hybrid trajectory
+        self.loss_meta = {"loss": f"fused_kernel_{self.kernel}",
+                          "precision": config.precision}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_chunk = self._build_chunk()
         self._train = jax.jit(self._build_train())
@@ -291,5 +316,6 @@ class FusedFoldTrainer:
 
         params, logs = run_chunked(state_dir, self.config.epochs,
                                    checkpoint_every, resume, padded, None,
-                                   key, run_chunk, template_fn)
+                                   key, run_chunk, template_fn,
+                                   meta=self.loss_meta)
         return self._unpack(params), logs

@@ -187,7 +187,8 @@ class PackedStateTrainerBase:
 
         params, logs = run_chunked(state_dir, self.config.epochs,
                                    checkpoint_every, resume, packed, None,
-                                   key, run_chunk, template_fn)
+                                   key, run_chunk, template_fn,
+                                   meta=getattr(self, "loss_meta", None))
         host = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
         return _unpack_params_host(self.stacked, host), logs
 
@@ -203,6 +204,10 @@ class PackedFoldTrainer(PackedStateTrainerBase):
             model.input_dim_list, model.hidden_dim, model.latent_dim,
             model.c_dim, model.modalities, model.non_linear)
         self.config = config
+        # resume-guard fingerprint (checkpoints.run_chunked): packed states
+        # are numerically their own trajectory family
+        self.loss_meta = {"loss": "packed_stacked",
+                          "precision": config.precision}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             _packed_loss_fn(self.stacked, config.combine), self.optimizer,
@@ -249,6 +254,13 @@ class PackedMultiFoldTrainer:
         self.config = config
         self.mesh = mesh
         self._shardings_fn = shardings_fn
+        # fingerprint carries the mesh geometry: a meshed (EP) resume under
+        # a different axis split is a different float-reorder trajectory
+        path = "fold_parallel" if mesh is None else (
+            "fold_parallel+ep:" + ",".join(
+                f"{n}={mesh.shape[n]}" for n in mesh.axis_names))
+        self.loss_meta = {"loss": "packed_stacked",
+                          "precision": config.precision, "path": path}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             _packed_loss_fn(self.stacked, config.combine), self.optimizer,
@@ -423,5 +435,5 @@ class PackedMultiFoldTrainer:
         params, logs = run_chunked(state_dir, self.config.epochs,
                                    checkpoint_every, resume, stacked_params,
                                    None, keys, run_chunk, template_fn,
-                                   logs_concat_axis=1)
+                                   logs_concat_axis=1, meta=self.loss_meta)
         return self._per_fold(params, logs, len(params_list))
