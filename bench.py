@@ -46,6 +46,13 @@ PPMI_DIMS = [3485, 3485, 3485]
 PPMI_N = 2560
 PPMI_EPOCHS = 200
 
+# smoke/debug only (defaults unchanged): shrink the workloads so the full
+# multi-window subprocess protocol can be exercised off-TPU in minutes
+import os as _os  # noqa: E402
+
+EPOCHS = int(_os.environ.get("MMNM_BENCH_EPOCHS", EPOCHS))
+PPMI_EPOCHS = int(_os.environ.get("MMNM_BENCH_PPMI_EPOCHS", PPMI_EPOCHS))
+
 # MXU peak for the MFU estimate (v5e; fp32 runs the MXU at 1/4 its bf16
 # rate). The estimate is coarse — it exists so round-over-round regressions
 # are distinguishable from tunnel weather, not as a marketing number.
@@ -366,18 +373,61 @@ def _measure_in_subprocess(timeout_s: float, force_cpu: bool = False):
                       + proc.stdout.strip()[-200:])
 
 
+def _combine_floors(floors):
+    """Min-over-windows floor dict: per-step/per-second times take the min
+    across windows, the MFU estimates (1/time) take the max, anything else
+    the first occurrence."""
+    best = {}
+    for fl in floors:
+        for k, v in fl.items():
+            if k not in best:
+                best[k] = v
+            elif isinstance(v, (int, float)) and k.endswith(
+                    ("_us_per_step", "_us_per_subject", "_seconds")):
+                best[k] = min(best[k], v)
+            elif isinstance(v, (int, float)) and k.endswith("_mfu_pct"):
+                best[k] = max(best[k], v)
+    return best
+
+
 def main():
     import os
 
     # watchdog: healthy runs finish in ~2-4 min (attach 0.4s + cached
     # compile + 20 chained reps); a dead tunnel would otherwise hang forever
     timeout_s = float(os.environ.get("MMNM_BENCH_TIMEOUT", 1800))
-    child, err = _measure_in_subprocess(timeout_s)
+    # Multi-window floor protocol (round 4): the remote chip's DEVICE-SIDE
+    # throughput measured ~2x apart across sessions on the identical cached
+    # executable (RESULTS.md round-3 addendum), so a single window's
+    # min-over-reps floor carries window luck. Each window is a fresh child
+    # process (fresh session attach); the recorded floors/headline are the
+    # min over windows, with per-window values + spread in detail so
+    # cross-round comparisons are best-window-vs-best-window by
+    # construction.
+    n_windows = max(1, int(os.environ.get("MMNM_BENCH_WINDOWS", 2)))
+    window_gap_s = float(os.environ.get("MMNM_BENCH_WINDOW_GAP_S", 60))
+    windows, window_errors = [], []
+    for w in range(n_windows):
+        if w:
+            time.sleep(window_gap_s)
+        child_w, err_w = _measure_in_subprocess(timeout_s)
+        if child_w is not None:
+            windows.append(child_w)
+        else:
+            window_errors.append(err_w)
+            if err_w != "timeout" and not windows:
+                # a crash (vs a blocked attach) is a code bug — fail loudly
+                # with the child's diagnostics instead of mislabeling it
+                # tunnel weather
+                raise SystemExit(f"bench: device measurement {err_w}")
+            if err_w == "timeout":
+                # a dead tunnel will not heal within the gap — don't burn
+                # n_windows x timeout before the cpu fallback
+                break
+    child = (min(windows, key=lambda c: c["jax_seconds"])
+             if windows else None)
+    err = window_errors[-1] if window_errors else None
     tunnel_unreachable = child is None and err == "timeout"
-    if child is None and err != "timeout":
-        # a crash (vs a blocked attach) is a code bug — fail loudly with
-        # the child's diagnostics instead of mislabeling it tunnel weather
-        raise SystemExit(f"bench: device measurement {err}")
     if tunnel_unreachable:
         # transparent fallback: measure on the LOCAL cpu so the bench still
         # reports an honest (if far slower) number, flagged in detail. The
@@ -385,6 +435,8 @@ def main():
         # takes ~6 min of cpu compute) even when the chip watchdog was short
         child, err = _measure_in_subprocess(max(timeout_s, 1800.0),
                                             force_cpu=True)
+        if child is not None:
+            windows = [child]
     if child is None:
         raise SystemExit("bench: cpu fallback measurement also failed "
                          f"({err})")
@@ -406,12 +458,23 @@ def main():
         reference_full_job = torch_seconds * FOLDS
         baseline_source = "in-process torch hot-loop re-creation"
 
+    floors = [c.get("floor") for c in windows if c.get("floor")]
     detail = {
         "jax_5fold_seconds": round(jax_seconds, 3),
         # window-robust per-step device floors + MFU estimates: compare
-        # THESE across rounds (wall-clock rows move with tunnel weather;
-        # the floors are min-over-reps of >=400-step programs)
-        "floor": child.get("floor"),
+        # THESE across rounds (wall-clock rows move with tunnel weather).
+        # Since round 4 each floor is the MIN OVER >=2 separate device
+        # sessions ("windows", MMNM_BENCH_WINDOWS / _GAP_S) of
+        # min-over-reps of >=400-step programs: round 3 measured the
+        # identical cached executable 2x apart across windows (293 vs
+        # 142.8 us/step — its BENCH floor row 231 was one mid-luck window;
+        # its best window was 137.6), so single-window floors carry window
+        # luck by construction.
+        "floor": _combine_floors(floors) if floors else None,
+        "floor_windows": [
+            {"jax_5fold_seconds": round(c["jax_seconds"], 3),
+             "attach_seconds": c.get("attach_seconds"),
+             "floor": c.get("floor")} for c in windows],
         "torch_cpu_single_fold_seconds": round(torch_seconds, 3),
         # tunnel health at measurement time: a multi-minute attach means
         # a degraded window whose ~120ms/invocation overhead inflates
@@ -422,6 +485,13 @@ def main():
         "workload": f"{FOLDS} folds x {EPOCHS} epochs x {N_SUBJECTS} "
                     f"subjects x {len(DIMS)} modalities {DIMS}",
     }
+    ppmi_vals = [fl["ppmi_us_per_step"] for fl in floors
+                 if isinstance(fl.get("ppmi_us_per_step"), (int, float))]
+    if len(ppmi_vals) >= 2:
+        detail["ppmi_floor_window_spread"] = round(
+            max(ppmi_vals) / min(ppmi_vals), 2)
+    if window_errors:
+        detail["window_errors"] = window_errors
     if tunnel_unreachable:
         detail["tunnel_unreachable"] = (
             f"device measurement exceeded {timeout_s:.0f}s (session attach "
