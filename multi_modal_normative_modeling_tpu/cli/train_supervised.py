@@ -32,9 +32,12 @@ def main(args, project_root=None):
     from ..utils.jaxconfig import warm_device_session
 
     if getattr(args, 'mesh', None) and not getattr(args, 'fold_parallel',
-                                                   False):
+                                                   False) \
+            and not getattr(args, 'stream_shards', 0):
         raise SystemExit('--mesh requires --fold_parallel (the mesh shards '
-                         'the stacked fold-parallel program)')
+                         'the stacked fold-parallel program) — except with '
+                         '--stream_shards, where --mesh 1,D shards each '
+                         'streamed shard\'s rows over the data axis')
 
     warm_device_session()  # attach the remote device session during host prep
 
@@ -275,10 +278,10 @@ def main(args, project_root=None):
             fd_loss = fused_decoder_loss_fn(model, train_config)
             print('train model (fused decoder+NLL Pallas op)')
 
+    stream_mesh = None
     if getattr(args, 'stream_shards', 0):
         stream_conflicts = [name for name, on in [
             ('--fold_parallel', fold_parallel),
-            ('--mesh', mesh is not None),
             ('--packed_xla', packed_xla),
             ('--fused_train_step', fused_trainer is not None),
             ('--ep_mesh', bool(getattr(args, 'ep_mesh', None))),
@@ -288,6 +291,19 @@ def main(args, project_root=None):
                              + ', '.join(stream_conflicts)
                              + ' (out-of-core streaming is a sequential '
                                'whole-fold path)')
+        if mesh is not None:
+            # --mesh 1,D composes: rows of each streamed shard shard over
+            # 'data' (train/streaming.py). Fold/model axes need the
+            # resident fold-parallel path.
+            bad = [n for n in mesh.axis_names
+                   if n != 'data' and mesh.shape[n] != 1]
+            if bad:
+                raise SystemExit(
+                    f'--stream_shards composes only with --mesh 1,D '
+                    f'(data-axis sharding); axis {bad[0]!r} has size '
+                    f'{mesh.shape[bad[0]]} — use --fold_parallel --mesh '
+                    'for fold/tensor parallelism')
+            stream_mesh = mesh
 
     if fused_trainer is not None:
         per_fold_params, per_fold_logs = [], []
@@ -490,10 +506,21 @@ def main(args, project_root=None):
                 raise SystemExit(
                     f'--stream_shards must be >= 1 (or -1 for auto), '
                     f'got {stream_shards}')
-            trainer = StreamingFoldTrainer(
-                model, train_config, folds[0][0][0].shape[0],
-                shards=stream_shards, loss_fn=fd_loss)
-            print(f'train model (streamed, {stream_shards} batch shards)')
+            try:
+                trainer = StreamingFoldTrainer(
+                    model, train_config, folds[0][0][0].shape[0],
+                    shards=stream_shards, loss_fn=fd_loss,
+                    mesh=stream_mesh)
+            except ValueError as exc:
+                raise SystemExit(f'--stream_shards: {exc}')
+            if stream_mesh is not None:
+                axes = dict(zip(stream_mesh.axis_names,
+                                stream_mesh.devices.shape))
+                print(f'train model (streamed, {stream_shards} batch '
+                      f'shards, rows sharded over mesh {axes})')
+            else:
+                print(f'train model (streamed, {stream_shards} batch '
+                      'shards)')
         else:
             trainer = FoldTrainer(model, train_config,
                                   folds[0][0][0].shape[0], loss_fn=fd_loss)
@@ -647,8 +674,12 @@ def build_parser() -> argparse.ArgumentParser:
                              'of shard i+1 under the jitted scan of shard i '
                              '(donated buffers; peak batch HBM ~2/S of the '
                              'cohort). Bit-identical to the resident '
-                             'trainer; sequential path only. 0 disables; '
-                             '-1 auto-sizes from the device HBM budget.')
+                             'trainer. Composes with --mesh 1,D (each '
+                             'shard\'s rows shard over the data axis: '
+                             'per-device residency ~2/(S*D), aggregate '
+                             'upload bandwidth x D); otherwise sequential '
+                             'single-device. 0 disables; -1 auto-sizes '
+                             'from the device HBM budget.')
     parser.add_argument('--in_memory_fusion', dest='in_memory_fusion',
                         action='store_true',
                         help='build the UCA early-fusion modality by '

@@ -30,6 +30,17 @@ shuffle=False everywhere but the regression variant.
 Sizing: ``shards`` should be the smallest S such that 2/S of the batch
 bytes fits comfortably next to params/activations; ``shard_plan`` computes
 one from the cohort byte size and an HBM budget.
+
+Scale-out (round 4): ``mesh=`` composes the stream with a D-way 'data'
+mesh axis (CLI ``--stream_shards S --mesh 1,D``): each shard's device_put
+splits the batch-row axis so every device streams 1/D of the rows
+(aggregate host->HBM bandwidth scales with D, per-device residency drops
+to 2/(S*D)), and GSPMD inserts the same loss/grad psum over 'data' as the
+resident meshed trainers — the 20 GB-cohort regime above is exactly where
+both axes are needed at once (8 chips x S=2 leaves ~1.3 GB resident per
+device). The meshed stream stays bit-identical across shard counts and
+kill/resume, and its train state carries a mesh-geometry fingerprint
+(meshed psums reorder partial sums, so it is its own trajectory family).
 """
 from __future__ import annotations
 
@@ -39,6 +50,7 @@ from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .trainer import (
     TrainConfig,
@@ -86,7 +98,7 @@ class StreamingFoldTrainer:
     def __init__(self, model, config: TrainConfig, n_samples: int,
                  shards: int = 4, loss_fn: Optional[Callable] = None,
                  state_update: Optional[Callable] = None,
-                 inflight: int = 2):
+                 inflight: int = 2, mesh=None):
         if config.shuffle:
             raise ValueError(
                 "StreamingFoldTrainer requires shuffle=False: the per-epoch "
@@ -96,12 +108,44 @@ class StreamingFoldTrainer:
             raise ValueError(f"shards must be >= 1, got {shards}")
         if inflight < 1:
             raise ValueError(f"inflight must be >= 1, got {inflight}")
+        if mesh is not None:
+            # out-of-core + scale-out composition: each uploaded shard's
+            # batch rows are sharded over the mesh's 'data' axis (the
+            # device_put splits the host shard into per-device sub-shards,
+            # so every device streams 1/D of the rows); params/opt
+            # state/key replicate and GSPMD inserts the loss/grad psum
+            # over 'data', exactly like the resident meshed trainers.
+            # Only the data axis may be >1: folds are sequential here and
+            # weight (tensor) parallelism would need the 3-axis resident
+            # path.
+            if "data" not in mesh.axis_names:
+                raise ValueError("streamed mesh needs a 'data' axis")
+            wide = [n for n in mesh.axis_names
+                    if n != "data" and mesh.shape[n] != 1]
+            if wide:
+                raise ValueError(
+                    "streamed training shards only the 'data' mesh axis; "
+                    f"axis {wide[0]!r} has size {mesh.shape[wide[0]]} "
+                    "(use --fold_parallel --mesh for fold/tensor axes)")
+            if config.batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch size {config.batch_size} not divisible over "
+                    f"the {mesh.shape['data']}-way 'data' mesh axis")
+        self.mesh = mesh
         self.model = model
         self.config = config
         self.shards = shards
         self.inflight = inflight
         self.optimizer = build_optimizer(config, n_samples)
         loss_fn, self.loss_meta = resolve_loss(model, config, loss_fn)
+        if mesh is not None:
+            # meshed reductions reorder float partial sums, so the meshed
+            # streamed trajectory is its own family: refuse resumes across
+            # mesh geometries (the unmeshed streamed state stays
+            # interoperable with FoldTrainer's — identical meta)
+            self.loss_meta = dict(
+                self.loss_meta,
+                path=f"stream+mesh:data={mesh.shape['data']}")
         raw = build_train_fn(loss_fn, self.optimizer, config.epochs,
                              shuffle=False, state_update=state_update)
         # donate the shard buffer (arg 3 after the static split partial):
@@ -115,6 +159,32 @@ class StreamingFoldTrainer:
         self._rest = jax.jit(functools.partial(raw.batches_chunk, False),
                              donate_argnums=donate)
 
+    # ---- placement ----------------------------------------------------------
+    def _place_shard(self, host_shard):
+        """host shard -> device: unmeshed, one device_put; meshed, a
+        per-leaf NamedSharding that splits the batch-row axis (axis 1 of
+        every [NB, B, ...] leaf) over 'data' so each device receives only
+        its 1/D row slice of the stream."""
+        if self.mesh is None:
+            return jax.device_put(host_shard)
+        return jax.device_put(
+            host_shard,
+            jax.tree_util.tree_map(self._shard_sharding, host_shard))
+
+    def _shard_sharding(self, leaf):
+        nd = np.ndim(leaf)
+        spec = P(None, "data", *([None] * (nd - 2))) if nd >= 2 else P(None)
+        return NamedSharding(self.mesh, spec)
+
+    def _replicate(self, tree):
+        """Commit params/opt-state/key replicated over the mesh (no-op
+        unmeshed: jit places them)."""
+        if self.mesh is None:
+            return tree
+        rep = NamedSharding(self.mesh, P())
+        return jax.device_put(
+            tree, jax.tree_util.tree_map(lambda _: rep, tree))
+
     # ---- core epoch loop ----------------------------------------------------
     def _run_epochs(self, n_epochs: int, params, opt_state, key,
                     host_shards: list):
@@ -122,9 +192,13 @@ class StreamingFoldTrainer:
         (params, opt_state, key, logs) with logs a dict of [n_epochs] host
         arrays (first-batch values, the standard logging cadence)."""
         S = len(host_shards)
+        params = self._replicate(params)
+        key = self._replicate(key)
         if opt_state is None:
             opt_state = jax.jit(self.optimizer.init)(params)
-        dev = jax.device_put(host_shards[0])
+        else:
+            opt_state = self._replicate(opt_state)
+        dev = self._place_shard(host_shards[0])
         pending: deque = deque()
         firsts = []
         for e in range(n_epochs):
@@ -142,7 +216,7 @@ class StreamingFoldTrainer:
                 # out to have fewer batches than the configured shard count:
                 # the single shard was still donated, so re-upload it)
                 if (S > 1 or self._donates) and not last:
-                    dev = jax.device_put(host_shards[(s + 1) % S])
+                    dev = self._place_shard(host_shards[(s + 1) % S])
                 # backpressure: don't let the host enqueue unboundedly many
                 # shard uploads ahead of the device
                 pending.append(first)
@@ -180,6 +254,8 @@ class StreamingFoldTrainer:
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
         host_shards = self._shards_for(data_list, cov_list)
+        params = self._replicate(params)
+        key = self._replicate(key)
         opt_shapes = jax.eval_shape(self.optimizer.init, params)
         t0 = time.perf_counter()
         seen = set()
@@ -189,8 +265,13 @@ class StreamingFoldTrainer:
             if tag in seen:
                 continue
             seen.add(tag)
+            # abstract operands carry the run-time shardings so the
+            # pre-compiled program matches what run()/run_resumable execute
             abstract = jax.tree_util.tree_map(
-                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), shard)
+                lambda a: jax.ShapeDtypeStruct(
+                    a.shape, a.dtype,
+                    sharding=(self._shard_sharding(a)
+                              if self.mesh is not None else None)), shard)
             fn.lower(params, opt_shapes, key, abstract).compile()
         return time.perf_counter() - t0
 

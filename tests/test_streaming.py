@@ -162,6 +162,112 @@ def test_stream_shards_cli_conflicts(tmp_path):
             project_root=tmp_path)
 
 
+def _data_mesh(d):
+    from multi_modal_normative_modeling_tpu.parallel import make_mesh
+
+    return make_mesh(n_fold=1, n_data=d, devices=jax.devices()[:d])
+
+
+@pytest.mark.parametrize("shards", [1, 3])
+def test_streaming_meshed_matches_and_is_shard_invariant(shards):
+    """--stream_shards x --mesh 1,D composition: each shard's rows shard
+    over the 'data' axis. The meshed stream is bit-identical across shard
+    counts (same op sequence) and matches the unmeshed run to float
+    tolerance (GSPMD's psum reorders partial sums)."""
+    model, params, data, cov = _problem(n=70)
+    config = TrainConfig(epochs=4, batch_size=16, combine="gpoe")
+    mesh = _data_mesh(4)
+
+    p_unmeshed, logs_unmeshed = StreamingFoldTrainer(
+        model, config, 70, shards=2).run(params, data, cov)
+    p_ref, logs_ref = StreamingFoldTrainer(
+        model, config, 70, shards=1, mesh=mesh).run(params, data, cov)
+    p_got, logs_got = StreamingFoldTrainer(
+        model, config, 70, shards=shards, mesh=mesh).run(params, data, cov)
+
+    _assert_trees_equal(p_got, p_ref)
+    for k in logs_ref:
+        np.testing.assert_array_equal(logs_got[k], logs_ref[k])
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=5e-4, atol=1e-5),
+        p_got, p_unmeshed)
+    np.testing.assert_allclose(logs_got["total"], logs_unmeshed["total"],
+                               rtol=1e-4)
+
+
+def test_streaming_mesh_geometry_gates():
+    model, _, _, _ = _problem()
+    config = TrainConfig(epochs=1, batch_size=16)
+    with pytest.raises(ValueError, match="'data' mesh axis"):
+        StreamingFoldTrainer(model, TrainConfig(epochs=1, batch_size=15),
+                             70, mesh=_data_mesh(4))
+    from multi_modal_normative_modeling_tpu.parallel import make_mesh
+
+    fold2 = make_mesh(n_fold=2, n_data=2, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="only the 'data' mesh axis"):
+        StreamingFoldTrainer(model, config, 70, mesh=fold2)
+
+
+def test_streaming_meshed_kill_and_resume(tmp_path):
+    """Meshed streamed kill-and-resume is bit-identical, the state carries
+    a mesh-geometry fingerprint, and a resume under a different data-axis
+    size (a different psum order) is refused."""
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        peek_train_meta,
+    )
+
+    model, params, data, cov = _problem(n=70, seed=3)
+    config = TrainConfig(epochs=6, batch_size=16, combine="gpoe")
+    key = jax.random.PRNGKey(9)
+    mesh = _data_mesh(4)
+
+    straight, logs_straight = StreamingFoldTrainer(
+        model, config, 70, shards=2, mesh=mesh).run(params, data, cov,
+                                                    key=key)
+    half = TrainConfig(epochs=2, batch_size=16, combine="gpoe")
+    StreamingFoldTrainer(model, half, 70, shards=2, mesh=mesh).run_resumable(
+        params, data, cov, key, tmp_path, checkpoint_every=2)
+    meta = peek_train_meta(tmp_path)
+    assert meta["path"] == "stream+mesh:data=4"
+
+    with pytest.raises(ValueError, match="refusing to resume"):
+        StreamingFoldTrainer(
+            model, config, 70, shards=2, mesh=_data_mesh(2)).run_resumable(
+                params, data, cov, key, tmp_path, checkpoint_every=2,
+                resume=True)
+
+    resumed, logs_resumed = StreamingFoldTrainer(
+        model, config, 70, shards=2, mesh=mesh).run_resumable(
+            params, data, cov, key, tmp_path, checkpoint_every=2,
+            resume=True)
+    _assert_trees_equal(resumed, straight)
+    for k in logs_straight:
+        np.testing.assert_array_equal(logs_resumed[k], logs_straight[k])
+
+
+def test_stream_shards_cli_with_data_mesh(tmp_path, capsys):
+    """--stream_shards 2 --mesh 1,8 trains through the CLI (rows sharded
+    over the 8 virtual devices) to working checkpoints; fold/model mesh
+    axes are refused."""
+    from multi_modal_normative_modeling_tpu.cli import train_supervised
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=40, n_disease={0: 10},
+                            seed=11)
+    train_supervised.main(_cli_args(stream_shards=2, mesh="1,8"),
+                          project_root=tmp_path)
+    out = capsys.readouterr().out
+    assert "rows sharded over mesh" in out
+    assert (tmp_path / "outputs/kfold_analysis/supervised_cvae/000"
+            / "cVAE_model.ckpt").exists()
+    with pytest.raises(SystemExit, match="composes only with"):
+        train_supervised.main(_cli_args(stream_shards=2, mesh="2,4"),
+                              project_root=tmp_path)
+
+
 def test_streaming_kill_and_resume_bit_identical(tmp_path):
     """Chunked + resumed streaming run == uninterrupted streaming run ==
     resident run (shared train-state format)."""
