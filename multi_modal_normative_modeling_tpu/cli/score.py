@@ -40,14 +40,30 @@ def score(args, project_root=None) -> pd.DataFrame:
     dataset_names = registry.get_datasets_name(args.dataset_resourse,
                                                args.procedure)
 
-    folds = (range(args.n_splits) if args.fold is None else [args.fold])
+    folds = list(range(args.n_splits) if args.fold is None else [args.fold])
     emit_latent = getattr(args, 'latent', False)
+    # --mesh F,D: the fold-ensemble scores as ONE vmapped program with
+    # folds sharded over 'fold' and the padded subject rows over 'data' —
+    # the scoring mirror of the test stage's fold_infer_jit (rows are
+    # independent, so this is pure scale-out; PPMI-width scoring is where
+    # the axes pay, parallel/modality.py:17-22).
+    mesh = common.parse_infer_mesh(getattr(args, 'mesh', None))
+    if mesh is not None:
+        if emit_latent:
+            raise SystemExit(
+                '--latent is unmeshed (per-fold train-cohort stats have '
+                'ragged row counts); run --latent without --mesh')
+        if len(folds) % mesh.shape['fold']:
+            raise SystemExit(
+                f"--mesh: {len(folds)} fold(s) not divisible by the "
+                f"fold axis ({mesh.shape['fold']})")
     model = None
     infer_fn = stats_fn = None
     template = None
     per_fold_dev = []
     per_fold_roi = []
     per_fold_lat = []
+    collected = []
     subject_ids = None
 
     for fold in folds:
@@ -113,6 +129,10 @@ def score(args, project_root=None) -> pd.DataFrame:
                 lambda s: np.zeros(s.shape, s.dtype), shapes)
         params, _ = load_checkpoint(fold_model_dir, template_params=template)
 
+        if mesh is not None:
+            collected.append((data_list, cov, params))
+            continue
+
         n_rows = data_list[0].shape[0]
         padded = -(-n_rows // 64) * 64
         pad = lambda a: np.pad(np.asarray(a, np.float32),
@@ -142,6 +162,46 @@ def score(args, project_root=None) -> pd.DataFrame:
             per_fold_lat.append(latent_deviation(
                 np.asarray(mu_train), np.asarray(mu_s)[:n_rows],
                 np.asarray(var_s)[:n_rows]))
+
+    if mesh is not None:
+        from ..infer.ensemble import resolve_combine  # noqa: F811
+        from ..parallel.folds import stack_params
+
+        n_rows = collected[0][0][0].shape[0]
+        tile = common.infer_row_tile(mesh)
+        padded = -(-n_rows // tile) * tile
+        pad = lambda a: np.pad(np.asarray(a, np.float32),
+                               ((0, padded - n_rows), (0, 0)))
+        combine = resolve_combine(args.combine, config, args.procedure)
+
+        def infer_one(params, xes, cs, seed):
+            # same PRNG stream as the sequential path: PRNGKey(seed+fold),
+            # derived on-device (a host PRNGKey is an eager tunnel RTT)
+            k = jax.random.PRNGKey(seed)
+            recons = model.pred_recon(params, list(xes), list(cs), k,
+                                      combine)
+            devs = [model.reconstruction_deviation(xes[m], recons[m])
+                    for m in range(len(xes))]
+            return recons, devs
+
+        vinfer = common.fold_infer_jit(infer_one, mesh)
+        stacked_params = stack_params([p for _, _, p in collected])
+        xes = tuple(np.stack([pad(d[m]) for d, _, _ in collected])
+                    for m in range(len(dataset_names)))
+        cs = tuple(np.stack([pad(c) for _, c, _ in collected])
+                   for _ in range(len(dataset_names)))
+        seeds = np.asarray([args.seed + f for f in folds], np.uint32)
+        recons, devs = vinfer(stacked_params, xes, cs, seeds)
+        # one bulk fetch, then numpy slicing (per-fold device indexing
+        # would issue an eager op per leaf per fold through the tunnel)
+        recons = [np.asarray(r) for r in recons]
+        devs = np.stack([np.asarray(d)[:, :n_rows] for d in devs])  # [M,F,N]
+        per_fold_dev = list(devs.mean(axis=0))
+        per_fold_roi = [
+            np.concatenate(
+                [(collected[f][0][m] - recons[m][f, :n_rows]) ** 2
+                 for m in range(len(dataset_names))], axis=1)
+            for f in range(len(folds))]
 
     deviation = np.mean(per_fold_dev, axis=0)
     roi_dev = np.mean(per_fold_roi, axis=0)
@@ -187,6 +247,15 @@ def build_parser() -> argparse.ArgumentParser:
                              'z-scores against each fold train cohort, '
                              'utils_vae.py:155-157 semantics).')
     parser.add_argument('--seed', type=int, default=42)
+    parser.add_argument('--mesh', default=None, metavar='F,D',
+                        help='score the fold ensemble as ONE device program '
+                             'sharded over a (fold x data) mesh: fold '
+                             'models over F, padded subject rows over D '
+                             '(axis product must equal the visible device '
+                             'count; F must divide the fold count). '
+                             'Values match the unmeshed ensemble to '
+                             'float-reorder tolerance. --latent stays '
+                             'unmeshed.')
     return parser
 
 

@@ -89,7 +89,7 @@ class ScoringService:
 
     def __init__(self, resource: str, procedure: str, combine: str = None,
                  n_splits: int = 10, project_root=None, seed: int = 42,
-                 pad_to: int = 64, mesh=None):
+                 pad_to: int = 64, mesh=None, ep_mesh=None):
         import jax
 
         from ..utils.jaxconfig import warm_device_session
@@ -97,11 +97,20 @@ class ScoringService:
         warm_device_session()  # overlap the session attach with host prep
         # --mesh F,D: the resident scoring program shards the fold ensemble
         # over 'fold' and request rows over 'data' (pure scale-out — rows
-        # are independent and folds don't communicate)
+        # are independent and folds don't communicate).
+        # --ep_mesh F,M,D: the packed-modality program additionally shards
+        # per-modality experts over 'modality' — PPMI-width scoring is
+        # where the modality axis pays (parallel/modality.py:17-22).
+        if mesh is not None and ep_mesh is not None:
+            raise ValueError('--ep_mesh is mutually exclusive with --mesh')
         self.mesh = mesh
+        self.ep_mesh = ep_mesh
         if mesh is not None:
             common.check_infer_fold_axis(mesh, n_splits)
             pad_to = common.infer_row_tile(mesh, base=pad_to)
+        if ep_mesh is not None:
+            common.check_infer_fold_axis(ep_mesh, n_splits)
+            pad_to = common.infer_row_tile(ep_mesh, base=pad_to)
         self.resource = resource
         self.procedure = procedure
         # resolved after the checkpoint load below: the trained config's
@@ -152,9 +161,48 @@ class ScoringService:
         # ---- the one device program: all folds, scale->infer->deviate ----
         # params/scalers/covs/seeds carry the fold axis; raw features are
         # shared across folds and broadcast
-        vinfer = jax.vmap(fold_infer_fn(state), in_axes=(0, 0, 0, 0, 0, None))
-        self._infer = jax.jit(vinfer, in_shardings=self._shardings(
-            n_fold_axis_args=5)) if mesh is not None else jax.jit(vinfer)
+        self._ep = None
+        if ep_mesh is not None:
+            from ..infer.ensemble import fold_infer_fn_ep, pack_ensemble_ep
+            from ..models.stacked import StackedMultimodalCVAE
+
+            if self.config.get('model', 'cVAE_multimodal') \
+                    != 'cVAE_multimodal':
+                raise SystemExit(
+                    f"--ep_mesh serving supports the cVAE family only "
+                    f"(checkpoint model {self.config.get('model')!r})")
+            stacked = StackedMultimodalCVAE(
+                self.config['input_dim_list'], self.config['hidden_dim'],
+                self.config['latent_dim'], self.config['c_dim'],
+                self.config['modalities'],
+                self.config.get('non_linear', True))
+            if stacked.modalities % ep_mesh.shape['modality']:
+                raise SystemExit(
+                    f"--ep_mesh: {stacked.modalities} modalities not "
+                    f"divisible over the {ep_mesh.shape['modality']}-way "
+                    "'modality' mesh axis")
+            self._ep = pack_ensemble_ep(state, stacked)
+            self._ep_stacked = stacked
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def sh(spec):
+                return NamedSharding(ep_mesh, spec)
+
+            params_sh = jax.tree_util.tree_map(
+                lambda leaf: sh(P('fold', 'modality',
+                                  *([None] * (np.ndim(leaf) - 2)))),
+                self._ep[0])
+            vinfer = jax.vmap(fold_infer_fn_ep(state, stacked),
+                              in_axes=(0, 0, 0, 0, 0, None))
+            self._infer = jax.jit(vinfer, in_shardings=(
+                params_sh, sh(P('fold', 'modality', None)),
+                sh(P('fold', 'modality', None)), sh(P('fold', 'data', None)),
+                sh(P('fold')), sh(P('modality', 'data', None))))
+        else:
+            vinfer = jax.vmap(fold_infer_fn(state),
+                              in_axes=(0, 0, 0, 0, 0, None))
+            self._infer = jax.jit(vinfer, in_shardings=self._shardings(
+                n_fold_axis_args=5)) if mesh is not None else jax.jit(vinfer)
         # latent z-scoring program compiled lazily on the first latent
         # request (separate trace; most deployments never ask for it)
         self._latent_prog = None
@@ -176,6 +224,11 @@ class ScoringService:
     def _latent_infer(self):
         import jax
 
+        if self.ep_mesh is not None:
+            raise ServeError(
+                'latent scoring is not available under --ep_mesh (the '
+                'fused-latent z-score path runs per-modality); serve with '
+                '--mesh or unmeshed for latent requests')
         with self._latent_build_lock:
             if self._latent_prog is None:
                 try:
@@ -245,10 +298,25 @@ class ScoringService:
             raise ServeError(f'covariate binning failed: {e}')
         covs = np.pad(covs, ((0, 0), (0, padded - n), (0, 0)))
         with self._lock:
-            devs, rois = self._infer(self._stacked_params, self._centers,
-                                     self._scales, covs, self._seeds, xes)
-            devs = np.asarray(devs)[:, :, :n]              # [K, M, n]
-            rois = np.asarray(rois)[:, :n] if roi else None
+            if self._ep is not None:
+                params_p, centers_p, scales_p = self._ep
+                x_packed = self._ep_stacked.pack_inputs(list(xes))
+                devs, sq = self._infer(params_p, centers_p, scales_p, covs,
+                                       self._seeds, x_packed)
+                devs = np.asarray(devs)[:, :, :n]          # [K, M, n]
+                rois = None
+                if roi:
+                    sq = np.asarray(sq)                    # [K, M, p, d_max]
+                    dims = [len(c) for c in self.columns]
+                    rois = np.concatenate(
+                        [sq[:, m, :n, :d] for m, d in enumerate(dims)],
+                        axis=2)                            # [K, n, sum F]
+            else:
+                devs, rois = self._infer(self._stacked_params, self._centers,
+                                         self._scales, covs, self._seeds,
+                                         xes)
+                devs = np.asarray(devs)[:, :, :n]          # [K, M, n]
+                rois = np.asarray(rois)[:, :n] if roi else None
             if latent:
                 lat_s, lat_z = latent_prog(
                     self._stacked_params, self._centers, self._scales, covs,
@@ -285,8 +353,11 @@ class ScoringService:
             'modalities': list(self.dataset_names),
             'feature_dims': [len(c) for c in self.columns],
             'model': self.config.get('variant', 'cvae'),
-            'latent_scoring': self.state.supports_latent,
-            'mesh': dict(self.mesh.shape) if self.mesh is not None else None,
+            'latent_scoring': (self.state.supports_latent
+                               and self.ep_mesh is None),
+            'mesh': (dict(self.ep_mesh.shape) if self.ep_mesh is not None
+                     else dict(self.mesh.shape) if self.mesh is not None
+                     else None),
             'backend': jax.default_backend(),
             'uptime_seconds': round(time.time() - self.started, 1),
             'requests_served': self.requests_served,
@@ -426,6 +497,15 @@ def build_parser() -> argparse.ArgumentParser:
                              '(fold, data) device mesh: ensemble folds over '
                              'F, request rows over D; product must equal '
                              'the visible device count')
+    parser.add_argument('--ep_mesh', dest='ep_mesh', default=None,
+                        metavar='F,M,D',
+                        help='expert-parallel serving: the resident packed-'
+                             'modality program shards ensemble folds over '
+                             'F, per-modality experts over M (must divide '
+                             'the modality count) and request rows over D. '
+                             'cVAE family; latent scoring stays on '
+                             '--mesh/unmeshed. Mutually exclusive with '
+                             '--mesh.')
     parser.add_argument('--auth_token', default=None,
                         help='require "Authorization: Bearer <token>" on '
                              'POST /score (default: $MMNM_SERVE_TOKEN if '
@@ -444,10 +524,23 @@ def run(argv=None, project_root=None):
 
     args = build_parser().parse_args(argv)
     token = args.auth_token or os.environ.get('MMNM_SERVE_TOKEN') or None
+    ep_mesh = None
+    if getattr(args, 'ep_mesh', None):
+        if args.mesh:
+            raise SystemExit('--ep_mesh is mutually exclusive with --mesh')
+        sizes = common.parse_axis_sizes(
+            args.ep_mesh, '--ep_mesh', (3,), '2,2,2 (fold,modality,data)')
+        from ..parallel.modality import make_ep_mesh3
+
+        try:
+            ep_mesh = make_ep_mesh3(n_fold=sizes[0], n_modality=sizes[1],
+                                    n_data=sizes[2])
+        except ValueError as exc:
+            raise SystemExit(f'--ep_mesh {args.ep_mesh}: {exc}')
     service = ScoringService(
         args.dataset_resourse, args.procedure, combine=args.combine,
         n_splits=args.n_splits, project_root=project_root, seed=args.seed,
-        mesh=common.parse_infer_mesh(args.mesh))
+        mesh=common.parse_infer_mesh(args.mesh), ep_mesh=ep_mesh)
     server = make_server(service, args.host, args.port, auth_token=token,
                          max_body_bytes=args.max_body_bytes)
     host, port = server.server_address[:2]

@@ -32,6 +32,7 @@ def make_synthetic_resource(
     seed: int = 0,
     effect: float = 1.5,
     offset_effect: float = 0.8,
+    label_noise: float = 0.0,
     modalities: Optional[Sequence[str]] = None,
     with_early_fusion: bool = False,
     with_fi: bool = False,
@@ -40,6 +41,14 @@ def make_synthetic_resource(
 
     n_disease maps DIA label -> count (defaults chosen per resource's label
     scheme). Returns the resource data directory.
+
+    ``label_noise`` is the fraction of disease-labelled subjects that carry
+    NO disease signal (drawn once per subject, consistent across
+    modalities) — diagnostic heterogeneity that bounds the achievable AUC
+    below 1.0 the way real cohorts do (the reference's published regime is
+    AUC ~0.54-0.83, cvae_auc_and_std.csv / result_multimodal.txt), so
+    quality-parity probes discriminate instead of saturating. 0.0 (the
+    default) leaves every existing cohort bit-identical.
     """
     rng = np.random.default_rng(seed)
     hc_label = registry.get_hc_label(resource)
@@ -84,6 +93,13 @@ def make_synthetic_resource(
         else registry.BASE_MODALITIES[resource]
     )
     dia = np.asarray(labels)
+    carrier = np.ones(n, dtype=bool)
+    if label_noise > 0.0:
+        # dedicated stream: the default path stays bit-identical, and the
+        # carrier mask is shared by every modality (a non-carrier subject
+        # looks healthy everywhere, like a mislabel/subclinical case)
+        noise_rng = np.random.default_rng(seed + 777)
+        carrier = noise_rng.random(n) >= label_noise
     fusion_blocks = []
     for m_idx, name in enumerate(modality_names):
         cols = registry.get_column_name(resource, name)
@@ -99,7 +115,7 @@ def make_synthetic_resource(
         roi_mask = (sig_rng.random(d) < 0.4).astype(float)
         perturb = sig_rng.normal(0.0, 1.0, size=(n, d)) * roi_mask[None, :]
         offset = sig_rng.normal(0.0, 1.0, size=d) * roi_mask
-        is_disease = (dia[:, None] != hc_label)
+        is_disease = (dia[:, None] != hc_label) & carrier[:, None]
         base += np.where(is_disease, effect, 0.0) * perturb
         base += np.where(is_disease, offset_effect, 0.0) * offset[None, :]
         frame = pd.DataFrame(base, columns=cols)

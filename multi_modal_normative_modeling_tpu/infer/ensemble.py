@@ -296,3 +296,54 @@ def fold_latent_fn(state: EnsembleState):
         return scalar, z
 
     return latent_one
+
+
+# -------------------------------------------------- expert-parallel serving
+
+def pack_ensemble_ep(state: EnsembleState, stacked):
+    """EnsembleState -> packed-modality operands for the expert-parallel
+    scoring program: (packed_params [K, M, ...], centers_p [K, M, d_max],
+    scales_p [K, M, d_max]). Scale padding is 1.0 (centers 0.0) so the
+    padded feature columns scale to exactly zero."""
+    import jax
+
+    k = int(np.shape(state.seeds)[0])
+    per_fold = [
+        stacked.pack_params(jax.tree_util.tree_map(
+            lambda leaf: np.asarray(leaf)[f], state.stacked_params))
+        for f in range(k)
+    ]
+    packed_params = jax.tree_util.tree_map(
+        lambda *leaves: np.stack([np.asarray(x) for x in leaves]), *per_fold)
+    centers_p = np.zeros((k, stacked.modalities, stacked.d_max), np.float32)
+    scales_p = np.ones((k, stacked.modalities, stacked.d_max), np.float32)
+    for m, (c, s) in enumerate(zip(state.centers, state.scales)):
+        centers_p[:, m, : c.shape[1]] = c
+        scales_p[:, m, : s.shape[1]] = s
+    return packed_params, centers_p, scales_p
+
+
+def fold_infer_fn_ep(state: EnsembleState, stacked):
+    """Packed-modality (expert-parallel) counterpart of fold_infer_fn: the
+    scale -> reconstruct -> deviate body on the [M, rows, d_max] layout so
+    a ('fold', 'modality', 'data') mesh shards per-modality experts
+    (cli/test_supervised._ep_infer_program's layout, with the fold's train
+    scaler applied in-program). PRNG stream matches the per-modality body
+    (one [rows, Z] draw per fold), so values agree to fusion-reorder float
+    tolerance. Returns (devs [M, n], sq [M, n, d_max]) — callers slice the
+    padded squared-error plane into the per-ROI layout."""
+    import jax
+
+    combine = state.combine
+    col = stacked.col_mask_np()[:, None, :]  # [M, 1, d_max]
+
+    def infer_one(packed_params, center_p, scale_p, cov, fold_seed,
+                  x_packed):
+        xs = (x_packed - center_p[:, None, :]) / scale_p[:, None, :]
+        key = jax.random.PRNGKey(fold_seed)
+        recons = stacked.pred_recon(packed_params, xs, cov, key, combine)
+        devs = stacked.reconstruction_deviation(xs, recons)      # [M, n]
+        sq = ((xs - recons) ** 2) * col                          # padded 0
+        return devs, sq
+
+    return infer_one

@@ -238,7 +238,10 @@ def probe_endtoend(args, work: Path, flags, make_ours_env):
         "kind": "endtoend",
         "cohort": {"n_hc": args.n_hc, "n_ad": args.n_ad,
                    "n_mci": args.n_mci, "procedure": args.procedure,
-                   "n_splits": args.n_splits, "epochs": args.epochs},
+                   "n_splits": args.n_splits, "epochs": args.epochs,
+                   "effect": args.effect,
+                   "offset_effect": args.offset_effect,
+                   "label_noise": args.label_noise},
         "reference_metrics": reference,
         "ours_metrics": mine,
         "reference_seconds": round(ref_seconds, 2),
@@ -309,7 +312,10 @@ def probe_regression(args, work: Path, flags, make_ours_env):
         "kind": "regression",
         "cohort": {"n_hc": args.n_hc, "n_ad": args.n_ad,
                    "n_mci": args.n_mci, "procedure": args.procedure,
-                   "n_splits": args.n_splits, "epochs": args.epochs},
+                   "n_splits": args.n_splits, "epochs": args.epochs,
+                   "effect": args.effect,
+                   "offset_effect": args.offset_effect,
+                   "label_noise": args.label_noise},
         "reference_metrics": reference,
         "ours_metrics": mine,
         "reference_seconds": round(ref_seconds, 2),
@@ -373,7 +379,10 @@ def probe_nmmlp(args, work: Path, flags, make_ours_env):
         "kind": "nmmlp",
         "cohort": {"n_hc": args.n_hc, "n_ad": args.n_ad,
                    "n_mci": args.n_mci, "procedure": args.procedure,
-                   "n_splits": args.n_splits, "epochs": args.epochs},
+                   "n_splits": args.n_splits, "epochs": args.epochs,
+                   "effect": args.effect,
+                   "offset_effect": args.offset_effect,
+                   "label_noise": args.label_noise},
         "reference_metrics": reference,
         "ours_metrics": mine,
         "reference_seconds": round(ref_seconds, 2),
@@ -410,6 +419,16 @@ def main():
                          "platform-independent, and this sidesteps degraded "
                          "remote-attach windows (ours_seconds is then a CPU "
                          "figure, not a headline)")
+    ap.add_argument("--effect", type=float, default=0.8,
+                    help="per-subject sparse-ROI disease perturbation scale "
+                         "(data/synthetic.py)")
+    ap.add_argument("--offset-effect", type=float, default=0.8,
+                    help="shared disease mean-offset scale")
+    ap.add_argument("--label-noise", type=float, default=0.0,
+                    help="fraction of disease-labelled subjects carrying NO "
+                         "signal — tune so the reference side lands in its "
+                         "published AUC regime (~0.6-0.85) and the parity "
+                         "probes discriminate instead of saturating")
     ap.add_argument("--variant",
                     choices=["supervised", "endtoend", "regression",
                              "nmmlp"],
@@ -465,7 +484,9 @@ def main():
 
         make_synthetic_resource(work, "ADNI", n_hc=args.n_hc,
                                 n_disease={0: args.n_ad, 1: args.n_mci},
-                                effect=0.8,
+                                effect=args.effect,
+                                offset_effect=args.offset_effect,
+                                label_noise=args.label_noise,
                                 with_fi=(args.variant == "regression"))
         if args.procedure.startswith("UCA"):
             build_early_fusion(work, "ADNI")
@@ -505,7 +526,10 @@ def main():
             "machine": "container CPU (torch eager, reference scripts)",
             "cohort": {"n_hc": args.n_hc, "n_ad": args.n_ad,
                        "n_mci": args.n_mci, "procedure": args.procedure,
-                       "n_splits": args.n_splits, "epochs": args.epochs},
+                       "n_splits": args.n_splits, "epochs": args.epochs,
+                       "effect": args.effect,
+                       "offset_effect": args.offset_effect,
+                       "label_noise": args.label_noise},
             "train_seconds": round(train_s, 2),
             "train_seconds_per_fold_epoch": round(per_fold_epoch, 4),
             "test_seconds": round(test_s, 2),

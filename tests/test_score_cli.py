@@ -60,6 +60,56 @@ def test_score_ensemble(tmp_path):
     assert np.isfinite(roi.iloc[:, 1:].values).all()
 
 
+def test_score_mesh_matches_unmeshed(tmp_path):
+    """--mesh F,D scores the fold ensemble as one sharded program whose
+    deviation/ROI outputs match the sequential per-fold ensemble to
+    float-reorder tolerance; --latent under --mesh is refused with an
+    actionable error."""
+    import pytest
+
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=60, n_disease={0: 30},
+                            effect=1.2)
+    train_args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 6],
+        procedure="SM-av45", combine="PoE", epochs=10, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=False, precision="fp32",
+    )
+    train_supervised.main(train_args, project_root=root)
+
+    y = pd.read_csv(root / "data" / "ADNI" / "y.csv")
+    ids_path = root / "score_ids.csv"
+    y[["IID"]].to_csv(ids_path, index=False)
+
+    def args_for(mesh=None, latent=False, suffix=""):
+        return argparse.Namespace(
+            dataset_resourse="ADNI", procedure="SM-av45", combine="PoE",
+            n_splits=2, ids=str(ids_path), fold=None,
+            output=str(root / f"scores{suffix}.csv"),
+            roi_output=str(root / f"roi{suffix}.csv"), seed=42,
+            latent=latent, mesh=mesh)
+
+    plain = score.score(args_for(suffix="_plain"), project_root=root)
+    meshed = score.score(args_for(mesh="2,4", suffix="_mesh"),
+                         project_root=root)
+    np.testing.assert_allclose(meshed["deviation"], plain["deviation"],
+                               rtol=1e-5, atol=1e-7)
+    roi_plain = pd.read_csv(root / "roi_plain.csv")
+    roi_mesh = pd.read_csv(root / "roi_mesh.csv")
+    assert list(roi_mesh.columns) == list(roi_plain.columns)
+    np.testing.assert_allclose(roi_mesh.iloc[:, 1:].values,
+                               roi_plain.iloc[:, 1:].values,
+                               rtol=1e-4, atol=1e-6)
+
+    with pytest.raises(SystemExit, match="latent"):
+        score.score(args_for(mesh="2,4", latent=True), project_root=root)
+    with pytest.raises(SystemExit, match="devices"):
+        score.score(args_for(mesh="3,4"), project_root=root)
+
+
 def test_score_single_subject_and_cohort_independence(tmp_path):
     """Serving covariates bin by TRAIN quantile edges: a subject's score
     must not depend on who else is in the ids CSV, and a one-subject list

@@ -278,6 +278,70 @@ def test_meshed_service_matches_unmeshed(trained_project, service):
                              mesh=make_mesh(n_fold=2, n_data=4))
 
 
+def test_ep_meshed_service_matches_unmeshed(tmp_path):
+    """--ep_mesh F,M,D serves the packed-modality program with per-modality
+    experts sharded; scores match the unmeshed per-modality ensemble to
+    fusion-reorder float tolerance, latent requests are a clean client
+    error, and geometry gates fail loudly up front."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+    from multi_modal_normative_modeling_tpu.parallel.modality import (
+        make_ep_mesh3,
+    )
+
+    root = tmp_path
+    make_synthetic_resource(root, "ADNI", n_hc=50, n_disease={0: 20},
+                            effect=1.0, with_early_fusion=True)
+    train_args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 6],
+        procedure="UCA-gPoE", combine="gPoE", epochs=10, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=False, precision="fp32",
+    )
+    train_supervised.main(train_args, project_root=root)
+
+    plain = serve.ScoringService("ADNI", "UCA-gPoE", combine="gPoE",
+                                 n_splits=2, project_root=root)
+    ep = serve.ScoringService("ADNI", "UCA-gPoE", combine="gPoE",
+                              n_splits=2, project_root=root,
+                              ep_mesh=make_ep_mesh3(2, 2, 2))
+    assert ep.health()["mesh"] == {"fold": 2, "modality": 2, "data": 2}
+    assert ep.health()["latent_scoring"] is False
+
+    ids = list(plain._frames[0].index[:7])
+    p = plain.score_ids(ids, roi=True)
+    s = ep.score_ids(ids, roi=True)
+    np.testing.assert_allclose(s["deviation"], p["deviation"],
+                               rtol=2e-4, atol=1e-6)
+    assert s["roi_columns"] == p["roi_columns"]
+    np.testing.assert_allclose(s["roi"], p["roi"], rtol=2e-3, atol=1e-5)
+    assert list(s["per_modality"]) == list(p["per_modality"])
+    for name in p["per_modality"]:
+        np.testing.assert_allclose(s["per_modality"][name],
+                                   p["per_modality"][name],
+                                   rtol=2e-4, atol=1e-6)
+
+    with pytest.raises(serve.ServeError, match="ep_mesh"):
+        ep.score_ids(ids, latent=True)
+
+    # modality-axis divisibility fails loudly at construction
+    with pytest.raises(SystemExit, match="modalities not divisible"):
+        serve.ScoringService("ADNI", "UCA-gPoE", combine="gPoE",
+                             n_splits=2, project_root=root,
+                             ep_mesh=make_ep_mesh3(1, 8, 1))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        from multi_modal_normative_modeling_tpu.parallel import make_mesh
+
+        serve.ScoringService("ADNI", "UCA-gPoE", combine="gPoE",
+                             n_splits=2, project_root=root,
+                             mesh=make_mesh(n_fold=2, n_data=4),
+                             ep_mesh=make_ep_mesh3(2, 2, 2))
+
+
 def test_http_adversarial_payloads_never_kill_the_daemon(service):
     """Malformed/hostile requests get clean 4xx JSON errors (500 only for
     genuine surprises) and the daemon keeps serving afterwards."""
