@@ -1,0 +1,169 @@
+"""Whole-fold trainers on the pad-free width-grouped packed layout.
+
+Same contracts as train/packed.py's PackedFoldTrainer /
+PackedMultiFoldTrainer (reference hot loop
+multimodal_kfold_train_cvae_supervised.py:177-199), with the
+StackedMultimodalCVAE pad-to-widest layout replaced by
+models/grouped.GroupedStackedCVAE: hidden layers stay one batched einsum
+over all modalities, the width-dependent layer-0/decoder-head ops run
+per width group at exact width — zero padded FLOPs on mixed-width cohorts
+(the flagship regime where the padded layout's +22% single-fold win
+inverted to −21% under the 5-fold vmap, RESULTS.md round-2).
+
+PRNG streams match PackedFoldTrainer / FoldTrainer exactly (same
+per-epoch/per-step splits, one [B, Z] reparameterization draw), so
+trajectories agree to float-reorder tolerance.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.grouped import GroupedStackedCVAE
+from .packed import PackedStateTrainerBase
+from .trainer import TrainConfig, build_optimizer, build_train_fn
+
+
+def make_grouped_fold_batches(grouped: GroupedStackedCVAE,
+                              data_list: Sequence[np.ndarray],
+                              cov: np.ndarray, batch_size: int) -> dict:
+    """Per-modality arrays -> {x: tuple per width group [NB, G_g, B, d_g],
+    c [NB, B, C], mask [NB, B], valid [NB]} (packed once on the host)."""
+    n = data_list[0].shape[0]
+    nb = max(1, -(-n // batch_size))
+    padded = nb * batch_size
+
+    def pack_rows(a):
+        a = np.asarray(a, np.float32)
+        out = np.zeros((padded,) + a.shape[1:], np.float32)
+        out[:n] = a
+        return out.reshape((nb, batch_size) + a.shape[1:])
+
+    x_groups = []
+    for _, idx in grouped.groups:
+        x_groups.append(np.stack([pack_rows(data_list[m]) for m in idx],
+                                 axis=1))           # [NB, G_g, B, d_g]
+    mask = np.zeros((padded,), np.float32)
+    mask[:n] = 1.0
+    mask = mask.reshape(nb, batch_size)
+    return {
+        "x": tuple(x_groups),
+        "c": pack_rows(cov),
+        "mask": mask,
+        "valid": mask.sum(axis=1) > 0,
+    }
+
+
+def _grouped_loss_fn(grouped: GroupedStackedCVAE, combine: str):
+    def loss_fn(p, batch, k):
+        fwd = grouped.forward(p, batch["x"], batch["c"], k, combine)
+        losses = grouped.loss(p, batch["x"], fwd, batch["mask"])
+        return losses["total"], losses
+
+    return loss_fn
+
+
+def _build_grouped(model):
+    return GroupedStackedCVAE(
+        model.input_dim_list, model.hidden_dim, model.latent_dim,
+        model.c_dim, model.modalities, model.non_linear)
+
+
+class GroupedFoldTrainer(PackedStateTrainerBase):
+    """Sequential whole-fold trainer on the grouped layout (the
+    PackedFoldTrainer contract: run / compile / run_resumable)."""
+
+    def __init__(self, model, config: TrainConfig, n_samples: int):
+        assert not config.shuffle, "packed trainers train in fixed batch order"
+        self.stacked = _build_grouped(model)
+        self.config = config
+        self.loss_meta = {"loss": "packed_grouped",
+                          "precision": config.precision}
+        self.optimizer = build_optimizer(config, n_samples)
+        self._raw_train = build_train_fn(
+            _grouped_loss_fn(self.stacked, config.combine), self.optimizer,
+            config.epochs, shuffle=False)
+        self._train = jax.jit(self._raw_train)
+        self._chunk_cache: dict = {}
+
+    def _batches(self, data_list, cov):
+        return self._place(make_grouped_fold_batches(
+            self.stacked, data_list, cov, self.config.batch_size))
+
+    def chunk_fn(self, n_epochs: int):
+        if n_epochs not in self._chunk_cache:
+            import functools
+
+            self._chunk_cache[n_epochs] = jax.jit(functools.partial(
+                self._raw_train.chunk, n_epochs))
+        return self._chunk_cache[n_epochs]
+
+
+class GroupedMultiFoldTrainer:
+    """vmap(grouped whole-fold trainer) over a stacked fold axis —
+    PackedMultiFoldTrainer's run() contract on the pad-free layout."""
+
+    def __init__(self, model, config: TrainConfig, n_samples: int):
+        assert not config.shuffle, "packed trainers train in fixed batch order"
+        self.stacked = _build_grouped(model)
+        self.config = config
+        self.loss_meta = {"loss": "packed_grouped",
+                          "precision": config.precision,
+                          "path": "fold_parallel"}
+        self.optimizer = build_optimizer(config, n_samples)
+        self._raw_train = build_train_fn(
+            _grouped_loss_fn(self.stacked, config.combine), self.optimizer,
+            config.epochs, shuffle=False)
+        self._vtrain = jax.jit(jax.vmap(self._raw_train))
+
+    def pack_folds(self, folds, cov_index: int = 0) -> dict:
+        per_fold, max_nb = [], 0
+        for data_list, cov_list in folds:
+            b = make_grouped_fold_batches(self.stacked, data_list,
+                                          cov_list[cov_index],
+                                          self.config.batch_size)
+            max_nb = max(max_nb, b["mask"].shape[0])
+            per_fold.append(b)
+        padded = []
+        for b in per_fold:
+            cur = b["mask"].shape[0]
+            if cur < max_nb:
+                b = jax.tree_util.tree_map(
+                    lambda a: np.pad(a, [(0, max_nb - cur)]
+                                     + [(0, 0)] * (a.ndim - 1)), b)
+            padded.append(b)
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
+
+    def _stack_packed(self, params_list):
+        from .packed import _pack_params_host
+
+        packs, packed_list = {}, []
+        for p in params_list:
+            if id(p) not in packs:
+                packs[id(p)] = _pack_params_host(self.stacked, p)
+            packed_list.append(packs[id(p)])
+        from ..parallel.folds import stack_params
+
+        return stack_params(packed_list)
+
+    def run(self, params_list, folds, keys):
+        from .packed import _unpack_params_host
+
+        stacked_params = self._stack_packed(params_list)
+        batches = jax.device_put(self.pack_folds(folds))
+        keys = jnp.stack(list(keys))
+        out, logs = self._vtrain(stacked_params, batches, keys)
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
+        host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
+        n_folds = len(params_list)
+        per_fold_params = [
+            _unpack_params_host(
+                self.stacked,
+                jax.tree_util.tree_map(lambda leaf: leaf[f], host))
+            for f in range(n_folds)]
+        per_fold_logs = [{k: v[f] for k, v in host_logs.items()}
+                         for f in range(n_folds)]
+        return per_fold_params, per_fold_logs

@@ -1,0 +1,173 @@
+"""GroupedStackedCVAE (pad-free width-grouped layout) ≡ MultimodalCVAE ≡
+StackedMultimodalCVAE: forward, loss, gradients, trained trajectories,
+resumable fingerprint."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_normative_modeling_tpu.models import build_model
+from multi_modal_normative_modeling_tpu.models.grouped import (
+    GroupedStackedCVAE,
+    width_groups,
+)
+from multi_modal_normative_modeling_tpu.train import FoldTrainer, TrainConfig
+from multi_modal_normative_modeling_tpu.train.grouped import (
+    GroupedFoldTrainer,
+    GroupedMultiFoldTrainer,
+)
+
+# the flagship shape class: repeated narrow widths + one wide modality
+DIMS = [24, 24, 24, 72]
+C = 5
+
+
+def test_width_groups():
+    assert width_groups([90, 90, 90, 270]) == [(90, [0, 1, 2]), (270, [3])]
+    assert width_groups([16, 12]) == [(16, [0]), (12, [1])]
+    assert width_groups([7, 7]) == [(7, [0, 1])]
+    # first-appearance order with interleaved widths
+    assert width_groups([270, 90, 270, 90]) == [(270, [0, 2]), (90, [1, 3])]
+
+
+@pytest.fixture
+def trio():
+    base = build_model("cVAE_multimodal", DIMS, [12, 12], 6, C, len(DIMS))
+    grouped = GroupedStackedCVAE(DIMS, [12, 12], 6, C, len(DIMS))
+    params = base.init_params(jax.random.PRNGKey(0))
+    gpacked = grouped.pack_params(params)
+    rng = np.random.default_rng(0)
+    xes = [rng.normal(size=(9, d)).astype(np.float32) for d in DIMS]
+    c = rng.normal(size=(9, C)).astype(np.float32)
+    return base, grouped, params, gpacked, xes, c
+
+
+@pytest.mark.parametrize("combine", ["poe", "gpoe", "moe", "mopoe"])
+def test_forward_and_loss_equivalence(trio, combine):
+    base, grouped, params, gpacked, xes, c = trio
+    key = jax.random.PRNGKey(3)
+
+    fwd_ref = base.forward(params, xes, [jnp.asarray(c)] * len(DIMS), key,
+                           combine)
+    loss_ref = base.loss(params, xes, fwd_ref)
+
+    x_groups = grouped.pack_inputs(xes)
+    fwd = grouped.forward(gpacked, x_groups, jnp.asarray(c), key, combine)
+    loss = grouped.loss(gpacked, x_groups, fwd)
+
+    np.testing.assert_allclose(np.asarray(fwd["mu_multimodal"]),
+                               np.asarray(fwd_ref["mu_multimodal"]),
+                               rtol=1e-5, atol=1e-6)
+    # per-group recon means against the per-modality reference
+    for gi, (_, idx) in enumerate(grouped.groups):
+        for within, m in enumerate(idx):
+            np.testing.assert_allclose(
+                np.asarray(fwd["recon_means"][gi][within]),
+                np.asarray(fwd_ref["recon_means"][m]), rtol=1e-4,
+                atol=1e-5)
+    for k in ("total", "kl", "ll"):
+        np.testing.assert_allclose(float(loss[k]), float(loss_ref[k]),
+                                   rtol=2e-5)
+
+
+def test_gradient_equivalence(trio):
+    base, grouped, params, gpacked, xes, c = trio
+    key = jax.random.PRNGKey(3)
+
+    def loss_base(p):
+        fwd = base.forward(p, xes, [jnp.asarray(c)] * len(DIMS), key, "gpoe")
+        return base.loss(p, xes, fwd)["total"]
+
+    def loss_grouped(p):
+        x_groups = grouped.pack_inputs(xes)
+        fwd = grouped.forward(p, x_groups, jnp.asarray(c), key, "gpoe")
+        return grouped.loss(p, x_groups, fwd)["total"]
+
+    g_ref = jax.grad(loss_base)(params)
+    g_unpacked = grouped.unpack_params(jax.grad(loss_grouped)(gpacked))
+    for m in range(len(DIMS)):
+        np.testing.assert_allclose(
+            np.asarray(g_unpacked["enc"][m]["hidden"][0]["w"]),
+            np.asarray(g_ref["enc"][m]["hidden"][0]["w"]),
+            rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_unpacked["dec"][m]["mean"]["w"]),
+            np.asarray(g_ref["dec"][m]["mean"]["w"]),
+            rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_unpacked["alpha"]),
+                               np.asarray(g_ref["alpha"]),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_pack_roundtrip(trio):
+    _, grouped, params, gpacked, _, _ = trio
+    restored = grouped.unpack_params(gpacked)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored, params)
+
+
+def test_grouped_trainer_matches_per_modality_trajectory(tmp_path):
+    model = build_model("cVAE_multimodal", DIMS, [10, 8], 4, C, len(DIMS))
+    config = TrainConfig(epochs=8, batch_size=8, combine="gpoe")
+    rng = np.random.default_rng(1)
+    n = 19  # ragged final batch exercises the row mask
+    data = [rng.normal(size=(n, d)).astype(np.float32) for d in DIMS]
+    cov = rng.normal(size=(n, C)).astype(np.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+
+    p_ref, logs_ref = FoldTrainer(model, config, n).run(
+        params, data, [cov] * len(DIMS), key=key)
+    gt = GroupedFoldTrainer(model, config, n)
+    p_got, logs_got = gt.run(params, data, cov, key=key)
+
+    np.testing.assert_allclose(logs_got["total"], logs_ref["total"],
+                               rtol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5),
+        p_got, p_ref)
+
+    # resumable path rides PackedStateTrainerBase with its own fingerprint
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        peek_train_meta,
+    )
+
+    p_res, _ = gt.run_resumable(params, data, cov, key, tmp_path,
+                                checkpoint_every=4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        p_res, p_got)
+    assert peek_train_meta(tmp_path) == {"loss": "packed_grouped",
+                                         "precision": "fp32"}
+
+
+def test_grouped_fold_parallel_matches_sequential():
+    model = build_model("cVAE_multimodal", DIMS, [10, 8], 4, C, len(DIMS))
+    config = TrainConfig(epochs=6, batch_size=8, combine="gpoe")
+    rng = np.random.default_rng(2)
+    folds = []
+    for _ in range(2):
+        data = [rng.normal(size=(16, d)).astype(np.float32) for d in DIMS]
+        cov = [rng.normal(size=(16, C)).astype(np.float32)] * len(DIMS)
+        folds.append((data, cov))
+    params = model.init_params(jax.random.PRNGKey(0))
+    keys = [jax.random.PRNGKey(100 + f) for f in range(2)]
+
+    gt = GroupedFoldTrainer(model, config, 16)
+    seq = [gt.run(params, f[0], f[1][0], key=k)
+           for f, k in zip(folds, keys)]
+
+    mft = GroupedMultiFoldTrainer(model, config, 16)
+    par_params, par_logs = mft.run([params] * 2, folds, keys)
+
+    for f in range(2):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            par_params[f], seq[f][0])
+        np.testing.assert_allclose(par_logs[f]["total"],
+                                   seq[f][1]["total"], rtol=1e-5)
