@@ -164,18 +164,23 @@ class ScoringService:
         self._ep = None
         if ep_mesh is not None:
             from ..infer.ensemble import fold_infer_fn_ep, pack_ensemble_ep
-            from ..models.stacked import StackedMultimodalCVAE
+            from ..models.stacked import (
+                SKELETON_VARIANTS,
+                StackedMultimodalCVAE,
+            )
 
-            if self.config.get('model', 'cVAE_multimodal') \
-                    != 'cVAE_multimodal':
+            name = self.config.get('model', 'cVAE_multimodal')
+            if name not in SKELETON_VARIANTS:
                 raise SystemExit(
-                    f"--ep_mesh serving supports the cVAE family only "
-                    f"(checkpoint model {self.config.get('model')!r})")
+                    f"--ep_mesh serving supports the cVAE skeleton only "
+                    f"({sorted(SKELETON_VARIANTS)}; checkpoint model "
+                    f"{name!r})")
             stacked = StackedMultimodalCVAE(
                 self.config['input_dim_list'], self.config['hidden_dim'],
                 self.config['latent_dim'], self.config['c_dim'],
                 self.config['modalities'],
-                self.config.get('non_linear', True))
+                self.config.get('non_linear', True),
+                variant=SKELETON_VARIANTS[name])
             if stacked.modalities % ep_mesh.shape['modality']:
                 raise SystemExit(
                     f"--ep_mesh: {stacked.modalities} modalities not "

@@ -43,14 +43,18 @@ def _ep_infer_program(config: dict, combine: str, mesh):
     mesh_key = tuple(zip(mesh.axis_names, mesh.devices.shape))
     key = (json.dumps(config, sort_keys=True), combine, 'ep', mesh_key)
     if key not in _INFER_CACHE:
-        if config.get('model', 'cVAE_multimodal') != 'cVAE_multimodal':
+        from ..models.stacked import SKELETON_VARIANTS
+
+        name = config.get('model', 'cVAE_multimodal')
+        if name not in SKELETON_VARIANTS:
             raise SystemExit(
-                f"--ep_mesh inference supports the cVAE family only "
-                f"(checkpoint model {config.get('model')!r})")
+                f"--ep_mesh inference supports the cVAE skeleton only "
+                f"({sorted(SKELETON_VARIANTS)}; checkpoint model {name!r})")
         stacked = StackedMultimodalCVAE(
             config['input_dim_list'], config['hidden_dim'],
             config['latent_dim'], config['c_dim'], config['modalities'],
-            config.get('non_linear', True))
+            config.get('non_linear', True),
+            variant=SKELETON_VARIANTS[name])
 
         def infer_one(packed_params, x_packed, c, seed):
             k = jax.random.PRNGKey(seed)

@@ -383,45 +383,62 @@ def main(args, project_root=None):
             per_fold_params.append(params)
             per_fold_logs.append(logs)
     elif fused_trainer is None and packed_xla and fold_parallel:
+        # mixed-width cvae cohorts ride the pad-free width-grouped layout
+        # (measured +72% over per-modality at flagship 5-fold vs the
+        # padded layout's +23% — RESULTS.md round-4); uniform widths /
+        # non-cvae skeleton variants keep the padded stacked layout
+        # (identical math there)
+        from ..train.grouped import GroupedMultiFoldTrainer, grouped_routing
         from ..train.packed import PackedMultiFoldTrainer
 
+        grouped = grouped_routing(model)
+        layout = 'width-grouped' if grouped else 'packed'
         max_n = max(f[0][0].shape[0] for f in folds)
-        pmft = PackedMultiFoldTrainer(model, train_config, max_n)
+        pmft = (GroupedMultiFoldTrainer if grouped
+                else PackedMultiFoldTrainer)(model, train_config, max_n)
         if getattr(args, 'warmup_only', False):
             secs = pmft.compile(params_list, folds, keys)
-            print(f'warmup: packed fold-parallel train program compiled in '
-                  f'{secs:.1f}s (persistent cache populated)')
+            print(f'warmup: {layout} fold-parallel train program compiled '
+                  f'in {secs:.1f}s (persistent cache populated)')
             run_log.event('warmup_done', seconds=secs)
             return
-        print('train model (all folds fold-parallel, packed modalities)')
+        print(f'train model (all folds fold-parallel, {layout} modalities)')
         if checkpoint_every:
-            # packed state is the stacked PACKED pytree — its own state dir
+            # packed/grouped states are stacked layout-specific pytrees —
+            # each layout gets its own state dir
             per_fold_params, per_fold_logs = pmft.run_resumable(
                 params_list, folds, keys,
-                state_dir=model_dir / 'packed-state',
+                state_dir=model_dir / ('grouped-state' if grouped
+                                       else 'packed-state'),
                 checkpoint_every=checkpoint_every, resume=resume)
         else:
             per_fold_params, per_fold_logs = pmft.run(params_list, folds,
                                                       keys)
     elif fused_trainer is None and packed_xla:
+        from ..train.grouped import GroupedFoldTrainer, grouped_routing
         from ..train.packed import PackedFoldTrainer
 
-        ptr = PackedFoldTrainer(model, train_config, folds[0][0][0].shape[0])
+        grouped = grouped_routing(model)
+        layout = 'width-grouped' if grouped else 'packed'
+        ptr = (GroupedFoldTrainer if grouped else PackedFoldTrainer)(
+            model, train_config, folds[0][0][0].shape[0])
         if getattr(args, 'warmup_only', False):
             data_list, cov_list = folds[0]
             secs = ptr.compile(params_list[0], data_list, cov_list[0],
                                key=keys[0])
-            print(f'warmup: packed train program compiled in '
+            print(f'warmup: {layout} train program compiled in '
                   f'{secs:.1f}s (persistent cache populated)')
             run_log.event('warmup_done', seconds=secs)
             return
-        print('train model (packed modalities)')
+        print(f'train model ({layout} modalities)')
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
             if checkpoint_every:
                 params, logs = ptr.run_resumable(
                     params_list[fold], data_list, cov_list[0], keys[fold],
-                    state_dir=model_dir / f'{fold:03d}-packed-state',
+                    state_dir=model_dir / (
+                        f'{fold:03d}-grouped-state' if grouped
+                        else f'{fold:03d}-packed-state'),
                     checkpoint_every=checkpoint_every, resume=resume)
             else:
                 params, logs = ptr.run(params_list[fold], data_list,
@@ -604,11 +621,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--packed_xla', dest='packed_xla',
                         action='store_true',
                         help='pack all modalities into batched einsums per '
-                             'layer (XLA; ~22%% faster per step for '
-                             'sequential/single-fold runs at flagship '
-                             'widths, but slower under --fold_parallel '
-                             'where the pad-to-widest waste dominates); '
-                             'numerics match to float tolerance.')
+                             'layer (XLA). Mixed-width cvae cohorts ride '
+                             'the pad-free width-grouped layout (measured '
+                             '+50%% single-fold / +72%% 5-fold vs the '
+                             'per-modality path at flagship widths — '
+                             'RESULTS.md round-4); uniform widths and the '
+                             'mmJSD/mvtCAE skeleton variants use the '
+                             'padded stacked layout. Numerics match to '
+                             'float tolerance.')
     parser.add_argument('--ep_mesh', dest='ep_mesh', default=None,
                         metavar='M,D|F,M,D',
                         help='expert-parallel training: shard the packed '

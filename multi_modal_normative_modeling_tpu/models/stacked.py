@@ -33,20 +33,40 @@ from .cvae import reparameterize
 from .multimodal import MultimodalCVAE
 
 
+# registry-name -> packed-variant mapping for the cvae-skeleton zoo (the
+# models whose encoder/decoder MLPs are identical and thus pack; the DMVAE
+# family splits private/shared latents and does not)
+SKELETON_VARIANTS = {
+    "cVAE_multimodal": "cvae",
+    "mmJSD": "mmjsd",
+    "mvtCAE": "mvtcae",
+}
+
+
 def _pad_axis0(a: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.pad(a, [(0, size - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
 
 
 class StackedMultimodalCVAE:
-    """Numerically-equivalent packed form of MultimodalCVAE('cvae')."""
+    """Numerically-equivalent packed form of the MultimodalCVAE skeleton.
+
+    ``variant`` extends the packed layout to the whole cvae-skeleton zoo
+    (round 4): 'mmjsd' and 'mvtcae' share the exact encoder/decoder MLPs
+    and differ only in the fuse step and loss regularizers
+    (models/multimodal.py fuse/loss, reference cVAE.py:1354/:1754), so the
+    packed einsums are identical — only ``_fuse``/``loss`` branch.
+    'nmmlp' (no single-modality shortcut, -MSE ll) rides too."""
 
     def __init__(self, input_dim_list: Sequence[int], hidden_dim: Sequence[int],
                  latent_dim: int, c_dim: int, modalities: int,
-                 non_linear: bool = True, dtype=jnp.float32):
+                 non_linear: bool = True, dtype=jnp.float32,
+                 variant: str = "cvae"):
         assert len(hidden_dim) >= 1, "at least one hidden layer"
+        assert variant in ("cvae", "mmjsd", "mvtcae", "nmmlp")
+        self.variant = variant
         self.base = MultimodalCVAE(input_dim_list, hidden_dim, latent_dim,
                                    c_dim, modalities, non_linear,
-                                   variant="cvae", dtype=dtype)
+                                   variant=variant, dtype=dtype)
         self.input_dim_list = list(input_dim_list)
         self.d_max = max(input_dim_list)
         self.hidden_dim = list(hidden_dim)
@@ -167,6 +187,30 @@ class StackedMultimodalCVAE:
         return jnp.asarray(self.col_mask_np())
 
     # -- compute ------------------------------------------------------------------
+    def _fuse(self, params, mus, logvars, combine: str):
+        """Variant-exact fusion on the stacked [M, B, Z] stats — mirrors
+        MultimodalCVAE.fuse branch-for-branch (incl. the mvtcae
+        ProductOfExperts2 quirk and var clamp)."""
+        combine = combine.lower()
+        if self.variant == "mmjsd":
+            fused_mu, fused_var = fusion.product_of_experts(
+                mus, jnp.exp(logvars))
+            return fused_mu, jnp.log(fused_var)
+        variances = jnp.exp(logvars)
+        if self.variant == "mvtcae":
+            if combine == "poe":
+                fused_mu, fused_var = fusion.poe_logvar(mus, variances)
+            else:
+                fused_mu, fused_var = fusion.combine_latent(
+                    mus, variances, combine, params["alpha"],
+                    single_modality_shortcut=False)
+            fused_var = jnp.maximum(fused_var, 1e-6)
+            return fused_mu, jnp.log(fused_var)
+        fused_mu, fused_var = fusion.combine_latent(
+            mus, variances, combine, params["alpha"],
+            single_modality_shortcut=(self.variant != "nmmlp"))
+        return fused_mu, jnp.log(fused_var)
+
     def forward(self, params, x_packed: jnp.ndarray, c: jnp.ndarray, key,
                 combine: str) -> dict:
         """x_packed: [M, B, d_max]; c: [B, c_dim] (shared covariates)."""
@@ -182,11 +226,7 @@ class StackedMultimodalCVAE:
         mus = jnp.einsum("mbk,mkz->mbz", h, e["wmu"]) + e["bmu"][:, None, :]
         logvars = jnp.einsum("mbk,mkz->mbz", h, e["wlv"]) + e["blv"][:, None, :]
 
-        fused_mu, fused_var = fusion.combine_latent(
-            mus, jnp.exp(logvars), combine, params["alpha"],
-            single_modality_shortcut=True,
-        )
-        fused_logvar = jnp.log(fused_var)
+        fused_mu, fused_logvar = self._fuse(params, mus, logvars, combine)
         z = reparameterize(key, fused_mu, fused_logvar)
 
         d = params["dec"]
@@ -208,26 +248,60 @@ class StackedMultimodalCVAE:
 
     def loss(self, params, x_packed, fwd,
              mask: Optional[jnp.ndarray] = None) -> dict:
-        """Identical math to MultimodalCVAE('cvae').loss: per-modality
-        Gaussian NLL with the learnable output logvar + M copies of the
-        fused KL, feature-masked so padded columns contribute nothing."""
+        """Identical math to MultimodalCVAE(variant).loss on the packed
+        layout: per-modality ll (Gaussian NLL, or -MSE for nmmlp) with the
+        fused KL and the variant regularizers (mmJSD pairwise-KL, mvtCAE
+        TC), feature-masked so padded columns contribute nothing."""
+        m_count = self.modalities
         col = self.col_mask()[:, None, :]                      # [M, 1, d_max]
-        lvo = params["dec"]["lvo"][:, None, :]                 # [M, 1, d_max]
         mu, logvar = fwd["mu_multimodal"], fwd["logvar_multimodal"]
 
-        ll_elem = (-0.5 * (x_packed - fwd["recon_means"]) ** 2 * jnp.exp(-lvo)
-                   - 0.5 * lvo - _HALF_LOG_2PI) * col
-        ll_rows = jnp.sum(ll_elem, axis=2)                     # [M, B]
-        kl = kl_standard_normal(mu, logvar, mask)
-        if mask is None:
-            ll = jnp.mean(ll_rows, axis=1)                     # [M]
+        if self.variant == "nmmlp":
+            # nm-MLP ll = -MSE over each modality's true elements
+            sq = ((x_packed - fwd["recon_means"]) ** 2) * col  # [M, B, dm]
+            dims = jnp.asarray(self.input_dim_list, sq.dtype)
+            if mask is None:
+                ll = -jnp.sum(sq, axis=(1, 2)) / (sq.shape[1] * dims)
+            else:
+                w = mask.astype(sq.dtype)
+                ll = (-jnp.sum(sq * w[None, :, None], axis=(1, 2))
+                      / (jnp.maximum(jnp.sum(w), 1.0) * dims))
         else:
-            w = mask.astype(ll_rows.dtype)
-            ll = (jnp.sum(ll_rows * w[None, :], axis=1)
-                  / jnp.maximum(jnp.sum(w), 1.0))
-        total = self.modalities * kl - jnp.sum(ll)
-        return {"total": total, "kl": self.modalities * kl,
-                "ll": jnp.sum(ll)}
+            lvo = params["dec"]["lvo"][:, None, :]             # [M, 1, d_max]
+            ll_elem = (-0.5 * (x_packed - fwd["recon_means"]) ** 2
+                       * jnp.exp(-lvo) - 0.5 * lvo - _HALF_LOG_2PI) * col
+            ll_rows = jnp.sum(ll_elem, axis=2)                 # [M, B]
+            if mask is None:
+                ll = jnp.mean(ll_rows, axis=1)                 # [M]
+            else:
+                w = mask.astype(ll_rows.dtype)
+                ll = (jnp.sum(ll_rows * w[None, :], axis=1)
+                      / jnp.maximum(jnp.sum(w), 1.0))
+        kl = kl_standard_normal(mu, logvar, mask)
+
+        out = {"kl": m_count * kl, "ll": jnp.sum(ll)}
+        if self.variant == "mmjsd":
+            from ..ops.losses import pairwise_jsd
+
+            if self.base.jsd_on_fused:
+                stats = [mu] * m_count
+                lvs = [logvar] * m_count
+            else:
+                stats = [fwd["mus"][m] for m in range(m_count)]
+                lvs = [fwd["logvars"][m] for m in range(m_count)]
+            jsd = pairwise_jsd(stats, lvs, mask)
+            out["jsd"] = jsd
+            out["total"] = m_count * (kl + jsd) - jnp.sum(ll)
+        elif self.variant == "mvtcae":
+            from .multimodal import total_correlation
+
+            tc = total_correlation(fwd["mus"], mask)
+            out["tc"] = tc * m_count
+            out["total"] = (m_count * kl + 0.00001 * jnp.sum(ll)
+                            + m_count * self.base.mvtcae_beta * tc)
+        else:
+            out["total"] = m_count * kl - jnp.sum(ll)
+        return out
 
     def pred_recon(self, params, x_packed, c, key, combine: str):
         return self.forward(params, x_packed, c, key, combine)["recon_means"]

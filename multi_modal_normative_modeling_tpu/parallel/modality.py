@@ -354,6 +354,17 @@ class EPFoldTrainer(PackedStateTrainerBase):
             raise ValueError("EP trainer trains in fixed batch order")
         if config.precision != "fp32":
             raise ValueError("EP trainer is fp32 (parity path)")
+        if getattr(model, "variant", None) != "cvae":
+            # documented contract (tested): the 2-axis EP trainer schedules
+            # the fusion collectives BY HAND for the cvae loss; the mmjsd/
+            # mvtcae skeleton variants ride --packed_xla or the 3-axis
+            # (F,M,D) GSPMD form, where the compiler places the variant's
+            # collectives itself
+            raise ValueError(
+                f"expert-parallel (M,D) training supports variant 'cvae' "
+                f"only (got {getattr(model, 'variant', None)!r}); use "
+                "--packed_xla or the 3-axis --ep_mesh F,M,D form for "
+                "mmjsd/mvtcae")
         self.stacked = StackedMultimodalCVAE(
             model.input_dim_list, model.hidden_dim, model.latent_dim,
             model.c_dim, model.modalities, model.non_linear)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.grouped import GroupedStackedCVAE
-from .packed import PackedStateTrainerBase
+from .packed import PackedMultiFoldTrainer, PackedStateTrainerBase
 from .trainer import TrainConfig, build_optimizer, build_train_fn
 
 
@@ -67,6 +67,11 @@ def _grouped_loss_fn(grouped: GroupedStackedCVAE, combine: str):
 
 
 def _build_grouped(model):
+    if getattr(model, "variant", None) != "cvae":
+        raise ValueError(
+            f"grouped layout supports variant 'cvae' only (got "
+            f"{getattr(model, 'variant', None)!r}); non-cvae skeleton "
+            "variants ride the padded stacked layout")
     return GroupedStackedCVAE(
         model.input_dim_list, model.hidden_dim, model.latent_dim,
         model.c_dim, model.modalities, model.non_linear)
@@ -102,14 +107,19 @@ class GroupedFoldTrainer(PackedStateTrainerBase):
         return self._chunk_cache[n_epochs]
 
 
-class GroupedMultiFoldTrainer:
-    """vmap(grouped whole-fold trainer) over a stacked fold axis —
-    PackedMultiFoldTrainer's run() contract on the pad-free layout."""
+class GroupedMultiFoldTrainer(PackedMultiFoldTrainer):
+    """vmap(grouped whole-fold trainer) over a stacked fold axis — the
+    full PackedMultiFoldTrainer contract (run / compile / run_milestones /
+    run_resumable) on the pad-free layout. No mesh form: the grouped
+    layout has no modality-axis sharding story (EP stays on the padded
+    stacked layout)."""
 
     def __init__(self, model, config: TrainConfig, n_samples: int):
         assert not config.shuffle, "packed trainers train in fixed batch order"
         self.stacked = _build_grouped(model)
         self.config = config
+        self.mesh = None
+        self._shardings_fn = None
         self.loss_meta = {"loss": "packed_grouped",
                           "precision": config.precision,
                           "path": "fold_parallel"}
@@ -117,7 +127,8 @@ class GroupedMultiFoldTrainer:
         self._raw_train = build_train_fn(
             _grouped_loss_fn(self.stacked, config.combine), self.optimizer,
             config.epochs, shuffle=False)
-        self._vtrain = jax.jit(jax.vmap(self._raw_train))
+        self._vtrain = jax.vmap(self._raw_train)
+        self._jitted = None
 
     def pack_folds(self, folds, cov_index: int = 0) -> dict:
         per_fold, max_nb = [], 0
@@ -137,33 +148,13 @@ class GroupedMultiFoldTrainer:
             padded.append(b)
         return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
 
-    def _stack_packed(self, params_list):
-        from .packed import _pack_params_host
 
-        packs, packed_list = {}, []
-        for p in params_list:
-            if id(p) not in packs:
-                packs[id(p)] = _pack_params_host(self.stacked, p)
-            packed_list.append(packs[id(p)])
-        from ..parallel.folds import stack_params
+def grouped_routing(model) -> bool:
+    """Whether --packed_xla should ride the grouped layout for this model:
+    a cvae-variant cohort with >1 distinct modality width (uniform widths
+    make the padded layout identical and strictly simpler; non-cvae
+    variants pack only on the padded stacked layout)."""
+    from ..models.grouped import width_groups
 
-        return stack_params(packed_list)
-
-    def run(self, params_list, folds, keys):
-        from .packed import _unpack_params_host
-
-        stacked_params = self._stack_packed(params_list)
-        batches = jax.device_put(self.pack_folds(folds))
-        keys = jnp.stack(list(keys))
-        out, logs = self._vtrain(stacked_params, batches, keys)
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
-        n_folds = len(params_list)
-        per_fold_params = [
-            _unpack_params_host(
-                self.stacked,
-                jax.tree_util.tree_map(lambda leaf: leaf[f], host))
-            for f in range(n_folds)]
-        per_fold_logs = [{k: v[f] for k, v in host_logs.items()}
-                         for f in range(n_folds)]
-        return per_fold_params, per_fold_logs
+    return (getattr(model, "variant", None) == "cvae"
+            and len(width_groups(model.input_dim_list)) > 1)

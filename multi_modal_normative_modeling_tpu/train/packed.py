@@ -30,9 +30,13 @@ from .trainer import TrainConfig, build_optimizer, build_train_fn
 
 
 def packed_supported(model, config: TrainConfig) -> Tuple[bool, str]:
-    if getattr(model, "variant", None) != "cvae":
+    # the whole cvae skeleton packs (round 4): mmjsd/mvtcae share the
+    # encoder/decoder MLPs and differ only in fuse/loss, which
+    # StackedMultimodalCVAE(variant=...) reproduces branch-for-branch
+    if getattr(model, "variant", None) not in ("cvae", "mmjsd", "mvtcae"):
         return False, (f"model variant {getattr(model, 'variant', None)!r} "
-                       "(packed supports 'cvae')")
+                       "(packed supports the cvae skeleton: "
+                       "cvae/mmjsd/mvtcae)")
     if config.combine.lower() not in ("poe", "gpoe", "moe", "mopoe"):
         return False, f"fusion {config.combine!r}"
     if config.precision != "fp32":
@@ -202,12 +206,17 @@ class PackedFoldTrainer(PackedStateTrainerBase):
         assert not config.shuffle, "packed trainers train in fixed batch order"
         self.stacked = StackedMultimodalCVAE(
             model.input_dim_list, model.hidden_dim, model.latent_dim,
-            model.c_dim, model.modalities, model.non_linear)
+            model.c_dim, model.modalities, model.non_linear,
+            variant=getattr(model, "variant", "cvae"))
         self.config = config
         # resume-guard fingerprint (checkpoints.run_chunked): packed states
-        # are numerically their own trajectory family
-        self.loss_meta = {"loss": "packed_stacked",
-                          "precision": config.precision}
+        # are numerically their own trajectory family (variant-suffixed for
+        # the non-cvae skeleton losses)
+        v = self.stacked.variant
+        self.loss_meta = {
+            "loss": ("packed_stacked" if v == "cvae"
+                     else f"packed_stacked_{v}"),
+            "precision": config.precision}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             _packed_loss_fn(self.stacked, config.combine), self.optimizer,
@@ -245,7 +254,8 @@ class PackedMultiFoldTrainer:
             raise ValueError("mesh and shardings_fn go together")
         self.stacked = StackedMultimodalCVAE(
             model.input_dim_list, model.hidden_dim, model.latent_dim,
-            model.c_dim, model.modalities, model.non_linear)
+            model.c_dim, model.modalities, model.non_linear,
+            variant=getattr(model, "variant", "cvae"))
         if mesh is not None and "modality" in mesh.axis_names and \
                 self.stacked.modalities % mesh.shape["modality"]:
             raise ValueError(
@@ -259,8 +269,11 @@ class PackedMultiFoldTrainer:
         path = "fold_parallel" if mesh is None else (
             "fold_parallel+ep:" + ",".join(
                 f"{n}={mesh.shape[n]}" for n in mesh.axis_names))
-        self.loss_meta = {"loss": "packed_stacked",
-                          "precision": config.precision, "path": path}
+        v = self.stacked.variant
+        self.loss_meta = {
+            "loss": ("packed_stacked" if v == "cvae"
+                     else f"packed_stacked_{v}"),
+            "precision": config.precision, "path": path}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             _packed_loss_fn(self.stacked, config.combine), self.optimizer,

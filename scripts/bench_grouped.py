@@ -141,7 +141,8 @@ def main():
     gmft = GroupedMultiFoldTrainer(model, config, N)
     gsp = gmft._stack_packed([params] * FOLDS)
     gbt = jax.device_put(gmft.pack_folds(folds))
-    report("packed_grouped_5f", _time(gmft._vtrain, jax.device_put(gsp),
+    gfn = gmft._jit_train(gsp, gbt, kstack)
+    report("packed_grouped_5f", _time(gfn, jax.device_put(gsp),
                                       gbt, kstack, repeats=reps), steps_1f)
 
     print("\nsummary (us/step):")

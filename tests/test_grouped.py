@@ -145,6 +145,46 @@ def test_grouped_trainer_matches_per_modality_trajectory(tmp_path):
                                          "precision": "fp32"}
 
 
+def test_cli_packed_routes_grouped_on_mixed_widths(tmp_path, capsys):
+    """--packed_xla rides the width-grouped layout for mixed-width cvae
+    cohorts (UCA adds the 270-wide early fusion next to the 90-wide
+    blocks) and the padded layout for uniform widths (SE), end-to-end
+    through the train CLI with working checkpoints + resumable state."""
+    import argparse
+
+    from multi_modal_normative_modeling_tpu.cli import train_supervised
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+
+    def args(procedure, combine, **over):
+        base = dict(
+            dataset_resourse="ADNI", hz_para_list=[16, 16, 4],
+            procedure=procedure, combine=combine, epochs=4, n_splits=2,
+            oversample_percentage=1, model="cVAE_multimodal",
+            single_modality=None, base_learning_rate=0.0001,
+            max_learning_rate=0.005, training_class="nm",
+            lr_schedule="constant", packed_xla=True, precision="fp32",
+        )
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=40, n_disease={0: 15},
+                            with_early_fusion=True)
+    train_supervised.main(args("UCA-gPoE", "gPoE", fold_parallel=True,
+                               checkpoint_every=2),
+                          project_root=tmp_path)
+    out = capsys.readouterr().out
+    assert "width-grouped modalities" in out
+    model_dir = tmp_path / "outputs" / "kfold_analysis" / "supervised_cvae"
+    assert (model_dir / "grouped-state" / "train_state.ckpt").exists()
+    assert (model_dir / "000" / "cVAE_model.ckpt").exists()
+
+    train_supervised.main(args("SE-MoE", "MoE"), project_root=tmp_path)
+    out = capsys.readouterr().out
+    assert "(packed modalities)" in out
+
+
 def test_grouped_fold_parallel_matches_sequential():
     model = build_model("cVAE_multimodal", DIMS, [10, 8], 4, C, len(DIMS))
     config = TrainConfig(epochs=6, batch_size=8, combine="gpoe")
