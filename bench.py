@@ -80,8 +80,13 @@ def _make_data(rng):
     return data, cov
 
 
-def bench_jax() -> float:
-    """Wall-clock seconds for the 5-fold concurrent jitted run (post-compile)."""
+def bench_jax() -> "tuple[float, float]":
+    """(grouped_seconds, per_modality_seconds) wall-clock for the 5-fold
+    concurrent jitted run (post-compile). The HEADLINE rides the pad-free
+    width-grouped packed layout (models/grouped.py, the fastest measured
+    layout for this workload: +72% over per-modality in the round-4
+    one-window table — RESULTS.md); the per-modality figure is kept for
+    comparability with BENCH_r01-r03, whose flagship rows used it."""
     import jax
 
     from multi_modal_normative_modeling_tpu.utils.jaxconfig import (
@@ -141,16 +146,39 @@ def bench_jax() -> float:
     # the tunnel's 30-100 ms variable invocation overhead (CLAUDE.md:
     # amortize >=400 steps per timed program)
     CHAIN = 4
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(CHAIN):
-            out, logs = trainer.run(stacked, batches, keys)
-        total = np.asarray(logs["total"])
-        times.append((time.perf_counter() - t0) / CHAIN)
-    assert np.isfinite(total).all()
-    # min over repeats: tunnel latency spikes are one-sided noise
-    return float(np.min(times))
+
+    def timed(run_once):
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(CHAIN):
+                _, lg = run_once()
+            total = np.asarray(lg["total"])
+            times.append((time.perf_counter() - t0) / CHAIN)
+        assert np.isfinite(total).all()
+        # min over repeats: tunnel latency spikes are one-sided noise
+        return float(np.min(times))
+
+    per_modality = timed(lambda: trainer.run(stacked, batches, keys))
+
+    # headline layout: pad-free width-grouped packing (same folds, same
+    # PRNG streams; trajectories match to float-reorder tolerance)
+    from multi_modal_normative_modeling_tpu.train.grouped import (
+        GroupedMultiFoldTrainer,
+    )
+
+    gmft = GroupedMultiFoldTrainer(model, config, N_SUBJECTS)
+    folds = [(d, c) for d, c in zip(per_fold_data, per_fold_cov)]
+    gsp = jax.device_put(gmft._stack_packed(params_list))
+    gbt = jax.device_put(gmft.pack_folds(folds))
+    import jax.numpy as jnp
+
+    gkeys = jnp.stack(list(keys))
+    gfn = gmft._jit_train(gsp, gbt, gkeys)
+    gout, glogs = gfn(gsp, gbt, gkeys)
+    np.asarray(glogs["total"])  # compile + warm-up
+    grouped = timed(lambda: gfn(gsp, gbt, gkeys))
+    return grouped, per_modality
 
 
 def bench_ppmi_floor() -> dict:
@@ -320,13 +348,18 @@ def _child_main():
     print one tiny JSON line for the parent."""
     import jax
 
-    jax_seconds = bench_jax()
+    jax_seconds, permod_seconds = bench_jax()
     flag_steps = EPOCHS * -(-N_SUBJECTS // BATCH)
     flag_us = jax_seconds / flag_steps * 1e6
     flag_flops = FOLDS * _matmul_flops_per_step(DIMS, HIDDEN, LATENT,
                                                 C_DIM, BATCH)
     floor = {
         "flagship_5fold_us_per_step": round(flag_us, 1),
+        "flagship_layout": "width-grouped packed (models/grouped.py)",
+        # r01-r03 flagship rows used the per-modality layout — this row is
+        # the cross-round-comparable one
+        "flagship_permodality_us_per_step": round(
+            permod_seconds / flag_steps * 1e6, 1),
         "flagship_mfu_pct": round(
             flag_flops / (flag_us * 1e-6) / (PEAK_TFLOPS_FP32 * 1e12) * 100,
             2),

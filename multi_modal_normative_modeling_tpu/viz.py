@@ -94,14 +94,25 @@ def aal90_centroids() -> dict:
     return out
 
 
+def brain_outlines() -> dict:
+    """Vendored simplified 2-D brain outline polylines per projection
+    (data/brain_outline_2d.json, MNI mm; hand-authored approximations) —
+    the nilearn-free stand-in for nilearn's glass-brain boilerplate."""
+    import json
+
+    path = Path(__file__).parent / "data" / "brain_outline_2d.json"
+    return json.loads(path.read_text())
+
+
 def glass_brain_scatter(roi_values: dict, out_path, title: str = "",
                         cmap: str = "coolwarm", label: str = "Cohen's d",
                         annotate_top: int = 6) -> None:
     """Per-ROI brain map (equivalent of the reference's
     visualization/enhanced_roi_visualization.png, which renders per-ROI
     deviation onto the AAL atlas via nilearn): three glass-brain projections
-    (axial, sagittal, coronal) with one marker per region at its vendored
-    approximate centroid, color = value, size ~ |value|.
+    (axial, sagittal, coronal) drawn over vendored brain-outline contours,
+    with one marker per region at its vendored approximate centroid,
+    color = value, size ~ |value|.
 
     ``roi_values``: mapping AAL label (e.g. 'Hippocampus_L') -> scalar.
     """
@@ -110,7 +121,6 @@ def glass_brain_scatter(roi_values: dict, out_path, title: str = "",
     import matplotlib.pyplot as plt
     from matplotlib import cm as mpl_cm
     from matplotlib.colors import Normalize
-    from matplotlib.patches import Ellipse
 
     cents = aal90_centroids()
     labels = [k for k in roi_values if k in cents]
@@ -125,17 +135,25 @@ def glass_brain_scatter(roi_values: dict, out_path, title: str = "",
     norm = Normalize(vmin=-vmax, vmax=vmax)
     sizes = 40 + 260 * (np.abs(vals) / vmax)
 
-    views = [("axial (top)", 0, 1, (170, 205)),
-             ("sagittal (left)", 1, 2, (205, 155)),
-             ("coronal (front)", 0, 2, (170, 155))]
+    outlines = brain_outlines()
+    views = [("axial (top)", "axial"),
+             ("sagittal (left)", "sagittal"),
+             ("coronal (front)", "coronal")]
     fig, axes = plt.subplots(1, 3, figsize=(15, 5.2))
     top_idx = np.argsort(-np.abs(vals))[:annotate_top]
-    for ax, (name, i, j, (w, h)) in zip(axes, views):
-        ax.add_patch(Ellipse((xyz[:, i].mean(), xyz[:, j].mean() + 4), w, h,
-                             fill=False, color="0.6", lw=1.5))
+    for ax, (name, view) in zip(axes, views):
+        spec = outlines[view]
+        i, j = spec["dims"]
+        for k, path in enumerate(spec["paths"]):
+            pts = np.asarray(path, float)
+            # first path = outer contour; the rest are inner structures
+            # (fissure, cerebellum) drawn lighter
+            ax.plot(pts[:, 0], pts[:, 1], color="0.45" if k == 0 else "0.7",
+                    lw=1.6 if k == 0 else 1.0, solid_joinstyle="round",
+                    zorder=1)
         sc = ax.scatter(xyz[:, i], xyz[:, j], c=vals, s=sizes, cmap=cmap,
                         norm=norm, alpha=0.85, edgecolors="0.4",
-                        linewidths=0.4)
+                        linewidths=0.4, zorder=2)
         for t in top_idx:
             ax.annotate(labels[t], (xyz[t, i], xyz[t, j]), fontsize=7,
                         xytext=(3, 3), textcoords="offset points")
