@@ -271,6 +271,51 @@ def test_sweep_ep_mesh_matches_unsharded(tmp_path):
             plain_params, ep_params)
 
 
+def test_sweep_packed_xla_matches_plain(tmp_path, capsys):
+    """--packed_xla: every grid point trains on the packed-modality
+    fold-parallel layout (width-grouped for the mixed-width UCA cohort);
+    checkpoints and AUCs match the plain engine within float-reorder
+    drift."""
+    plain_root = tmp_path / "plain"
+    pk_root = tmp_path / "pk"
+    for root in (plain_root, pk_root):
+        make_synthetic_resource(root, "ADNI", n_hc=48,
+                                n_disease={0: 24, 1: 24}, effect=1.0)
+
+    kwargs = dict(n_splits=2, epochs_list=[2, 4], hz_grid="16 6",
+                  lr_grid="1e-4:5e-3", procedures=["UCA-PoE"],
+                  combine="PoE", in_memory_fusion=True)
+    plain_recs = sweep_supervised.main(_sweep_args(**kwargs),
+                                       project_root=plain_root)
+    pk_recs = sweep_supervised.main(_sweep_args(packed_xla=True, **kwargs),
+                                    project_root=pk_root)
+    assert "packed-modality layout" in capsys.readouterr().out
+
+    assert len(plain_recs) == len(pk_recs) == 2
+    for pr, kr in zip(plain_recs, pk_recs):
+        assert pr["epochs"] == kr["epochs"]
+        np.testing.assert_allclose(kr["stats"]["auc"], pr["stats"]["auc"],
+                                   atol=2e-2)
+    for fold in range(2):
+        plain_params, _ = load_checkpoint(
+            plain_root / "outputs" / "kfold_analysis" / "supervised_cvae" /
+            f"{fold:03d}")
+        pk_params, _ = load_checkpoint(
+            pk_root / "outputs" / "kfold_analysis" / "supervised_cvae" /
+            f"{fold:03d}")
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+            plain_params, pk_params)
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        sweep_supervised.main(
+            _sweep_args(packed_xla=True, ep_mesh="2,2,2", **kwargs),
+            project_root=pk_root)
+
+
 def test_sweep_ep_mesh_gates(tmp_path):
     """Indivisible geometries fail loud before any training."""
     import pytest
