@@ -57,7 +57,27 @@ def make_grouped_fold_batches(grouped: GroupedStackedCVAE,
     }
 
 
-def _grouped_loss_fn(grouped: GroupedStackedCVAE, combine: str):
+def _grouped_loss_fn(grouped: GroupedStackedCVAE, combine: str,
+                     precision: str = "fp32"):
+    if precision == "bf16":
+        # trainer.default_loss_fn's bf16 recipe on the grouped layout:
+        # matmuls in bfloat16 (fp32 master), latent stats upcast, recon
+        # means stay bf16 (elementwise loss promote fuses inline)
+        from .trainer import _full_cast, _half_cast
+
+        def loss_fn(p, batch, k):
+            p16 = _half_cast(p)
+            x16 = tuple(x.astype(jnp.bfloat16) for x in batch["x"])
+            fwd = grouped.forward(p16, x16,
+                                  batch["c"].astype(jnp.bfloat16), k,
+                                  combine)
+            fwd = {k_: (_full_cast(v) if k_ != "recon_means" else v)
+                   for k_, v in fwd.items()}
+            losses = grouped.loss(p, batch["x"], fwd, batch["mask"])
+            return losses["total"], losses
+
+        return loss_fn
+
     def loss_fn(p, batch, k):
         fwd = grouped.forward(p, batch["x"], batch["c"], k, combine)
         losses = grouped.loss(p, batch["x"], fwd, batch["mask"])
@@ -89,7 +109,8 @@ class GroupedFoldTrainer(PackedStateTrainerBase):
                           "precision": config.precision}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
-            _grouped_loss_fn(self.stacked, config.combine), self.optimizer,
+            _grouped_loss_fn(self.stacked, config.combine,
+                             config.precision), self.optimizer,
             config.epochs, shuffle=False)
         self._train = jax.jit(self._raw_train)
         self._chunk_cache: dict = {}
@@ -125,7 +146,8 @@ class GroupedMultiFoldTrainer(PackedMultiFoldTrainer):
                           "path": "fold_parallel"}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
-            _grouped_loss_fn(self.stacked, config.combine), self.optimizer,
+            _grouped_loss_fn(self.stacked, config.combine,
+                             config.precision), self.optimizer,
             config.epochs, shuffle=False)
         self._vtrain = jax.vmap(self._raw_train)
         self._jitted = None

@@ -1,16 +1,18 @@
 """Packed-modality XLA trainer: every layer is ONE batched einsum across all
 modalities (models/stacked.py), trained by the standard optax scan.
 
-Measured on v5e (scripts/bench_fused_width.py / RESULTS.md): ~22% faster per
-step than the per-modality XLA path at the flagship shapes SINGLE-fold
-(106 vs 130 us/step — the step there is launch/chain-latency bound and
-packing M modalities into [M, B, D] einsums cuts the number of serialized
-ops), but ~21% SLOWER when vmapped over 5 folds (454 vs 358 us/step): inputs
-pad to d_max, so the three 90-dim modalities burn 3x their FLOPs at 270
-columns — waste that hides under chain latency at 1 fold and costs real time
-once fold-parallelism fills the chip. At PPMI width the per-modality path is
-~10% faster. Hence opt-in (--packed_xla), recommended only for sequential /
-single-fold runs with similar modality widths.
+Measured on v5e: the step is launch/chain-latency bound, and packing M
+modalities into [M, B, D] einsums cuts the number of serialized ops. The
+pad-to-widest layout here burns 3x FLOPs on the narrow modalities of
+mixed-width cohorts, which round 2 measured as +22% single-fold but −21%
+under the 5-fold vmap; round 4's width-grouped layout (train/grouped.py)
+removes the waste and wins BOTH regimes (+50%/+72% vs per-modality,
+RESULTS round-4 table), so --packed_xla routes mixed-width cvae cohorts
+there and keeps THIS layout for uniform widths (where the two are
+identical) and for the mmjsd/mvtcae skeleton variants and every
+expert-parallel (--ep_mesh) form, whose modality-axis sharding needs the
+uniform [M, ...] tensors. precision='bf16' runs the matmuls in bfloat16
+with fp32 master params (cvae only).
 
 Numerics match the per-modality model to float tolerance
 (tests/test_stacked.py proves forward/loss/grad equivalence;
@@ -37,9 +39,13 @@ def packed_supported(model, config: TrainConfig) -> Tuple[bool, str]:
         return False, (f"model variant {getattr(model, 'variant', None)!r} "
                        "(packed supports the cvae skeleton: "
                        "cvae/mmjsd/mvtcae)")
+    if config.precision == "bf16" \
+            and getattr(model, "variant", None) != "cvae":
+        return False, ("bf16 packed path is cvae-only (the mmjsd/mvtcae "
+                       "regularizers have no half-precision parity story)")
     if config.combine.lower() not in ("poe", "gpoe", "moe", "mopoe"):
         return False, f"fusion {config.combine!r}"
-    if config.precision != "fp32":
+    if config.precision not in ("fp32", "bf16"):
         return False, f"precision {config.precision!r}"
     if config.shuffle:
         # the trainer's per-epoch reshuffle assumes the per-modality
@@ -108,7 +114,27 @@ def _unpack_params_host(stacked: StackedMultimodalCVAE, packed) -> dict:
     return _host_tree_op(stacked.unpack_params, packed)
 
 
-def _packed_loss_fn(stacked: StackedMultimodalCVAE, combine: str):
+def _packed_loss_fn(stacked: StackedMultimodalCVAE, combine: str,
+                    precision: str = "fp32"):
+    if precision == "bf16":
+        # same recipe as trainer.default_loss_fn's bf16 branch: matmuls in
+        # bfloat16 (fp32 master params; grads accumulate through the
+        # cast), latent-sized stats upcast, wide recon means stay bf16
+        # (the elementwise loss promote fuses inline)
+        from .trainer import _full_cast, _half_cast
+
+        def loss_fn(p, batch, k):
+            p16 = _half_cast(p)
+            fwd = stacked.forward(p16, batch["x"].astype(jnp.bfloat16),
+                                  batch["c"].astype(jnp.bfloat16), k,
+                                  combine)
+            fwd = {k_: (_full_cast(v) if k_ != "recon_means" else v)
+                   for k_, v in fwd.items()}
+            losses = stacked.loss(p, batch["x"], fwd, batch["mask"])
+            return losses["total"], losses
+
+        return loss_fn
+
     def loss_fn(p, batch, k):
         fwd = stacked.forward(p, batch["x"], batch["c"], k, combine)
         losses = stacked.loss(p, batch["x"], fwd, batch["mask"])
@@ -219,7 +245,8 @@ class PackedFoldTrainer(PackedStateTrainerBase):
             "precision": config.precision}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
-            _packed_loss_fn(self.stacked, config.combine), self.optimizer,
+            _packed_loss_fn(self.stacked, config.combine,
+                            config.precision), self.optimizer,
             config.epochs, shuffle=False)
         self._train = jax.jit(self._raw_train)
         self._chunk_cache: dict = {}
@@ -276,7 +303,8 @@ class PackedMultiFoldTrainer:
             "precision": config.precision, "path": path}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
-            _packed_loss_fn(self.stacked, config.combine), self.optimizer,
+            _packed_loss_fn(self.stacked, config.combine,
+                            config.precision), self.optimizer,
             config.epochs, shuffle=False)
         self._vtrain = jax.vmap(self._raw_train)
         self._jitted = None

@@ -145,6 +145,26 @@ def main():
     report("packed_grouped_5f", _time(gfn, jax.device_put(gsp),
                                       gbt, kstack, repeats=reps), steps_1f)
 
+    # bf16 arms (round 4): fp32 master params, bfloat16 matmuls
+    cfg16 = TrainConfig(epochs=epochs, batch_size=BATCH, combine="gpoe",
+                        precision="bf16")
+    tr16 = FoldTrainer(model, cfg16, N)
+    b16 = jax.device_put(make_batches(data0, cov0, BATCH))
+    report("per_modality_bf16", _time(tr16.run_batches, params, b16,
+                                      keys[0], repeats=reps), steps_1f)
+    g16 = GroupedFoldTrainer(model, cfg16, N)
+    gb16 = g16._batches(data0, cov0[0])
+    report("packed_grouped_bf16", _time(g16._train,
+                                        jax.device_put(g16._packed(params)),
+                                        gb16, keys[0], repeats=reps),
+           steps_1f)
+    gm16 = GroupedMultiFoldTrainer(model, cfg16, N)
+    g16sp = jax.device_put(gm16._stack_packed([params] * FOLDS))
+    g16bt = jax.device_put(gm16.pack_folds(folds))
+    g16fn = gm16._jit_train(g16sp, g16bt, kstack)
+    report("packed_grouped_bf16_5f", _time(g16fn, g16sp, g16bt, kstack,
+                                           repeats=reps), steps_1f)
+
     print("\nsummary (us/step):")
     for tag, us in results.items():
         print(f"  {tag:22s} {us:8.1f}")
