@@ -755,7 +755,8 @@ def require_checkpoint_for_resume(args) -> None:
 def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
               loss_fn=None, state_update=None, per_fold_extras=None,
               mesh=None, shardings_fn=None, state_dir=None,
-              checkpoint_every: int = 0, resume: bool = False):
+              checkpoint_every: int = 0, resume: bool = False,
+              packed: bool = False):
     """Train every fold — sequentially with a shared compiled trainer, or all
     at once as one vmapped program (numerics identical; see
     tests/test_parallel.py). ``folds`` is a list of (data_list, cov_list).
@@ -765,6 +766,12 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
     runs in resumable chunks — one whole-run state under ``state_dir`` on
     the fold-parallel path, per-fold states under ``state_dir/NNN`` on the
     sequential path — and kill-and-resume is bit-identical.
+
+    ``packed=True`` (--packed_xla) trains on the packed-modality layouts
+    (mixed-width cvae -> width-grouped, else padded stacked) when the
+    model/config/data support it — cvae-skeleton variants, no custom
+    loss/state/extras, no mesh, identical per-modality covariate blocks —
+    and falls back loudly to the per-modality layout otherwise.
 
     Returns (per_fold_params, per_fold_logs) as host numpy pytrees.
     """
@@ -781,6 +788,77 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
     from ..parallel.folds import unstack_params
 
     n_folds = len(folds)
+    if packed:
+        from ..train.packed import packed_supported
+
+        reasons = [r for r, on in [
+            ('custom loss', loss_fn is not None),
+            ('non-gradient state updates', state_update is not None),
+            ('per-sample extras', bool(per_fold_extras)),
+            ('--mesh', mesh is not None),
+        ] if on]
+        if not reasons:
+            ok, why = packed_supported(model, config)
+            if not ok:
+                reasons.append(why)
+        if not reasons:
+            for _, cov_list in folds:
+                first = cov_list[0]
+                for c in cov_list[1:]:
+                    if c.shape != first.shape or not np.array_equal(c,
+                                                                    first):
+                        reasons.append('per-modality covariates differ '
+                                       '(packed layout shares one block)')
+                        break
+                if reasons:
+                    break
+        if reasons:
+            print(f'--packed_xla unavailable ({"; ".join(reasons)}); '
+                  'using the per-modality layout')
+            packed = False
+    if packed:
+        from pathlib import Path as _Path
+
+        from ..train.grouped import (
+            GroupedFoldTrainer,
+            GroupedMultiFoldTrainer,
+            grouped_routing,
+        )
+        from ..train.packed import PackedFoldTrainer, PackedMultiFoldTrainer
+
+        grouped = grouped_routing(model)
+        layout = 'width-grouped' if grouped else 'packed'
+        if fold_parallel:
+            max_n = max(f[0][0].shape[0] for f in folds)
+            pmft = (GroupedMultiFoldTrainer if grouped
+                    else PackedMultiFoldTrainer)(model, config, max_n)
+            print(f'train model (all folds fold-parallel, {layout} '
+                  'modalities)')
+            if checkpoint_every:
+                return pmft.run_resumable(
+                    params_list, folds, list(keys),
+                    state_dir=_Path(state_dir) / ('grouped-state' if grouped
+                                                  else 'packed-state'),
+                    checkpoint_every=checkpoint_every, resume=resume)
+            return pmft.run(params_list, folds, list(keys))
+        ptr = (GroupedFoldTrainer if grouped else PackedFoldTrainer)(
+            model, config, folds[0][0][0].shape[0])
+        print(f'train model ({layout} modalities)')
+        per_fold_params, per_fold_logs = [], []
+        for f, (data_list, cov_list) in enumerate(folds):
+            if checkpoint_every:
+                params, logs = ptr.run_resumable(
+                    params_list[f], data_list, cov_list[0], keys[f],
+                    state_dir=_Path(state_dir) / (
+                        f'{f:03d}-grouped-state' if grouped
+                        else f'{f:03d}-packed-state'),
+                    checkpoint_every=checkpoint_every, resume=resume)
+            else:
+                params, logs = ptr.run(params_list[f], data_list,
+                                       cov_list[0], key=keys[f])
+            per_fold_params.append(params)
+            per_fold_logs.append(logs)
+        return per_fold_params, per_fold_logs
     if fold_parallel and config.shuffle:
         # the shuffled path permutes over each trainer's padded batch grid;
         # vmapped folds share ONE grid (the largest), so a smaller fold's

@@ -120,7 +120,8 @@ def train(args, project_root: Path):
         getattr(args, 'fold_parallel', False),
         mesh=mesh, shardings_fn=mesh_shardings, state_dir=model_dir,
         checkpoint_every=getattr(args, 'checkpoint_every', 0) or 0,
-        resume=getattr(args, 'resume', False))
+        resume=getattr(args, 'resume', False),
+        packed=getattr(args, 'packed_xla', False))
 
     common.emit_fold_artifacts(model_dir, per_fold_logs, per_fold_params, {
         'model': 'nmmlp', 'input_dim_list': list(map(int, input_dim_list)),
@@ -357,6 +358,13 @@ def build_parser() -> argparse.ArgumentParser:
                         action='store_true',
                         help='train every CV fold concurrently as one '
                              'vmapped device program.')
+    parser.add_argument('--packed_xla', dest='packed_xla',
+                        action='store_true',
+                        help='train on the packed-modality layout (the '
+                             'nm-MLP variant shares the cvae skeleton, so '
+                             'every layer becomes one batched einsum over '
+                             'all modalities; falls back loudly when the '
+                             'cohort does not support it).')
     common.add_mesh_flag(parser)
     common.add_resume_flags(parser)
     return parser

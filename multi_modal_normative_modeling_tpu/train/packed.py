@@ -35,10 +35,11 @@ def packed_supported(model, config: TrainConfig) -> Tuple[bool, str]:
     # the whole cvae skeleton packs (round 4): mmjsd/mvtcae share the
     # encoder/decoder MLPs and differ only in fuse/loss, which
     # StackedMultimodalCVAE(variant=...) reproduces branch-for-branch
-    if getattr(model, "variant", None) not in ("cvae", "mmjsd", "mvtcae"):
+    if getattr(model, "variant", None) not in ("cvae", "mmjsd", "mvtcae",
+                                               "nmmlp"):
         return False, (f"model variant {getattr(model, 'variant', None)!r} "
                        "(packed supports the cvae skeleton: "
-                       "cvae/mmjsd/mvtcae)")
+                       "cvae/mmjsd/mvtcae/nmmlp)")
     if config.precision == "bf16" \
             and getattr(model, "variant", None) != "cvae":
         return False, ("bf16 packed path is cvae-only (the mmjsd/mvtcae "

@@ -90,6 +90,102 @@ def test_variant_packed_trainer_matches_per_modality(name):
         p_got, p_ref)
 
 
+def test_nmmlp_stacked_parity_and_cli_packed(tmp_path, capsys):
+    """The nm-MLP variant (cvae skeleton, -MSE ll, no single-modality
+    shortcut) packs too: stacked forward/loss parity, and the nmmlp CLI's
+    --packed_xla trains checkpoints matching the per-modality run."""
+    from multi_modal_normative_modeling_tpu.models.multimodal import (
+        MultimodalCVAE,
+    )
+
+    dims = [24, 16]
+    base = MultimodalCVAE(dims, [12, 10], 6, 5, len(dims), True,
+                          variant="nmmlp")
+    stacked = StackedMultimodalCVAE(dims, [12, 10], 6, 5, len(dims),
+                                    variant="nmmlp")
+    params = base.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    xes = [rng.normal(size=(9, d)).astype(np.float32) for d in dims]
+    c = rng.normal(size=(9, 5)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    fwd_ref = base.forward(params, xes, [jnp.asarray(c)] * 2, key, "moe")
+    loss_ref = base.loss(params, xes, fwd_ref)
+    packed = stacked.pack_params(params)
+    x_p = jnp.asarray(stacked.pack_inputs(xes))
+    fwd = stacked.forward(packed, x_p, jnp.asarray(c), key, "moe")
+    loss = stacked.loss(packed, x_p, fwd)
+    for k in loss_ref:
+        np.testing.assert_allclose(float(loss[k]), float(loss_ref[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+
+    # CLI: nmmlp train --packed_xla vs plain, same project layout
+    import argparse
+
+    from multi_modal_normative_modeling_tpu.cli import nmmlp
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        load_checkpoint,
+    )
+
+    def _args(**over):
+        ns = dict(dataset_resourse="ADNI", hz_para_list=[16, 16, 4],
+                  procedure="SE-MoE", combine="MoE", epochs=6, n_splits=2,
+                  oversample_percentage=1, fold_parallel=False, mesh=None,
+                  checkpoint_every=0, resume=False, packed_xla=False)
+        ns.update(over)
+        return argparse.Namespace(**ns)
+
+    plain_root = tmp_path / "plain"
+    pk_root = tmp_path / "pk"
+    for root in (plain_root, pk_root):
+        make_synthetic_resource(root, "ADNI", n_hc=40, n_disease={0: 15},
+                                seed=3)
+    nmmlp.train(_args(), project_root=plain_root)
+    nmmlp.train(_args(packed_xla=True, fold_parallel=True),
+                project_root=pk_root)
+    out = capsys.readouterr().out
+    assert "packed modalities" in out
+    for fold in range(2):
+        pp, _ = load_checkpoint(
+            plain_root / "outputs" / "kfold_analysis" / "supervised_cvae"
+            / f"{fold:03d}")
+        kp, _ = load_checkpoint(
+            pk_root / "outputs" / "kfold_analysis" / "supervised_cvae"
+            / f"{fold:03d}")
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+            kp, pp)
+
+
+def test_run_folds_packed_falls_back_loudly(capsys):
+    """run_folds(packed=True) with an unsupported config (custom loss)
+    prints the reason and trains on the per-modality layout."""
+    from multi_modal_normative_modeling_tpu.cli.common import run_folds
+    from multi_modal_normative_modeling_tpu.train import TrainConfig
+
+    model = build_model("cVAE_multimodal", [12, 8], [8], 4, 3, 2)
+    config = TrainConfig(epochs=2, batch_size=8, combine="gpoe")
+    rng = np.random.default_rng(0)
+    data = [rng.normal(size=(16, d)).astype(np.float32) for d in (12, 8)]
+    cov = [rng.normal(size=(16, 3)).astype(np.float32)] * 2
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    def custom_loss(p, batch, k):
+        fwd = model.forward(p, list(batch["x"]), list(batch["c"]), k,
+                            "gpoe")
+        losses = model.loss(p, list(batch["x"]), fwd, batch["mask"])
+        return losses["total"], losses
+
+    out_params, _ = run_folds(model, config, [(data, cov)], [params],
+                              [jax.random.PRNGKey(1)], False,
+                              loss_fn=custom_loss, packed=True)
+    assert "custom loss" in capsys.readouterr().out
+    assert len(out_params) == 1
+
+
 def test_dmvae_still_refused():
     dm = build_model("DMVAE", [16, 12], [10, 8], 8, 3, 2)
     ok, reason = packed_supported(dm, TrainConfig(combine="gpoe"))
