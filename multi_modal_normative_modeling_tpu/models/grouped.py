@@ -199,9 +199,13 @@ class GroupedStackedCVAE:
         for lay in e["layers"]:
             h = act(jnp.einsum("mbk,mkh->mbh", h, lay["w"])
                     + lay["b"][:, None, :])
-        mus = jnp.einsum("mbk,mkz->mbz", h, e["wmu"]) + e["bmu"][:, None, :]
-        logvars = (jnp.einsum("mbk,mkz->mbz", h, e["wlv"])
-                   + e["blv"][:, None, :])
+        # merged mu/logvar heads (one [M, H, 2Z] einsum, exact math — see
+        # models/stacked.py forward)
+        wml = jnp.concatenate([e["wmu"], e["wlv"]], axis=2)
+        bml = jnp.concatenate([e["bmu"], e["blv"]], axis=1)
+        stats = jnp.einsum("mbk,mkz->mbz", h, wml) + bml[:, None, :]
+        z_dim = e["wmu"].shape[2]
+        mus, logvars = stats[..., :z_dim], stats[..., z_dim:]
 
         fused_mu, fused_var = fusion.combine_latent(
             mus, jnp.exp(logvars), combine, params["alpha"],

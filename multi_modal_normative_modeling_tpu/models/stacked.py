@@ -223,8 +223,15 @@ class StackedMultimodalCVAE:
         for lay in e["layers"]:
             h = act(jnp.einsum("mbk,mkh->mbh", h, lay["w"])
                     + lay["b"][:, None, :])
-        mus = jnp.einsum("mbk,mkz->mbz", h, e["wmu"]) + e["bmu"][:, None, :]
-        logvars = jnp.einsum("mbk,mkz->mbz", h, e["wlv"]) + e["blv"][:, None, :]
+        # merged mu/logvar heads (trainer.fused_heads_loss_fn's trick, exact
+        # math): one [M, H, 2Z] einsum instead of two serialized [M, H, Z]
+        # ones — each output element is the same dot product, the chain
+        # just loses a link per direction
+        wml = jnp.concatenate([e["wmu"], e["wlv"]], axis=2)
+        bml = jnp.concatenate([e["bmu"], e["blv"]], axis=1)
+        stats = jnp.einsum("mbk,mkz->mbz", h, wml) + bml[:, None, :]
+        z_dim = e["wmu"].shape[2]
+        mus, logvars = stats[..., :z_dim], stats[..., z_dim:]
 
         fused_mu, fused_logvar = self._fuse(params, mus, logvars, combine)
         z = reparameterize(key, fused_mu, fused_logvar)

@@ -2,7 +2,10 @@
 """Reproduce the RESULTS.md flagship end-to-end numbers: UCA-gPoE, 10 folds x
 200 epochs, 700 synthetic subjects, 4 modalities, fold-parallel on one chip.
 
-Usage: python scripts/run_flagship_experiment.py [workdir]
+Usage: python scripts/run_flagship_experiment.py [workdir] [--packed]
+
+--packed trains on the round-4 pad-free width-grouped packed layout
+(--packed_xla routing; the fastest measured configuration — RESULTS.md).
 """
 import argparse
 import sys
@@ -23,7 +26,9 @@ from multi_modal_normative_modeling_tpu.data.synthetic import (  # noqa: E402
 
 
 def main():
-    root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(
+    argv = [a for a in sys.argv[1:] if a != "--packed"]
+    packed = "--packed" in sys.argv[1:]
+    root = Path(argv[0]) if argv else Path(
         tempfile.mkdtemp(prefix="flagship_"))
     make_synthetic_resource(root, "ADNI", n_hc=400,
                             n_disease={0: 150, 1: 150}, effect=0.9,
@@ -36,6 +41,7 @@ def main():
         max_learning_rate=0.005, training_class="nm",
         lr_schedule="constant", fold_parallel=True, precision="fp32",
         in_memory_fusion=True, emit_latent=False, fused_inference=False,
+        packed_xla=packed,
     )
     t0 = time.perf_counter()
     train_supervised.main(args, project_root=root)
