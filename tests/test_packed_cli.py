@@ -79,8 +79,16 @@ def test_packed_fold_parallel_matches_sequential_packed():
 def test_packed_supported_pre_checks():
     model = build_model("cVAE_multimodal", DIMS, [10, 8], 4, C, len(DIMS))
     assert packed_supported(model, TrainConfig(combine="gpoe"))[0]
-    ok, reason = packed_supported(model, TrainConfig(combine="gpoe",
+    # round 4: bf16 packs for the cvae variant (fp32 master params);
+    # non-cvae skeleton variants stay fp32-only, fp16 is refused
+    assert packed_supported(model, TrainConfig(combine="gpoe",
+                                               precision="bf16"))[0]
+    mmjsd = build_model("mmJSD", DIMS, [10, 8], 4, C, len(DIMS))
+    ok, reason = packed_supported(mmjsd, TrainConfig(combine="gpoe",
                                                      precision="bf16"))
+    assert not ok and "bf16" in reason
+    ok, reason = packed_supported(model, TrainConfig(combine="gpoe",
+                                                     precision="fp16"))
     assert not ok and "precision" in reason
     ok, reason = packed_supported(model, TrainConfig(combine="gpoe",
                                                      shuffle=True))
