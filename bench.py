@@ -409,7 +409,9 @@ def _measure_in_subprocess(timeout_s: float, force_cpu: bool = False):
 def _combine_floors(floors):
     """Min-over-windows floor dict: per-step/per-second times take the min
     across windows, the MFU estimates (1/time) take the max, anything else
-    the first occurrence."""
+    the first occurrence. A window's transient error string (e.g.
+    ppmi_error) is dropped when any other window measured that floor —
+    per-window details keep the full record."""
     best = {}
     for fl in floors:
         for k, v in fl.items():
@@ -420,6 +422,8 @@ def _combine_floors(floors):
                 best[k] = min(best[k], v)
             elif isinstance(v, (int, float)) and k.endswith("_mfu_pct"):
                 best[k] = max(best[k], v)
+    if any("ppmi_us_per_step" in fl for fl in floors):
+        best.pop("ppmi_error", None)
     return best
 
 

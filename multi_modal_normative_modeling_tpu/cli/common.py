@@ -752,6 +752,24 @@ def require_checkpoint_for_resume(args) -> None:
             'state is only written (and read) when checkpointing is on')
 
 
+def uniform_covariates(folds):
+    """None when every fold's per-modality covariate blocks are identical,
+    else the reason string. The packed layouts feed ONE covariate block to
+    every modality, which is only equivalent to the per-modality path when
+    the blocks match (they do whenever the modality CSVs share row order,
+    the common case — but never assume it silently). Shared by
+    train_supervised/sweep_supervised/run_folds."""
+    import numpy as np
+
+    for _, cov_list in folds:
+        first = cov_list[0]
+        for c in cov_list[1:]:
+            if c.shape != first.shape or not np.array_equal(c, first):
+                return ('per-modality covariates differ across modalities '
+                        '(packed layout shares one block)')
+    return None
+
+
 def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
               loss_fn=None, state_update=None, per_fold_extras=None,
               mesh=None, shardings_fn=None, state_dir=None,
@@ -802,16 +820,9 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
             if not ok:
                 reasons.append(why)
         if not reasons:
-            for _, cov_list in folds:
-                first = cov_list[0]
-                for c in cov_list[1:]:
-                    if c.shape != first.shape or not np.array_equal(c,
-                                                                    first):
-                        reasons.append('per-modality covariates differ '
-                                       '(packed layout shares one block)')
-                        break
-                if reasons:
-                    break
+            cov_reason = uniform_covariates(folds)
+            if cov_reason:
+                reasons.append(cov_reason)
         if reasons:
             print(f'--packed_xla unavailable ({"; ".join(reasons)}); '
                   'using the per-modality layout')
@@ -819,39 +830,30 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
     if packed:
         from pathlib import Path as _Path
 
-        from ..train.grouped import (
-            GroupedFoldTrainer,
-            GroupedMultiFoldTrainer,
-            grouped_routing,
-        )
-        from ..train.packed import PackedFoldTrainer, PackedMultiFoldTrainer
+        from ..train.grouped import packed_state_dirname, select_packed_trainer
 
-        grouped = grouped_routing(model)
-        layout = 'width-grouped' if grouped else 'packed'
+        cls, layout, grouped = select_packed_trainer(model, fold_parallel)
         if fold_parallel:
             max_n = max(f[0][0].shape[0] for f in folds)
-            pmft = (GroupedMultiFoldTrainer if grouped
-                    else PackedMultiFoldTrainer)(model, config, max_n)
+            pmft = cls(model, config, max_n)
             print(f'train model (all folds fold-parallel, {layout} '
                   'modalities)')
             if checkpoint_every:
                 return pmft.run_resumable(
                     params_list, folds, list(keys),
-                    state_dir=_Path(state_dir) / ('grouped-state' if grouped
-                                                  else 'packed-state'),
+                    state_dir=_Path(state_dir)
+                    / packed_state_dirname(grouped),
                     checkpoint_every=checkpoint_every, resume=resume)
             return pmft.run(params_list, folds, list(keys))
-        ptr = (GroupedFoldTrainer if grouped else PackedFoldTrainer)(
-            model, config, folds[0][0][0].shape[0])
+        ptr = cls(model, config, folds[0][0][0].shape[0])
         print(f'train model ({layout} modalities)')
         per_fold_params, per_fold_logs = [], []
         for f, (data_list, cov_list) in enumerate(folds):
             if checkpoint_every:
                 params, logs = ptr.run_resumable(
                     params_list[f], data_list, cov_list[0], keys[f],
-                    state_dir=_Path(state_dir) / (
-                        f'{f:03d}-grouped-state' if grouped
-                        else f'{f:03d}-packed-state'),
+                    state_dir=_Path(state_dir)
+                    / packed_state_dirname(grouped, f),
                     checkpoint_every=checkpoint_every, resume=resume)
             else:
                 params, logs = ptr.run(params_list[f], data_list,

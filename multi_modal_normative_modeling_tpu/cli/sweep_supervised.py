@@ -250,12 +250,12 @@ def main(args, project_root=None):
             max_n = max(f[0][0].shape[0] for f in folds)
             # with a mesh, keep batches on the host: jit's in_shardings
             # place the shards (an eager device_put would commit them to
-            # one device first). The --ep_mesh path trains exclusively on
-            # its packed ep_batches below — building/uploading the
-            # per-modality stack too would double host->HBM traffic and
-            # residency at exactly the wide-feature scale EP targets.
+            # one device first). The --ep_mesh and --packed_xla paths
+            # train exclusively on their packed batches below —
+            # building/uploading the per-modality stack too would double
+            # host->HBM traffic and residency.
             batches = None
-            if ep_mesh is None:
+            if ep_mesh is None and not getattr(args, 'packed_xla', False):
                 batches = stack_fold_batches(
                     [f[0] for f in folds], [f[1] for f in folds], 256)
                 if mesh is None:
@@ -266,14 +266,10 @@ def main(args, project_root=None):
             # (same gate as the train CLI's --ep_mesh path: never assume
             # it silently)
             flag = '--ep_mesh' if ep_mesh is not None else '--packed_xla'
-            for _, cov_list in folds:
-                first = cov_list[0]
-                for c in cov_list[1:]:
-                    if c.shape != first.shape or not np.array_equal(c, first):
-                        raise SystemExit(
-                            f'{flag} unavailable ({procedure}): '
-                            'per-modality covariates differ across '
-                            'modalities (packed layout shares one block)')
+            cov_reason = common.uniform_covariates(folds)
+            if cov_reason:
+                raise SystemExit(
+                    f'{flag} unavailable ({procedure}): {cov_reason}')
         ep_batches = None  # packed+placed once per procedure, reused per point
         pk_batches = None  # --packed_xla layout batches, ditto
 
@@ -323,23 +319,16 @@ def main(args, project_root=None):
                     # cvae -> the pad-free grouped layout, RESULTS round-4;
                     # otherwise the padded stacked layout) — same milestone
                     # engine, batches packed+placed once per procedure
-                    from ..train.grouped import (
-                        GroupedMultiFoldTrainer,
-                        grouped_routing,
-                    )
-                    from ..train.packed import (
-                        PackedMultiFoldTrainer,
-                        packed_supported,
-                    )
+                    from ..train.grouped import select_packed_trainer
+                    from ..train.packed import packed_supported
 
                     ok, reason = packed_supported(model, train_config)
                     if not ok:
                         raise SystemExit(f'--packed_xla unavailable '
                                          f'({reason})')
-                    pk_mft = (GroupedMultiFoldTrainer
-                              if grouped_routing(model)
-                              else PackedMultiFoldTrainer)(
-                        model, train_config, max_n)
+                    pk_cls, _, _ = select_packed_trainer(
+                        model, fold_parallel=True)
+                    pk_mft = pk_cls(model, train_config, max_n)
                     if pk_batches is None:
                         pk_batches = pk_mft.prepare_batches(folds)
                     milestone_stream = pk_mft.run_milestones(

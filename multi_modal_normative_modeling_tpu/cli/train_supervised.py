@@ -132,15 +132,8 @@ def main(args, project_root=None):
 
     def covariates_uniform():
         # the packed/fused layouts feed ONE covariate block to every
-        # modality; that is only equivalent to the per-modality path when
-        # the blocks are identical (they are whenever the modality CSVs
-        # share row order, the common case — but never assume it silently)
-        for _, cov_list in folds:
-            first = cov_list[0]
-            for c in cov_list[1:]:
-                if c.shape != first.shape or not np.array_equal(c, first):
-                    return False
-        return True
+        # modality (common.uniform_covariates has the full rationale)
+        return common.uniform_covariates(folds) is None
 
     fused_trainer = None
     if getattr(args, 'remat', False) and (
@@ -387,15 +380,13 @@ def main(args, project_root=None):
         # (measured +72% over per-modality at flagship 5-fold vs the
         # padded layout's +23% — RESULTS.md round-4); uniform widths /
         # non-cvae skeleton variants keep the padded stacked layout
-        # (identical math there)
-        from ..train.grouped import GroupedMultiFoldTrainer, grouped_routing
-        from ..train.packed import PackedMultiFoldTrainer
+        # (identical math there). Routing owner: train/grouped.py.
+        from ..train.grouped import packed_state_dirname, select_packed_trainer
 
-        grouped = grouped_routing(model)
-        layout = 'width-grouped' if grouped else 'packed'
+        cls, layout, grouped = select_packed_trainer(model,
+                                                     fold_parallel=True)
         max_n = max(f[0][0].shape[0] for f in folds)
-        pmft = (GroupedMultiFoldTrainer if grouped
-                else PackedMultiFoldTrainer)(model, train_config, max_n)
+        pmft = cls(model, train_config, max_n)
         if getattr(args, 'warmup_only', False):
             secs = pmft.compile(params_list, folds, keys)
             print(f'warmup: {layout} fold-parallel train program compiled '
@@ -408,20 +399,17 @@ def main(args, project_root=None):
             # each layout gets its own state dir
             per_fold_params, per_fold_logs = pmft.run_resumable(
                 params_list, folds, keys,
-                state_dir=model_dir / ('grouped-state' if grouped
-                                       else 'packed-state'),
+                state_dir=model_dir / packed_state_dirname(grouped),
                 checkpoint_every=checkpoint_every, resume=resume)
         else:
             per_fold_params, per_fold_logs = pmft.run(params_list, folds,
                                                       keys)
     elif fused_trainer is None and packed_xla:
-        from ..train.grouped import GroupedFoldTrainer, grouped_routing
-        from ..train.packed import PackedFoldTrainer
+        from ..train.grouped import packed_state_dirname, select_packed_trainer
 
-        grouped = grouped_routing(model)
-        layout = 'width-grouped' if grouped else 'packed'
-        ptr = (GroupedFoldTrainer if grouped else PackedFoldTrainer)(
-            model, train_config, folds[0][0][0].shape[0])
+        cls, layout, grouped = select_packed_trainer(model,
+                                                     fold_parallel=False)
+        ptr = cls(model, train_config, folds[0][0][0].shape[0])
         if getattr(args, 'warmup_only', False):
             data_list, cov_list = folds[0]
             secs = ptr.compile(params_list[0], data_list, cov_list[0],
@@ -436,9 +424,8 @@ def main(args, project_root=None):
             if checkpoint_every:
                 params, logs = ptr.run_resumable(
                     params_list[fold], data_list, cov_list[0], keys[fold],
-                    state_dir=model_dir / (
-                        f'{fold:03d}-grouped-state' if grouped
-                        else f'{fold:03d}-packed-state'),
+                    state_dir=model_dir / packed_state_dirname(grouped,
+                                                               fold),
                     checkpoint_every=checkpoint_every, resume=resume)
             else:
                 params, logs = ptr.run(params_list[fold], data_list,

@@ -307,9 +307,15 @@ def pack_ensemble_ep(state: EnsembleState, stacked):
     padded feature columns scale to exactly zero."""
     import jax
 
+    from ..train.packed import _pack_params_host
+
     k = int(np.shape(state.seeds)[0])
+    # _pack_params_host: the O(folds x modalities x layers) pad/concat ops
+    # run on the LOCAL cpu backend — each would otherwise be an eager
+    # remote op (~0.4s compile + RTT) through the TPU tunnel at serve
+    # startup
     per_fold = [
-        stacked.pack_params(jax.tree_util.tree_map(
+        _pack_params_host(stacked, jax.tree_util.tree_map(
             lambda leaf: np.asarray(leaf)[f], state.stacked_params))
         for f in range(k)
     ]

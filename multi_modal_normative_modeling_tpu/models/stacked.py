@@ -60,13 +60,14 @@ class StackedMultimodalCVAE:
     def __init__(self, input_dim_list: Sequence[int], hidden_dim: Sequence[int],
                  latent_dim: int, c_dim: int, modalities: int,
                  non_linear: bool = True, dtype=jnp.float32,
-                 variant: str = "cvae"):
+                 variant: str = "cvae", jsd_on_fused: bool = True):
         assert len(hidden_dim) >= 1, "at least one hidden layer"
         assert variant in ("cvae", "mmjsd", "mvtcae", "nmmlp")
         self.variant = variant
         self.base = MultimodalCVAE(input_dim_list, hidden_dim, latent_dim,
                                    c_dim, modalities, non_linear,
-                                   variant=variant, dtype=dtype)
+                                   variant=variant, dtype=dtype,
+                                   jsd_on_fused=jsd_on_fused)
         self.input_dim_list = list(input_dim_list)
         self.d_max = max(input_dim_list)
         self.hidden_dim = list(hidden_dim)

@@ -220,21 +220,27 @@ def run_chunked(state_dir, total_epochs: int, checkpoint_every: int,
     start, logs_acc = 0, None
     if resume and train_state_exists(state_dir):
         stored_meta = peek_train_meta(state_dir)
-        if meta and stored_meta is None and \
-                str(meta.get("loss", "")) == "fused_heads_loss_fn":
-            # pre-fingerprint (round-2-era) states were written under the
-            # two-matmul loss; the merged-head default changed the DEFAULT
-            # numerics afterwards, so this is exactly the migration case
-            # the guard cannot check — warn loudly instead of silently
-            # continuing a possibly-hybrid trajectory
+        loss_name = str((meta or {}).get("loss", ""))
+        if meta and stored_meta is None and (
+                loss_name == "fused_heads_loss_fn"
+                or loss_name.startswith("packed")):
+            # pre-fingerprint (round-2/3-era) states were written under
+            # older default numerics (the two-matmul encoder heads; the
+            # packed layouts additionally merged their heads in round 4),
+            # so this is exactly the migration case the fingerprint guard
+            # cannot check — warn loudly instead of silently continuing a
+            # possibly-hybrid trajectory
+            fix = ("pass --no_fused_heads to match it"
+                   if loss_name == "fused_heads_loss_fn"
+                   else "re-train (the packed encoder-head program "
+                        "changed in round 4)")
             print(
                 f"WARNING: {state_dir} holds a train state from a build "
-                "without trajectory fingerprints, and this run uses the "
-                "merged-head (fused_heads) default loss that postdates "
-                "those builds. If the original run used the older "
-                "two-matmul loss, resuming now mixes numerics — pass "
-                "--no_fused_heads to match it, or delete the state "
-                "directory to restart under the new default.")
+                "without trajectory fingerprints, and this run's default "
+                f"numerics ({loss_name}) postdate those builds. If the "
+                f"original run used the older loss form, resuming now "
+                f"mixes numerics — {fix}, or delete the state directory "
+                "to restart under the current default.")
         if meta and stored_meta and stored_meta != {
                 str(k): str(v) for k, v in meta.items()}:
             raise ValueError(

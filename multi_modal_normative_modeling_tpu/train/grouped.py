@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.grouped import GroupedStackedCVAE
-from .packed import PackedMultiFoldTrainer, PackedStateTrainerBase
+from .packed import PackedFoldTrainer, PackedMultiFoldTrainer
 from .trainer import TrainConfig, build_optimizer, build_train_fn
 
 
@@ -97,35 +97,18 @@ def _build_grouped(model):
         model.c_dim, model.modalities, model.non_linear)
 
 
-class GroupedFoldTrainer(PackedStateTrainerBase):
-    """Sequential whole-fold trainer on the grouped layout (the
-    PackedFoldTrainer contract: run / compile / run_resumable)."""
+class GroupedFoldTrainer(PackedFoldTrainer):
+    """Sequential whole-fold trainer on the grouped layout — the
+    PackedFoldTrainer plumbing with the layout hooks swapped."""
 
-    def __init__(self, model, config: TrainConfig, n_samples: int):
-        assert not config.shuffle, "packed trainers train in fixed batch order"
-        self.stacked = _build_grouped(model)
-        self.config = config
-        self.loss_meta = {"loss": "packed_grouped",
-                          "precision": config.precision}
-        self.optimizer = build_optimizer(config, n_samples)
-        self._raw_train = build_train_fn(
-            _grouped_loss_fn(self.stacked, config.combine,
-                             config.precision), self.optimizer,
-            config.epochs, shuffle=False)
-        self._train = jax.jit(self._raw_train)
-        self._chunk_cache: dict = {}
+    _batch_maker = staticmethod(make_grouped_fold_batches)
+    _loss_builder = staticmethod(_grouped_loss_fn)
 
-    def _batches(self, data_list, cov):
-        return self._place(make_grouped_fold_batches(
-            self.stacked, data_list, cov, self.config.batch_size))
+    def _build_stacked(self, model):
+        return _build_grouped(model)
 
-    def chunk_fn(self, n_epochs: int):
-        if n_epochs not in self._chunk_cache:
-            import functools
-
-            self._chunk_cache[n_epochs] = jax.jit(functools.partial(
-                self._raw_train.chunk, n_epochs))
-        return self._chunk_cache[n_epochs]
+    def _loss_name(self) -> str:
+        return "packed_grouped"
 
 
 class GroupedMultiFoldTrainer(PackedMultiFoldTrainer):
@@ -135,40 +118,17 @@ class GroupedMultiFoldTrainer(PackedMultiFoldTrainer):
     layout has no modality-axis sharding story (EP stays on the padded
     stacked layout)."""
 
-    def __init__(self, model, config: TrainConfig, n_samples: int):
-        assert not config.shuffle, "packed trainers train in fixed batch order"
-        self.stacked = _build_grouped(model)
-        self.config = config
-        self.mesh = None
-        self._shardings_fn = None
-        self.loss_meta = {"loss": "packed_grouped",
-                          "precision": config.precision,
-                          "path": "fold_parallel"}
-        self.optimizer = build_optimizer(config, n_samples)
-        self._raw_train = build_train_fn(
-            _grouped_loss_fn(self.stacked, config.combine,
-                             config.precision), self.optimizer,
-            config.epochs, shuffle=False)
-        self._vtrain = jax.vmap(self._raw_train)
-        self._jitted = None
+    _batch_maker = staticmethod(make_grouped_fold_batches)
+    _loss_builder = staticmethod(_grouped_loss_fn)
 
-    def pack_folds(self, folds, cov_index: int = 0) -> dict:
-        per_fold, max_nb = [], 0
-        for data_list, cov_list in folds:
-            b = make_grouped_fold_batches(self.stacked, data_list,
-                                          cov_list[cov_index],
-                                          self.config.batch_size)
-            max_nb = max(max_nb, b["mask"].shape[0])
-            per_fold.append(b)
-        padded = []
-        for b in per_fold:
-            cur = b["mask"].shape[0]
-            if cur < max_nb:
-                b = jax.tree_util.tree_map(
-                    lambda a: np.pad(a, [(0, max_nb - cur)]
-                                     + [(0, 0)] * (a.ndim - 1)), b)
-            padded.append(b)
-        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
+    def _build_stacked(self, model):
+        return _build_grouped(model)
+
+    def _loss_name(self) -> str:
+        return "packed_grouped"
+
+    def __init__(self, model, config: TrainConfig, n_samples: int):
+        super().__init__(model, config, n_samples)
 
 
 def grouped_routing(model) -> bool:
@@ -180,3 +140,22 @@ def grouped_routing(model) -> bool:
 
     return (getattr(model, "variant", None) == "cvae"
             and len(width_groups(model.input_dim_list)) > 1)
+
+
+def select_packed_trainer(model, fold_parallel: bool):
+    """ONE owner for the --packed_xla layout routing used by
+    cli/train_supervised, cli/sweep_supervised and common.run_folds:
+    (trainer_cls, layout_name, grouped)."""
+    g = grouped_routing(model)
+    if fold_parallel:
+        cls = GroupedMultiFoldTrainer if g else PackedMultiFoldTrainer
+    else:
+        cls = GroupedFoldTrainer if g else PackedFoldTrainer
+    return cls, ("width-grouped" if g else "packed"), g
+
+
+def packed_state_dirname(grouped: bool, fold: "int | None" = None) -> str:
+    """Resumable-state dir naming shared by every --packed_xla surface
+    (layout-specific: the state pytrees differ between layouts)."""
+    base = "grouped-state" if grouped else "packed-state"
+    return base if fold is None else f"{fold:03d}-{base}"

@@ -155,6 +155,9 @@ class PackedStateTrainerBase:
     whole batch to one device first)."""
 
     _place = staticmethod(jax.device_put)
+    # layout hooks: subclasses (train/grouped.py) swap the batch maker /
+    # loss builder / stacked-model factory without copying the plumbing
+    _batch_maker = staticmethod(make_packed_fold_batches)
 
     def _packed(self, per_modality_params):
         # folds share one init pytree in the CLIs: memoize by identity so
@@ -167,7 +170,7 @@ class PackedStateTrainerBase:
         return packed
 
     def _batches(self, data_list, cov):
-        return self._place(make_packed_fold_batches(
+        return self._place(type(self)._batch_maker(
             self.stacked, data_list, cov, self.config.batch_size))
 
     def run(self, per_modality_params, data_list, cov, key=None):
@@ -229,25 +232,32 @@ class PackedFoldTrainer(PackedStateTrainerBase):
     per-modality FoldTrainer's (reparameterize draws [B, Z] from the same
     split sequence), so trajectories agree to float tolerance."""
 
-    def __init__(self, model, config: TrainConfig, n_samples: int):
-        assert not config.shuffle, "packed trainers train in fixed batch order"
-        self.stacked = StackedMultimodalCVAE(
+    _loss_builder = staticmethod(_packed_loss_fn)
+
+    def _build_stacked(self, model):
+        return StackedMultimodalCVAE(
             model.input_dim_list, model.hidden_dim, model.latent_dim,
             model.c_dim, model.modalities, model.non_linear,
-            variant=getattr(model, "variant", "cvae"))
+            variant=getattr(model, "variant", "cvae"),
+            jsd_on_fused=getattr(model, "jsd_on_fused", True))
+
+    def _loss_name(self) -> str:
+        v = self.stacked.variant
+        return "packed_stacked" if v == "cvae" else f"packed_stacked_{v}"
+
+    def __init__(self, model, config: TrainConfig, n_samples: int):
+        assert not config.shuffle, "packed trainers train in fixed batch order"
+        self.stacked = self._build_stacked(model)
         self.config = config
         # resume-guard fingerprint (checkpoints.run_chunked): packed states
         # are numerically their own trajectory family (variant-suffixed for
         # the non-cvae skeleton losses)
-        v = self.stacked.variant
-        self.loss_meta = {
-            "loss": ("packed_stacked" if v == "cvae"
-                     else f"packed_stacked_{v}"),
-            "precision": config.precision}
+        self.loss_meta = {"loss": self._loss_name(),
+                          "precision": config.precision}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
-            _packed_loss_fn(self.stacked, config.combine,
-                            config.precision), self.optimizer,
+            type(self)._loss_builder(self.stacked, config.combine,
+                                     config.precision), self.optimizer,
             config.epochs, shuffle=False)
         self._train = jax.jit(self._raw_train)
         self._chunk_cache: dict = {}
@@ -275,15 +285,17 @@ class PackedMultiFoldTrainer:
     inserts the fusion all-reduces over 'modality' and the grad psums over
     'data' that parallel/modality.py's shard_map path schedules by hand."""
 
+    _batch_maker = staticmethod(make_packed_fold_batches)
+    _loss_builder = staticmethod(_packed_loss_fn)
+    _build_stacked = PackedFoldTrainer._build_stacked
+    _loss_name = PackedFoldTrainer._loss_name
+
     def __init__(self, model, config: TrainConfig, n_samples: int,
                  mesh=None, shardings_fn=None):
         assert not config.shuffle, "packed trainers train in fixed batch order"
         if (mesh is None) != (shardings_fn is None):
             raise ValueError("mesh and shardings_fn go together")
-        self.stacked = StackedMultimodalCVAE(
-            model.input_dim_list, model.hidden_dim, model.latent_dim,
-            model.c_dim, model.modalities, model.non_linear,
-            variant=getattr(model, "variant", "cvae"))
+        self.stacked = self._build_stacked(model)
         if mesh is not None and "modality" in mesh.axis_names and \
                 self.stacked.modalities % mesh.shape["modality"]:
             raise ValueError(
@@ -297,15 +309,12 @@ class PackedMultiFoldTrainer:
         path = "fold_parallel" if mesh is None else (
             "fold_parallel+ep:" + ",".join(
                 f"{n}={mesh.shape[n]}" for n in mesh.axis_names))
-        v = self.stacked.variant
-        self.loss_meta = {
-            "loss": ("packed_stacked" if v == "cvae"
-                     else f"packed_stacked_{v}"),
-            "precision": config.precision, "path": path}
+        self.loss_meta = {"loss": self._loss_name(),
+                          "precision": config.precision, "path": path}
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
-            _packed_loss_fn(self.stacked, config.combine,
-                            config.precision), self.optimizer,
+            type(self)._loss_builder(self.stacked, config.combine,
+                                     config.precision), self.optimizer,
             config.epochs, shuffle=False)
         self._vtrain = jax.vmap(self._raw_train)
         self._jitted = None
@@ -344,9 +353,9 @@ class PackedMultiFoldTrainer:
         per_fold = []
         max_nb = 0
         for data_list, cov_list in folds:
-            b = make_packed_fold_batches(self.stacked, data_list,
-                                         cov_list[cov_index],
-                                         self.config.batch_size)
+            b = type(self)._batch_maker(self.stacked, data_list,
+                                        cov_list[cov_index],
+                                        self.config.batch_size)
             max_nb = max(max_nb, b["mask"].shape[0])
             per_fold.append(b)
         padded = []
