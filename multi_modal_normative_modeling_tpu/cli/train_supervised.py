@@ -98,9 +98,13 @@ def main(args, project_root=None):
     mark('host prep (fold x modality, threaded)')
 
     model = common.build_model_from_config(config_dict)
+    batch_size = getattr(args, 'batch_size', None)
+    batch_size = 256 if batch_size is None else int(batch_size)
+    if batch_size < 1:
+        raise SystemExit(f'--batch_size must be >= 1, got {batch_size}')
     train_config = TrainConfig(
         epochs=args.epochs,
-        batch_size=256,
+        batch_size=batch_size,
         learning_rate=0.0001,
         combine=args.combine,
         lr_schedule=lr_schedule,
@@ -631,6 +635,17 @@ def build_parser() -> argparse.ArgumentParser:
                              'exclusive with --mesh/--packed_xla/'
                              '--fused_train_step (and --fold_parallel for '
                              'the 2-axis form).')
+    parser.add_argument('--batch_size', dest='batch_size', type=int,
+                        default=256,
+                        help='training batch size. The reference hardcodes '
+                             '256 (train:197) and so does every parity '
+                             'surface here; larger batches amortize '
+                             'per-step overhead in the wide-feature (PPMI) '
+                             'regime — RESULTS.md records the remaining '
+                             'headroom there as architectural (batch '
+                             'size), not kernel-level. Non-default values '
+                             'are a different trajectory from the '
+                             'reference\'s.')
     parser.add_argument('--warmup_only', dest='warmup_only',
                         action='store_true',
                         help='compile the training program for this exact '

@@ -231,3 +231,42 @@ def test_fast_inner_merge_nan_keys_match_pandas():
     got = fast_inner_merge(left, right, on="IID")
     want = pd.merge(left, right, on="IID")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_train_cli_batch_size_flag(tmp_path):
+    """--batch_size (round 4): the reference hardcodes 256; the opt-in
+    trains end-to-end at other sizes and rejects nonsense."""
+    import argparse
+
+    import numpy as np
+    import pytest
+
+    from multi_modal_normative_modeling_tpu.cli import train_supervised
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=40, n_disease={0: 15})
+    base = dict(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 4],
+        procedure="SE-MoE", combine="MoE", epochs=4, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", fold_parallel=True, precision="fp32",
+    )
+    train_supervised.main(argparse.Namespace(**base, batch_size=16),
+                          project_root=tmp_path)
+    ckpt = (tmp_path / "outputs" / "kfold_analysis" / "supervised_cvae"
+            / "000" / "cVAE_model.ckpt")
+    assert ckpt.exists()
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        load_checkpoint,
+    )
+
+    params, _ = load_checkpoint(ckpt.parent)
+    assert np.isfinite(
+        np.asarray(params["enc"]["0"]["hidden"]["0"]["w"])).all()
+    with pytest.raises(SystemExit, match="batch_size"):
+        train_supervised.main(argparse.Namespace(**base, batch_size=0),
+                              project_root=tmp_path)
