@@ -383,6 +383,8 @@ class EPFoldTrainer(PackedStateTrainerBase):
             "loss": "packed_stacked", "precision": config.precision,
             "path": ("ep:" + ",".join(f"{n}={mesh.shape[n]}"
                                       for n in mesh.axis_names))}
+        if config.batch_size != 256:
+            self.loss_meta["batch"] = str(config.batch_size)
         self.optimizer = build_optimizer(config, n_samples)
         self.n_data = mesh.shape["data"]
         self._loss = _make_ep_loss(self.stacked, config.combine)

@@ -177,6 +177,8 @@ class FusedFoldTrainer:
         # instead of silently continuing a hybrid trajectory
         self.loss_meta = {"loss": f"fused_kernel_{self.kernel}",
                           "precision": config.precision}
+        if config.batch_size != 256:
+            self.loss_meta["batch"] = str(config.batch_size)
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_chunk = self._build_chunk()
         self._train = jax.jit(self._build_train())

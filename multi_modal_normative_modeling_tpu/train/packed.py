@@ -254,6 +254,8 @@ class PackedFoldTrainer(PackedStateTrainerBase):
         # the non-cvae skeleton losses)
         self.loss_meta = {"loss": self._loss_name(),
                           "precision": config.precision}
+        if config.batch_size != 256:
+            self.loss_meta["batch"] = str(config.batch_size)
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             type(self)._loss_builder(self.stacked, config.combine,
@@ -311,6 +313,8 @@ class PackedMultiFoldTrainer:
                 f"{n}={mesh.shape[n]}" for n in mesh.axis_names))
         self.loss_meta = {"loss": self._loss_name(),
                           "precision": config.precision, "path": path}
+        if config.batch_size != 256:
+            self.loss_meta["batch"] = str(config.batch_size)
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             type(self)._loss_builder(self.stacked, config.combine,

@@ -236,6 +236,11 @@ def resolve_loss(model, config: TrainConfig,
         loss_fn = default_loss_fn(model, config)
     meta = {"loss": name, "precision": config.precision,
             "remat": str(config.remat)}
+    # non-default batch sizes (--batch_size, round 4) are their own
+    # trajectory family — keyed only when non-default so states written by
+    # older builds (no 'batch' key) still resume under the default
+    if config.batch_size != 256:
+        meta["batch"] = str(config.batch_size)
     return loss_fn, meta
 
 

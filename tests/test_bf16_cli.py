@@ -56,7 +56,8 @@ def test_bf16_packed_and_grouped_layouts(tmp_path, capsys):
     bf16 = GroupedFoldTrainer(
         model, TrainConfig(epochs=4, batch_size=16, combine="gpoe",
                            precision="bf16"), 32)
-    assert bf16.loss_meta == {"loss": "packed_grouped", "precision": "bf16"}
+    assert bf16.loss_meta == {"loss": "packed_grouped",
+                              "precision": "bf16", "batch": "16"}
     _, logs32 = fp32.run(params, data, cov, key=key)
     _, logs16 = bf16.run(params, data, cov, key=key)
     np.testing.assert_allclose(logs16["total"], logs32["total"], rtol=2e-2)

@@ -166,7 +166,7 @@ def test_fused_resume_refuses_numerics_mismatch(tmp_path):
 
     fused = FusedFoldTrainer(model, config, 16, interpret=True)
     assert fused.loss_meta == {"loss": "fused_kernel_single",
-                               "precision": "fp32"}
+                               "precision": "fp32", "batch": "8"}
     fused.run_resumable(params, data, cov, key, tmp_path,
                         checkpoint_every=2)
     assert peek_train_meta(tmp_path) == fused.loss_meta
@@ -216,7 +216,7 @@ def test_packed_resume_states_are_fingerprinted(tmp_path):
     ptr.run_resumable(params, data, cov, key, tmp_path / "seq",
                       checkpoint_every=2)
     assert peek_train_meta(tmp_path / "seq") == {
-        "loss": "packed_stacked", "precision": "fp32"}
+        "loss": "packed_stacked", "precision": "fp32", "batch": "8"}
 
     pmft = PackedMultiFoldTrainer(model, config, 16)
     folds = [(data, [cov] * len(dims))] * 2
@@ -224,7 +224,7 @@ def test_packed_resume_states_are_fingerprinted(tmp_path):
                        checkpoint_every=2)
     assert peek_train_meta(tmp_path / "par") == {
         "loss": "packed_stacked", "precision": "fp32",
-        "path": "fold_parallel"}
+        "path": "fold_parallel", "batch": "8"}
 
 
 def test_cli_fused_pipeline(tmp_path, capsys):

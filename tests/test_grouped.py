@@ -142,7 +142,8 @@ def test_grouped_trainer_matches_per_modality_trajectory(tmp_path):
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
         p_res, p_got)
     assert peek_train_meta(tmp_path) == {"loss": "packed_grouped",
-                                         "precision": "fp32"}
+                                         "precision": "fp32",
+                                         "batch": "8"}
 
 
 def test_cli_packed_routes_grouped_on_mixed_widths(tmp_path, capsys):

@@ -270,3 +270,46 @@ def test_train_cli_batch_size_flag(tmp_path):
     with pytest.raises(SystemExit, match="batch_size"):
         train_supervised.main(argparse.Namespace(**base, batch_size=0),
                               project_root=tmp_path)
+
+
+def test_resume_refuses_batch_size_mismatch(tmp_path):
+    """A checkpointed run resumed under a DIFFERENT --batch_size is a
+    different trajectory (batch grid changes the gradient sequence) and is
+    refused by the fingerprint guard; default-256 states stay compatible
+    with pre-round-4 builds (no 'batch' key when default)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from multi_modal_normative_modeling_tpu.models import build_model
+    from multi_modal_normative_modeling_tpu.train import (
+        FoldTrainer,
+        TrainConfig,
+    )
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        peek_train_meta,
+    )
+
+    model = build_model("cVAE_multimodal", [16, 12], [10, 8], 4, 3, 2)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    data = [rng.normal(size=(40, d)).astype(np.float32) for d in (16, 12)]
+    cov = [rng.normal(size=(40, 3)).astype(np.float32)] * 2
+    key = jax.random.PRNGKey(9)
+
+    cfg16 = TrainConfig(epochs=2, batch_size=16, combine="gpoe")
+    FoldTrainer(model, cfg16, 40).run_resumable(
+        params, data, cov, key, tmp_path, checkpoint_every=2)
+    assert peek_train_meta(tmp_path)["batch"] == "16"
+
+    cfg8 = TrainConfig(epochs=4, batch_size=8, combine="gpoe")
+    with pytest.raises(ValueError, match="refusing to resume"):
+        FoldTrainer(model, cfg8, 40).run_resumable(
+            params, data, cov, key, tmp_path, checkpoint_every=2,
+            resume=True)
+    # default-256 meta carries NO batch key (older-build compatibility)
+    d256 = tmp_path / "default"
+    FoldTrainer(model, TrainConfig(epochs=2, batch_size=256,
+                                   combine="gpoe"), 40).run_resumable(
+        params, data, cov, key, d256, checkpoint_every=2)
+    assert "batch" not in (peek_train_meta(d256) or {})
