@@ -210,6 +210,10 @@ def bench_ppmi_floor() -> dict:
     key = host_prng_key(42)
 
     def floor_at(batch):
+        """(us_per_step, us_per_REAL_subject). Per-subject divides by the
+        cohort's actual rows, NOT batch slots: 2560 rows at batch 1024 run
+        3 padded batches (512 mask-padded slots), so slot-division would
+        overstate throughput by ~20%."""
         config = TrainConfig(epochs=PPMI_EPOCHS, batch_size=batch,
                              combine="gpoe")
         trainer = FoldTrainer(model, config, PPMI_N)
@@ -225,21 +229,23 @@ def bench_ppmi_floor() -> dict:
             _, logs = trainer.run_batches(params, batches, key)
             np.asarray(logs["total"])
             times.append(time.perf_counter() - t0)
-        return float(np.min(times)) / steps * 1e6
+        sec = float(np.min(times))
+        return sec / steps * 1e6, sec / (PPMI_EPOCHS * PPMI_N) * 1e6
 
-    us_per_step = floor_at(BATCH)
+    us_per_step, us_per_subject = floor_at(BATCH)
     flops = _matmul_flops_per_step(PPMI_DIMS, HIDDEN, LATENT, C_DIM, BATCH)
     out = {
         "ppmi_us_per_step": round(us_per_step, 1),
-        "ppmi_us_per_subject": round(us_per_step / BATCH, 3),
+        "ppmi_us_per_subject": round(us_per_subject, 3),
         "ppmi_mfu_pct": round(
             flops / (us_per_step * 1e-6) / (PEAK_TFLOPS_FP32 * 1e12) * 100,
             2),
     }
-    # batch-1024 row: the measured architectural headroom (--batch_size,
-    # RESULTS round-4: ~+34% subjects/s over the reference-parity 256)
+    # batch-1024 row: the measured architectural headroom (--batch_size;
+    # padding-corrected per-REAL-subject, so the gain over the
+    # reference-parity 256 is honest for this 2560-row cohort)
     try:
-        out["ppmi_b1024_us_per_subject"] = round(floor_at(1024) / 1024, 3)
+        out["ppmi_b1024_us_per_subject"] = round(floor_at(1024)[1], 3)
     except Exception as exc:
         out["ppmi_b1024_error"] = f"{type(exc).__name__}: {exc}"[:120]
     return out
@@ -433,8 +439,10 @@ def _combine_floors(floors):
                 best[k] = min(best[k], v)
             elif isinstance(v, (int, float)) and k.endswith("_mfu_pct"):
                 best[k] = max(best[k], v)
-    if any("ppmi_us_per_step" in fl for fl in floors):
-        best.pop("ppmi_error", None)
+    for metric, err in (("ppmi_us_per_step", "ppmi_error"),
+                        ("ppmi_b1024_us_per_subject", "ppmi_b1024_error")):
+        if any(metric in fl for fl in floors):
+            best.pop(err, None)
     return best
 
 

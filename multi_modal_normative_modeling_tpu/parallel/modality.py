@@ -379,12 +379,12 @@ class EPFoldTrainer(PackedStateTrainerBase):
         # PackedStateTrainerBase): the EP trajectory depends on the mesh
         # geometry (psum partial-sum order), so resumes under a different
         # axis split are refused
-        self.loss_meta = {
+        from ..train.trainer import add_batch_meta
+
+        self.loss_meta = add_batch_meta({
             "loss": "packed_stacked", "precision": config.precision,
             "path": ("ep:" + ",".join(f"{n}={mesh.shape[n]}"
-                                      for n in mesh.axis_names))}
-        if config.batch_size != 256:
-            self.loss_meta["batch"] = str(config.batch_size)
+                                      for n in mesh.axis_names))}, config)
         self.optimizer = build_optimizer(config, n_samples)
         self.n_data = mesh.shape["data"]
         self._loss = _make_ep_loss(self.stacked, config.combine)

@@ -175,10 +175,11 @@ class FusedFoldTrainer:
         # run_chunked): a fused state checkpointed under fp32 must refuse
         # to resume under --precision bf16 (or under the other kernel)
         # instead of silently continuing a hybrid trajectory
-        self.loss_meta = {"loss": f"fused_kernel_{self.kernel}",
-                          "precision": config.precision}
-        if config.batch_size != 256:
-            self.loss_meta["batch"] = str(config.batch_size)
+        from .trainer import add_batch_meta
+
+        self.loss_meta = add_batch_meta(
+            {"loss": f"fused_kernel_{self.kernel}",
+             "precision": config.precision}, config)
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_chunk = self._build_chunk()
         self._train = jax.jit(self._build_train())

@@ -252,10 +252,11 @@ class PackedFoldTrainer(PackedStateTrainerBase):
         # resume-guard fingerprint (checkpoints.run_chunked): packed states
         # are numerically their own trajectory family (variant-suffixed for
         # the non-cvae skeleton losses)
-        self.loss_meta = {"loss": self._loss_name(),
-                          "precision": config.precision}
-        if config.batch_size != 256:
-            self.loss_meta["batch"] = str(config.batch_size)
+        from .trainer import add_batch_meta
+
+        self.loss_meta = add_batch_meta(
+            {"loss": self._loss_name(), "precision": config.precision},
+            config)
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             type(self)._loss_builder(self.stacked, config.combine,
@@ -311,10 +312,11 @@ class PackedMultiFoldTrainer:
         path = "fold_parallel" if mesh is None else (
             "fold_parallel+ep:" + ",".join(
                 f"{n}={mesh.shape[n]}" for n in mesh.axis_names))
-        self.loss_meta = {"loss": self._loss_name(),
-                          "precision": config.precision, "path": path}
-        if config.batch_size != 256:
-            self.loss_meta["batch"] = str(config.batch_size)
+        from .trainer import add_batch_meta
+
+        self.loss_meta = add_batch_meta(
+            {"loss": self._loss_name(), "precision": config.precision,
+             "path": path}, config)
         self.optimizer = build_optimizer(config, n_samples)
         self._raw_train = build_train_fn(
             type(self)._loss_builder(self.stacked, config.combine,

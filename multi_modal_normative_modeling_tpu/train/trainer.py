@@ -219,6 +219,23 @@ def fused_heads_loss_fn(model, config: TrainConfig) -> Callable:
     return loss_fn
 
 
+# the reference hardcodes batch 256 (train:197); every parity surface and
+# trajectory fingerprint keys off this default
+DEFAULT_BATCH_SIZE = 256
+
+
+def add_batch_meta(meta: dict, config: TrainConfig) -> dict:
+    """Fingerprint a NON-default --batch_size into a trainer's resume meta
+    (one owner for the rule, used by every loss_meta producer): a
+    checkpoint resumed under a different batch size is a different
+    gradient sequence and must be refused. Keyed only when non-default so
+    states written by older builds (no 'batch' key) still resume under
+    the default."""
+    if config.batch_size != DEFAULT_BATCH_SIZE:
+        meta["batch"] = str(config.batch_size)
+    return meta
+
+
 def resolve_loss(model, config: TrainConfig,
                  loss_fn: Optional[Callable]) -> Tuple[Callable, dict]:
     """(loss_fn, trajectory fingerprint) for a trainer: resolves the
@@ -236,11 +253,7 @@ def resolve_loss(model, config: TrainConfig,
         loss_fn = default_loss_fn(model, config)
     meta = {"loss": name, "precision": config.precision,
             "remat": str(config.remat)}
-    # non-default batch sizes (--batch_size, round 4) are their own
-    # trajectory family — keyed only when non-default so states written by
-    # older builds (no 'batch' key) still resume under the default
-    if config.batch_size != 256:
-        meta["batch"] = str(config.batch_size)
+    add_batch_meta(meta, config)
     return loss_fn, meta
 
 
