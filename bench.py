@@ -155,7 +155,10 @@ def bench_jax() -> "tuple[float, float]":
                 _, lg = run_once()
             total = np.asarray(lg["total"])
             times.append((time.perf_counter() - t0) / CHAIN)
-        assert np.isfinite(total).all()
+            # per-rep finiteness (the host transfer already happened): a NaN
+            # trajectory in an early rep must fail even if a later rep's
+            # numbers recover
+            assert np.isfinite(total).all()
         # min over repeats: tunnel latency spikes are one-sided noise
         return float(np.min(times))
 
@@ -227,8 +230,9 @@ def bench_ppmi_floor() -> dict:
         for _ in range(3):
             t0 = time.perf_counter()
             _, logs = trainer.run_batches(params, batches, key)
-            np.asarray(logs["total"])
+            total = np.asarray(logs["total"])
             times.append(time.perf_counter() - t0)
+            assert np.isfinite(total).all()  # per-rep, not just the last
         sec = float(np.min(times))
         return sec / steps * 1e6, sec / (PPMI_EPOCHS * PPMI_N) * 1e6
 

@@ -23,7 +23,31 @@ Dead/legacy reference classes (mmcVAE, cVAE, *_before_refactor, superseded
 duplicate defs) are intentionally not exported — last-definition-wins
 (SURVEY Q6).
 """
-from multi_modal_normative_modeling_tpu.compat.imperative import (  # noqa: F401
+_EXCLUDED_LEGACY = {
+    # reference cVAE.py location -> why it is dead there
+    "mmcVAE": ":243 — never instantiated by any live script",
+    "cVAE": ":391 — unimodal predecessor, never instantiated",
+    "cVAE_multimodal_before_refactor": ":566 — superseded duplicate "
+                                       "definition (last-definition-wins)",
+    "MVTCAE": ":1046 — empty fusion stub (the winning model is the "
+              "lowercase mvtCAE at :1754, which IS exported)",
+    "ResidualBlock": ":47 — only used by a dead module-level Sequential "
+                     "(:97-99) that no live code touches",
+}
+
+
+def __getattr__(name):  # PEP 562: loud message for excluded legacy symbols
+    if name in _EXCLUDED_LEGACY:
+        raise ImportError(
+            f"cVAE.{name} is an excluded legacy symbol (SURVEY Q6): dead "
+            f"code in the reference (cVAE.py{_EXCLUDED_LEGACY[name]}) and "
+            "intentionally not ported — see the PARITY.md quirk ledger. "
+            "Use the winning definitions re-exported by this module "
+            "(cVAE_multimodal, mmJSD, mvtCAE, DMVAE, ...) instead.")
+    raise AttributeError(f"module 'cVAE' has no attribute {name!r}")
+
+
+from multi_modal_normative_modeling_tpu.compat.imperative import (  # noqa: F401,E402
     DEVICE,
     DMVAE,
     FocalLoss,

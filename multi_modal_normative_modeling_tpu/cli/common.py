@@ -797,6 +797,12 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
         raise SystemExit(
             '--resume requires --checkpoint_every N: a resumable train '
             'state is only written (and read) when checkpointing is on')
+    if checkpoint_every and state_dir is None:
+        # every state-dir join below assumes a real path; a bare TypeError
+        # from Path(None) would hide the actual caller mistake
+        raise SystemExit(
+            'checkpoint_every > 0 requires state_dir: resumable train '
+            'states need a directory to live in')
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -830,7 +836,9 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
     if packed:
         from pathlib import Path as _Path
 
-        from ..train.grouped import packed_state_dirname, select_packed_trainer
+        from ..train.grouped import (notice_stale_padded_state,
+                                     packed_state_dirname,
+                                     select_packed_trainer)
 
         cls, layout, grouped = select_packed_trainer(model, fold_parallel)
         if fold_parallel:
@@ -839,6 +847,8 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
             print(f'train model (all folds fold-parallel, {layout} '
                   'modalities)')
             if checkpoint_every:
+                if resume:
+                    notice_stale_padded_state(state_dir, grouped)
                 return pmft.run_resumable(
                     params_list, folds, list(keys),
                     state_dir=_Path(state_dir)
@@ -850,6 +860,8 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
         per_fold_params, per_fold_logs = [], []
         for f, (data_list, cov_list) in enumerate(folds):
             if checkpoint_every:
+                if resume:
+                    notice_stale_padded_state(state_dir, grouped, f)
                 params, logs = ptr.run_resumable(
                     params_list[f], data_list, cov_list[0], keys[f],
                     state_dir=_Path(state_dir)

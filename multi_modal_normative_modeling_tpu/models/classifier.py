@@ -48,6 +48,20 @@ class MLPClassifier:
         return apply_linear(params[-1], h)
 
 
+class LogisticRegressionModel(MLPClassifier):
+    """Single-linear-layer binary classifier (classifier_baseline/
+    classifier.py:218-245). The reference never instantiates it (its main
+    and the notebook both build the MLP), but it is part of the module's
+    public surface — here it is exactly MLPClassifier with no hidden
+    blocks: apply() skips the (empty) hidden loop and runs the one Linear
+    to ``num_classes`` logits."""
+
+    def __init__(self, input_size: int, num_classes: int = 2,
+                 dtype=jnp.float32):
+        super().__init__(input_size, [], dropout=0.0,
+                         num_classes=num_classes, dtype=dtype)
+
+
 def _build_classifier_train(model: MLPClassifier, x_train, y_train, x_val,
                             y_val, num_epochs: int,
                             early_stopping_patience: int = 10000):

@@ -154,6 +154,28 @@ def select_packed_trainer(model, fold_parallel: bool):
     return cls, ("width-grouped" if g else "packed"), g
 
 
+def notice_stale_padded_state(state_dir, grouped: bool,
+                              fold: "int | None" = None) -> None:
+    """Routing-migration notice (round 4): a pre-round-4 --packed_xla run on
+    a mixed-width cohort wrote its resumable state to the PADDED layout's
+    dir; the same cohort now routes to the grouped layout, which reads (and
+    writes) its own dir — the old state is never opened, so a --resume
+    starts fresh. That restart is correct (the layout change is a numerics
+    change), but say so instead of silently orphaning the old state."""
+    if not grouped:
+        return
+    from pathlib import Path
+
+    stale = Path(state_dir) / packed_state_dirname(False, fold)
+    if stale.exists():
+        print(
+            f'note: leftover padded-layout resume state at {stale} — this '
+            'mixed-width cohort now routes to the width-grouped layout '
+            f'(state dir {packed_state_dirname(True, fold)!r}), whose '
+            'numerics differ, so training (re)starts from the grouped '
+            'state; the padded state is ignored and can be deleted')
+
+
 def packed_state_dirname(grouped: bool, fold: "int | None" = None) -> str:
     """Resumable-state dir naming shared by every --packed_xla surface
     (layout-specific: the state pytrees differ between layouts)."""

@@ -353,3 +353,38 @@ def test_component_backward_anchors_to_loss_time_params():
     for a, b in zip(jax.tree_util.tree_leaves(expected),
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["mmcVAE", "cVAE",
+                                  "cVAE_multimodal_before_refactor",
+                                  "MVTCAE", "ResidualBlock"])
+def test_excluded_legacy_symbols_raise_loud_message(name):
+    """Dead reference classes are excluded by documented policy (SURVEY Q6,
+    PARITY quirk ledger); importing one must explain the exclusion instead
+    of raising a bare ImportError/AttributeError."""
+    with pytest.raises(ImportError, match="excluded legacy symbol"):
+        getattr(cVAE, name)
+    # a genuinely-unknown name still gets the plain AttributeError
+    with pytest.raises(AttributeError):
+        cVAE.no_such_symbol_xyz
+
+
+def test_logistic_regression_model_surface():
+    """classifier_baseline/classifier.py:218's LogisticRegressionModel:
+    a single Linear to num_classes logits (never instantiated by the
+    reference main, but part of the module surface)."""
+    import jax
+
+    from multi_modal_normative_modeling_tpu.models.classifier import (
+        LogisticRegressionModel,
+    )
+
+    model = LogisticRegressionModel(7, num_classes=2)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert len(params) == 1  # exactly one linear layer
+    x = np.random.default_rng(0).normal(size=(5, 7)).astype(np.float32)
+    logits = np.asarray(model.apply(params, x))
+    assert logits.shape == (5, 2)
+    # logits are exactly the affine map (no hidden activations)
+    w, b = np.asarray(params[0]["w"]), np.asarray(params[0]["b"])
+    np.testing.assert_allclose(logits, x @ w + b, atol=1e-6)

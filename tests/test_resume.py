@@ -343,3 +343,37 @@ def test_packed_fold_parallel_resumable_matches(tmp_path):
         _assert_trees_equal(p_res[f], p_ref[f])
         np.testing.assert_array_equal(logs_res[f]["total"],
                                       np.asarray(logs_ref[f]["total"]))
+
+
+def test_run_folds_checkpoint_without_state_dir_is_actionable():
+    """checkpoint_every > 0 with state_dir=None must raise a clear error,
+    not a bare TypeError from Path(None) (advisor r4)."""
+    from multi_modal_normative_modeling_tpu.cli.common import run_folds
+
+    model = build_model("cVAE_multimodal", [6, 4], [8], 3, 2, 2)
+    config = TrainConfig(epochs=2, batch_size=4, combine="gpoe")
+    with pytest.raises(SystemExit, match="state_dir"):
+        run_folds(model, config, [], [], [], False, checkpoint_every=1)
+
+
+def test_grouped_resume_notices_stale_padded_state(tmp_path, capsys):
+    """A leftover padded-layout state dir next to a grouped resume prints
+    the routing-migration notice (advisor r4) instead of silently orphaning
+    the old state."""
+    from multi_modal_normative_modeling_tpu.train.grouped import (
+        notice_stale_padded_state,
+        packed_state_dirname,
+    )
+
+    (tmp_path / packed_state_dirname(False)).mkdir()
+    notice_stale_padded_state(tmp_path, grouped=True)
+    out = capsys.readouterr().out
+    assert "padded-layout resume state" in out
+    assert "width-grouped" in out
+    # per-fold variant, and silence when nothing is stale / not grouped
+    (tmp_path / packed_state_dirname(False, 2)).mkdir()
+    notice_stale_padded_state(tmp_path, grouped=True, fold=2)
+    assert "padded-layout" in capsys.readouterr().out
+    notice_stale_padded_state(tmp_path, grouped=True, fold=1)
+    notice_stale_padded_state(tmp_path, grouped=False)
+    assert capsys.readouterr().out == ""
