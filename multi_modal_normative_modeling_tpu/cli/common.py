@@ -786,7 +786,7 @@ def run_folds(model, config, folds, params_list, keys, fold_parallel: bool,
     sequential path — and kill-and-resume is bit-identical.
 
     ``packed=True`` (--packed_xla) trains on the packed-modality layouts
-    (mixed-width cvae -> width-grouped, else padded stacked) when the
+    (mixed-width cvae-skeleton -> width-grouped, else padded stacked) when the
     model/config/data support it — cvae-skeleton variants, no custom
     loss/state/extras, no mesh, identical per-modality covariate blocks —
     and falls back loudly to the per-modality layout otherwise.

@@ -467,7 +467,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--packed_xla', dest='packed_xla',
                         action='store_true',
                         help='train every grid point on the packed-modality '
-                             'fold-parallel layout (mixed-width cvae '
+                             'fold-parallel layout (mixed-width cvae-skeleton '
                              'cohorts ride the pad-free width-grouped '
                              'layout — measured +72%% over per-modality at '
                              'flagship shapes, RESULTS round-4). Mutually '

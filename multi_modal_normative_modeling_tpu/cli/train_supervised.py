@@ -380,7 +380,7 @@ def main(args, project_root=None):
             per_fold_params.append(params)
             per_fold_logs.append(logs)
     elif fused_trainer is None and packed_xla and fold_parallel:
-        # mixed-width cvae cohorts ride the pad-free width-grouped layout
+        # mixed-width cvae-skeleton cohorts ride the pad-free width-grouped layout
         # (measured +72% over per-modality at flagship 5-fold vs the
         # padded layout's +23% — RESULTS.md round-4); uniform widths /
         # non-cvae skeleton variants keep the padded stacked layout

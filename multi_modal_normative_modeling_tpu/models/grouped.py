@@ -37,11 +37,11 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import fusion
 from ..ops.linear import leaky_relu
 from ..ops.losses import _HALF_LOG_2PI, kl_standard_normal
 from .cvae import reparameterize
 from .multimodal import MultimodalCVAE
+from .stacked import skeleton_fuse, skeleton_total
 
 
 def width_groups(input_dim_list: Sequence[int]) -> List[Tuple[int, List[int]]]:
@@ -59,16 +59,29 @@ def width_groups(input_dim_list: Sequence[int]) -> List[Tuple[int, List[int]]]:
 
 
 class GroupedStackedCVAE:
-    """Pad-free width-grouped form of MultimodalCVAE('cvae')."""
+    """Pad-free width-grouped form of the MultimodalCVAE skeleton.
+
+    ``variant`` covers the whole cvae-skeleton zoo (round 5, mirroring the
+    padded layout's round-4 extension): 'mmjsd'/'mvtcae'/'nmmlp' share the
+    exact encoder/decoder MLPs and differ only in the fuse step and the
+    loss composition — both owned by models/stacked.skeleton_fuse /
+    skeleton_total, so the grouped einsums are identical across variants.
+    The mmJSD pairwise KL runs over ORDERED stat pairs, so its per-modality
+    opt-out un-permutes the grouped stats back to original modality order
+    first (``inv_perm``)."""
 
     def __init__(self, input_dim_list: Sequence[int],
                  hidden_dim: Sequence[int], latent_dim: int, c_dim: int,
                  modalities: int, non_linear: bool = True,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, variant: str = "cvae",
+                 jsd_on_fused: bool = True):
         assert len(hidden_dim) >= 1, "at least one hidden layer"
+        assert variant in ("cvae", "mmjsd", "mvtcae", "nmmlp")
+        self.variant = variant
         self.base = MultimodalCVAE(input_dim_list, hidden_dim, latent_dim,
                                    c_dim, modalities, non_linear,
-                                   variant="cvae", dtype=dtype)
+                                   variant=variant, dtype=dtype,
+                                   jsd_on_fused=jsd_on_fused)
         self.input_dim_list = list(input_dim_list)
         self.hidden_dim = list(hidden_dim)
         self.n_hidden = len(hidden_dim)
@@ -80,6 +93,9 @@ class GroupedStackedCVAE:
         self.groups = width_groups(input_dim_list)
         # grouped ("pi") modality order: group-concatenated original indices
         self.perm = [m for _, idx in self.groups for m in idx]
+        # inverse permutation: original modality m sits at grouped position
+        # inv_perm[m] (order-sensitive losses un-permute through this)
+        self.inv_perm = np.argsort(self.perm)
         # group slice bounds along the grouped modality axis
         self.bounds = np.cumsum([0] + [len(idx) for _, idx in self.groups])
 
@@ -170,9 +186,8 @@ class GroupedStackedCVAE:
                          "b": d["out"][gi]["bm"][within]},
                 "logvar_out": d["out"][gi]["lvo"][within][None, :],
             })
-        inv_perm = np.argsort(self.perm)
         return {"enc": enc, "dec": dec,
-                "alpha": packed["alpha"][jnp.asarray(inv_perm)]}
+                "alpha": packed["alpha"][jnp.asarray(self.inv_perm)]}
 
     # -- data packing -------------------------------------------------------
     def pack_inputs(self, xes: Sequence[np.ndarray]) -> Tuple[np.ndarray, ...]:
@@ -207,11 +222,11 @@ class GroupedStackedCVAE:
         z_dim = e["wmu"].shape[2]
         mus, logvars = stats[..., :z_dim], stats[..., z_dim:]
 
-        fused_mu, fused_var = fusion.combine_latent(
-            mus, jnp.exp(logvars), combine, params["alpha"],
-            single_modality_shortcut=True,
-        )
-        fused_logvar = jnp.log(fused_var)
+        # variant-exact fusion (one owner with the padded layout); the
+        # fusion sums are permutation-invariant, so the grouped stat order
+        # changes only float accumulation order
+        fused_mu, fused_logvar = skeleton_fuse(self.variant, params, mus,
+                                               logvars, combine)
         z = reparameterize(key, fused_mu, fused_logvar)
 
         d = params["dec"]
@@ -238,25 +253,46 @@ class GroupedStackedCVAE:
     def loss(self, params, x_groups, fwd,
              mask: Optional[jnp.ndarray] = None) -> dict:
         """Identical math to the padded stacked loss, with each group's
-        Gaussian NLL over exactly its true features (no column mask)."""
+        per-modality ll (Gaussian NLL, or -MSE for nmmlp) over exactly its
+        true features (no column mask); the variant composition (mmJSD
+        pairwise-KL, mvtCAE TC) is shared with the padded layout
+        (skeleton_total), fed stats un-permuted to original order."""
         mu, logvar = fwd["mu_multimodal"], fwd["logvar_multimodal"]
-        ll_rows = []
-        for gi, out in enumerate(params["dec"]["out"]):
-            lvo = out["lvo"][:, None, :]          # [G_g, 1, d_g]
-            ll_elem = (-0.5 * (x_groups[gi] - fwd["recon_means"][gi]) ** 2
-                       * jnp.exp(-lvo) - 0.5 * lvo - _HALF_LOG_2PI)
-            ll_rows.append(jnp.sum(ll_elem, axis=2))          # [G_g, B]
-        ll_rows = jnp.concatenate(ll_rows, axis=0)            # [M, B]
-        kl = kl_standard_normal(mu, logvar, mask)
-        if mask is None:
-            ll = jnp.mean(ll_rows, axis=1)
+        if self.variant == "nmmlp":
+            # nm-MLP ll = -MSE over each modality's true elements
+            lls = []
+            for gi in range(len(self.groups)):
+                sq = (x_groups[gi] - fwd["recon_means"][gi]) ** 2
+                d_g = sq.shape[2]
+                if mask is None:
+                    lls.append(-jnp.sum(sq, axis=(1, 2))
+                               / (sq.shape[1] * d_g))
+                else:
+                    w = mask.astype(sq.dtype)
+                    lls.append(-jnp.sum(sq * w[None, :, None], axis=(1, 2))
+                               / (jnp.maximum(jnp.sum(w), 1.0) * d_g))
+            ll = jnp.concatenate(lls)                         # [M] grouped
         else:
-            w = mask.astype(ll_rows.dtype)
-            ll = (jnp.sum(ll_rows * w[None, :], axis=1)
-                  / jnp.maximum(jnp.sum(w), 1.0))
-        total = self.modalities * kl - jnp.sum(ll)
-        return {"total": total, "kl": self.modalities * kl,
-                "ll": jnp.sum(ll)}
+            ll_rows = []
+            for gi, out in enumerate(params["dec"]["out"]):
+                lvo = out["lvo"][:, None, :]      # [G_g, 1, d_g]
+                ll_elem = (-0.5 * (x_groups[gi]
+                                   - fwd["recon_means"][gi]) ** 2
+                           * jnp.exp(-lvo) - 0.5 * lvo - _HALF_LOG_2PI)
+                ll_rows.append(jnp.sum(ll_elem, axis=2))      # [G_g, B]
+            ll_rows = jnp.concatenate(ll_rows, axis=0)        # [M, B]
+            if mask is None:
+                ll = jnp.mean(ll_rows, axis=1)
+            else:
+                w = mask.astype(ll_rows.dtype)
+                ll = (jnp.sum(ll_rows * w[None, :], axis=1)
+                      / jnp.maximum(jnp.sum(w), 1.0))
+        kl = kl_standard_normal(mu, logvar, mask)
+        inv = jnp.asarray(self.inv_perm)
+        return skeleton_total(self.variant, self.modalities, kl, ll, mu,
+                              logvar, jnp.take(fwd["mus"], inv, axis=0),
+                              jnp.take(fwd["logvars"], inv, axis=0), mask,
+                              self.base.jsd_on_fused, self.base.mvtcae_beta)
 
     def pred_recon(self, params, x_groups, c, key, combine: str):
         return self.forward(params, x_groups, c, key, combine)["recon_means"]

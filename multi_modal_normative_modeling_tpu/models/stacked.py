@@ -47,6 +47,68 @@ def _pad_axis0(a: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.pad(a, [(0, size - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
 
 
+def skeleton_fuse(variant: str, params, mus, logvars, combine: str):
+    """Variant-exact fusion on stacked [M, B, Z] stats — mirrors
+    MultimodalCVAE.fuse branch-for-branch (incl. the mvtcae
+    ProductOfExperts2 quirk and var clamp). All fusion ops reduce the
+    modality axis with permutation-invariant sums, so the padded
+    (original-order) and width-grouped (grouped-order) layouts share this
+    one owner. Returns (fused_mu, fused_logvar)."""
+    combine = combine.lower()
+    if variant == "mmjsd":
+        fused_mu, fused_var = fusion.product_of_experts(mus,
+                                                        jnp.exp(logvars))
+        return fused_mu, jnp.log(fused_var)
+    variances = jnp.exp(logvars)
+    if variant == "mvtcae":
+        if combine == "poe":
+            fused_mu, fused_var = fusion.poe_logvar(mus, variances)
+        else:
+            fused_mu, fused_var = fusion.combine_latent(
+                mus, variances, combine, params["alpha"],
+                single_modality_shortcut=False)
+        fused_var = jnp.maximum(fused_var, 1e-6)
+        return fused_mu, jnp.log(fused_var)
+    fused_mu, fused_var = fusion.combine_latent(
+        mus, variances, combine, params["alpha"],
+        single_modality_shortcut=(variant != "nmmlp"))
+    return fused_mu, jnp.log(fused_var)
+
+
+def skeleton_total(variant: str, m_count: int, kl, ll, mu, logvar, mus,
+                   logvars, mask, jsd_on_fused: bool,
+                   mvtcae_beta: float) -> dict:
+    """Variant loss composition shared by the packed layouts: ``ll`` is the
+    per-modality ll vector [M]; ``mu``/``logvar`` the fused stats;
+    ``mus``/``logvars`` the per-modality stats [M, B, Z] in ORIGINAL
+    modality order — the mmJSD pairwise KL runs over ordered pairs i<j
+    (ops/losses.py:83-85), so stat order is part of the numerics and the
+    grouped layout un-permutes before calling."""
+    out = {"kl": m_count * kl, "ll": jnp.sum(ll)}
+    if variant == "mmjsd":
+        from ..ops.losses import pairwise_jsd
+
+        if jsd_on_fused:
+            stats = [mu] * m_count
+            lvs = [logvar] * m_count
+        else:
+            stats = [mus[m] for m in range(m_count)]
+            lvs = [logvars[m] for m in range(m_count)]
+        jsd = pairwise_jsd(stats, lvs, mask)
+        out["jsd"] = jsd
+        out["total"] = m_count * (kl + jsd) - jnp.sum(ll)
+    elif variant == "mvtcae":
+        from .multimodal import total_correlation
+
+        tc = total_correlation(mus, mask)
+        out["tc"] = tc * m_count
+        out["total"] = (m_count * kl + 0.00001 * jnp.sum(ll)
+                        + m_count * mvtcae_beta * tc)
+    else:
+        out["total"] = m_count * kl - jnp.sum(ll)
+    return out
+
+
 class StackedMultimodalCVAE:
     """Numerically-equivalent packed form of the MultimodalCVAE skeleton.
 
@@ -189,28 +251,7 @@ class StackedMultimodalCVAE:
 
     # -- compute ------------------------------------------------------------------
     def _fuse(self, params, mus, logvars, combine: str):
-        """Variant-exact fusion on the stacked [M, B, Z] stats — mirrors
-        MultimodalCVAE.fuse branch-for-branch (incl. the mvtcae
-        ProductOfExperts2 quirk and var clamp)."""
-        combine = combine.lower()
-        if self.variant == "mmjsd":
-            fused_mu, fused_var = fusion.product_of_experts(
-                mus, jnp.exp(logvars))
-            return fused_mu, jnp.log(fused_var)
-        variances = jnp.exp(logvars)
-        if self.variant == "mvtcae":
-            if combine == "poe":
-                fused_mu, fused_var = fusion.poe_logvar(mus, variances)
-            else:
-                fused_mu, fused_var = fusion.combine_latent(
-                    mus, variances, combine, params["alpha"],
-                    single_modality_shortcut=False)
-            fused_var = jnp.maximum(fused_var, 1e-6)
-            return fused_mu, jnp.log(fused_var)
-        fused_mu, fused_var = fusion.combine_latent(
-            mus, variances, combine, params["alpha"],
-            single_modality_shortcut=(self.variant != "nmmlp"))
-        return fused_mu, jnp.log(fused_var)
+        return skeleton_fuse(self.variant, params, mus, logvars, combine)
 
     def forward(self, params, x_packed: jnp.ndarray, c: jnp.ndarray, key,
                 combine: str) -> dict:
@@ -286,30 +327,9 @@ class StackedMultimodalCVAE:
                 ll = (jnp.sum(ll_rows * w[None, :], axis=1)
                       / jnp.maximum(jnp.sum(w), 1.0))
         kl = kl_standard_normal(mu, logvar, mask)
-
-        out = {"kl": m_count * kl, "ll": jnp.sum(ll)}
-        if self.variant == "mmjsd":
-            from ..ops.losses import pairwise_jsd
-
-            if self.base.jsd_on_fused:
-                stats = [mu] * m_count
-                lvs = [logvar] * m_count
-            else:
-                stats = [fwd["mus"][m] for m in range(m_count)]
-                lvs = [fwd["logvars"][m] for m in range(m_count)]
-            jsd = pairwise_jsd(stats, lvs, mask)
-            out["jsd"] = jsd
-            out["total"] = m_count * (kl + jsd) - jnp.sum(ll)
-        elif self.variant == "mvtcae":
-            from .multimodal import total_correlation
-
-            tc = total_correlation(fwd["mus"], mask)
-            out["tc"] = tc * m_count
-            out["total"] = (m_count * kl + 0.00001 * jnp.sum(ll)
-                            + m_count * self.base.mvtcae_beta * tc)
-        else:
-            out["total"] = m_count * kl - jnp.sum(ll)
-        return out
+        return skeleton_total(self.variant, m_count, kl, ll, mu, logvar,
+                              fwd["mus"], fwd["logvars"], mask,
+                              self.base.jsd_on_fused, self.base.mvtcae_beta)
 
     def pred_recon(self, params, x_packed, c, key, combine: str):
         return self.forward(params, x_packed, c, key, combine)["recon_means"]

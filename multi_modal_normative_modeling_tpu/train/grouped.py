@@ -87,14 +87,15 @@ def _grouped_loss_fn(grouped: GroupedStackedCVAE, combine: str,
 
 
 def _build_grouped(model):
-    if getattr(model, "variant", None) != "cvae":
+    variant = getattr(model, "variant", None)
+    if variant not in ("cvae", "mmjsd", "mvtcae", "nmmlp"):
         raise ValueError(
-            f"grouped layout supports variant 'cvae' only (got "
-            f"{getattr(model, 'variant', None)!r}); non-cvae skeleton "
-            "variants ride the padded stacked layout")
+            f"grouped layout supports the cvae skeleton "
+            f"(cvae/mmjsd/mvtcae/nmmlp), got {variant!r}")
     return GroupedStackedCVAE(
         model.input_dim_list, model.hidden_dim, model.latent_dim,
-        model.c_dim, model.modalities, model.non_linear)
+        model.c_dim, model.modalities, model.non_linear, variant=variant,
+        jsd_on_fused=getattr(model, "jsd_on_fused", True))
 
 
 class GroupedFoldTrainer(PackedFoldTrainer):
@@ -108,7 +109,8 @@ class GroupedFoldTrainer(PackedFoldTrainer):
         return _build_grouped(model)
 
     def _loss_name(self) -> str:
-        return "packed_grouped"
+        v = self.stacked.variant
+        return "packed_grouped" if v == "cvae" else f"packed_grouped_{v}"
 
 
 class GroupedMultiFoldTrainer(PackedMultiFoldTrainer):
@@ -125,7 +127,8 @@ class GroupedMultiFoldTrainer(PackedMultiFoldTrainer):
         return _build_grouped(model)
 
     def _loss_name(self) -> str:
-        return "packed_grouped"
+        v = self.stacked.variant
+        return "packed_grouped" if v == "cvae" else f"packed_grouped_{v}"
 
     def __init__(self, model, config: TrainConfig, n_samples: int):
         super().__init__(model, config, n_samples)
@@ -133,12 +136,13 @@ class GroupedMultiFoldTrainer(PackedMultiFoldTrainer):
 
 def grouped_routing(model) -> bool:
     """Whether --packed_xla should ride the grouped layout for this model:
-    a cvae-variant cohort with >1 distinct modality width (uniform widths
-    make the padded layout identical and strictly simpler; non-cvae
-    variants pack only on the padded stacked layout)."""
+    a cvae-skeleton cohort (cvae/mmjsd/mvtcae/nmmlp — round 5 extended
+    beyond cvae) with >1 distinct modality width (uniform widths make the
+    padded layout identical and strictly simpler)."""
     from ..models.grouped import width_groups
 
-    return (getattr(model, "variant", None) == "cvae"
+    return (getattr(model, "variant", None) in ("cvae", "mmjsd", "mvtcae",
+                                                "nmmlp")
             and len(width_groups(model.input_dim_list)) > 1)
 
 

@@ -7,7 +7,8 @@ pad-to-widest layout here burns 3x FLOPs on the narrow modalities of
 mixed-width cohorts, which round 2 measured as +22% single-fold but −21%
 under the 5-fold vmap; round 4's width-grouped layout (train/grouped.py)
 removes the waste and wins BOTH regimes (+50%/+72% vs per-modality,
-RESULTS round-4 table), so --packed_xla routes mixed-width cvae cohorts
+RESULTS round-4 table), so --packed_xla routes mixed-width cvae-skeleton
+cohorts (round 5: the whole cvae/mmjsd/mvtcae/nmmlp zoo)
 there and keeps THIS layout for uniform widths (where the two are
 identical) and for the mmjsd/mvtcae skeleton variants and every
 expert-parallel (--ep_mesh) form, whose modality-axis sharding needs the

@@ -212,3 +212,165 @@ def test_grouped_fold_parallel_matches_sequential():
             par_params[f], seq[f][0])
         np.testing.assert_allclose(par_logs[f]["total"],
                                    seq[f][1]["total"], rtol=1e-5)
+
+
+# ---- grouped layout across the cvae-skeleton zoo (round 5) ---------------
+
+@pytest.mark.parametrize("name,combine", [
+    ("mmJSD", "poe"), ("mmJSD", "gpoe"),
+    ("mvtCAE", "poe"),   # ProductOfExperts2-fed-variances quirk branch
+    ("mvtCAE", "gpoe"),
+])
+def test_variant_forward_and_loss_equivalence(name, combine):
+    from multi_modal_normative_modeling_tpu.models.stacked import (
+        SKELETON_VARIANTS,
+    )
+
+    base = build_model(name, DIMS, [12, 12], 6, C, len(DIMS))
+    grouped = GroupedStackedCVAE(DIMS, [12, 12], 6, C, len(DIMS),
+                                 variant=SKELETON_VARIANTS[name])
+    params = base.init_params(jax.random.PRNGKey(0))
+    gpacked = grouped.pack_params(params)
+    rng = np.random.default_rng(0)
+    xes = [rng.normal(size=(9, d)).astype(np.float32) for d in DIMS]
+    c = rng.normal(size=(9, C)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    fwd_ref = base.forward(params, xes, [jnp.asarray(c)] * len(DIMS), key,
+                           combine)
+    loss_ref = base.loss(params, xes, fwd_ref)
+    x_groups = grouped.pack_inputs(xes)
+    fwd = grouped.forward(gpacked, x_groups, jnp.asarray(c), key, combine)
+    loss = grouped.loss(gpacked, x_groups, fwd)
+
+    np.testing.assert_allclose(np.asarray(fwd["mu_multimodal"]),
+                               np.asarray(fwd_ref["mu_multimodal"]),
+                               rtol=1e-5, atol=1e-6)
+    for gi, (_, idx) in enumerate(grouped.groups):
+        for within, m in enumerate(idx):
+            np.testing.assert_allclose(
+                np.asarray(fwd["recon_means"][gi][within]),
+                np.asarray(fwd_ref["recon_means"][m]), rtol=1e-4,
+                atol=1e-5)
+    for k in loss_ref:
+        np.testing.assert_allclose(float(loss[k]), float(loss_ref[k]),
+                                   rtol=2e-5, atol=1e-6,
+                                   err_msg=f"loss key {k}")
+
+
+def test_nmmlp_grouped_forward_and_loss_equivalence():
+    from multi_modal_normative_modeling_tpu.models.multimodal import (
+        MultimodalCVAE,
+    )
+
+    base = MultimodalCVAE(DIMS, [12, 12], 6, C, len(DIMS), True,
+                          variant="nmmlp")
+    grouped = GroupedStackedCVAE(DIMS, [12, 12], 6, C, len(DIMS),
+                                 variant="nmmlp")
+    params = base.init_params(jax.random.PRNGKey(0))
+    gpacked = grouped.pack_params(params)
+    rng = np.random.default_rng(0)
+    xes = [rng.normal(size=(9, d)).astype(np.float32) for d in DIMS]
+    c = rng.normal(size=(9, C)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    fwd_ref = base.forward(params, xes, [jnp.asarray(c)] * len(DIMS), key,
+                           "moe")
+    loss_ref = base.loss(params, xes, fwd_ref)
+    x_groups = grouped.pack_inputs(xes)
+    fwd = grouped.forward(gpacked, x_groups, jnp.asarray(c), key, "moe")
+    loss = grouped.loss(gpacked, x_groups, fwd)
+    for k in loss_ref:
+        np.testing.assert_allclose(float(loss[k]), float(loss_ref[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+
+
+def test_mmjsd_per_modality_jsd_unpermutes_grouped_stats():
+    """The mmJSD opt-out (jsd_on_fused=False) computes KL over ORDERED
+    stat pairs i<j — the grouped layout must un-permute its grouped-order
+    stats back to original modality order or the pair directions flip.
+    Use interleaved widths so grouped order != original order."""
+    from multi_modal_normative_modeling_tpu.models.multimodal import (
+        MultimodalCVAE,
+    )
+
+    dims = [30, 12, 30, 12]  # grouped order: [0, 2, 1, 3]
+    base = MultimodalCVAE(dims, [10, 10], 5, C, len(dims), True,
+                          variant="mmjsd", jsd_on_fused=False)
+    grouped = GroupedStackedCVAE(dims, [10, 10], 5, C, len(dims),
+                                 variant="mmjsd", jsd_on_fused=False)
+    assert grouped.perm != list(range(len(dims)))
+    params = base.init_params(jax.random.PRNGKey(0))
+    gpacked = grouped.pack_params(params)
+    rng = np.random.default_rng(1)
+    xes = [rng.normal(size=(8, d)).astype(np.float32) for d in dims]
+    c = rng.normal(size=(8, C)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+    fwd_ref = base.forward(params, xes, [jnp.asarray(c)] * len(dims), key,
+                           "poe")
+    jsd_ref = float(base.loss(params, xes, fwd_ref)["jsd"])
+    x_groups = grouped.pack_inputs(xes)
+    fwd = grouped.forward(gpacked, x_groups, jnp.asarray(c), key, "poe")
+    jsd = float(grouped.loss(gpacked, x_groups, fwd)["jsd"])
+    assert jsd_ref != 0.0  # the opt-out produces a real regularizer
+    np.testing.assert_allclose(jsd, jsd_ref, rtol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["mmJSD", "mvtCAE"])
+def test_variant_grouped_trainer_matches_per_modality(name, tmp_path):
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        peek_train_meta,
+    )
+
+    model = build_model(name, DIMS, [10, 8], 4, C, len(DIMS))
+    config = TrainConfig(epochs=6, batch_size=8, combine="gpoe")
+    rng = np.random.default_rng(1)
+    data = [rng.normal(size=(16, d)).astype(np.float32) for d in DIMS]
+    cov = rng.normal(size=(16, C)).astype(np.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(7)
+
+    p_ref, logs_ref = FoldTrainer(model, config, 16).run(
+        params, data, [cov] * len(DIMS), key=key)
+    gt = GroupedFoldTrainer(model, config, 16)
+    assert gt.loss_meta["loss"] == f"packed_grouped_{model.variant}"
+    p_got, logs_got = gt.run(params, data, cov, key=key)
+
+    np.testing.assert_allclose(logs_got["total"], logs_ref["total"],
+                               rtol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5),
+        p_got, p_ref)
+    # resumable state carries the variant-suffixed fingerprint
+    p_res, _ = gt.run_resumable(params, data, cov, key, tmp_path,
+                                checkpoint_every=3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        p_res, p_got)
+    assert peek_train_meta(tmp_path)["loss"] == \
+        f"packed_grouped_{model.variant}"
+
+
+def test_routing_extends_to_skeleton_variants():
+    """select_packed_trainer sends mixed-width mmjsd/mvtcae/nmmlp cohorts
+    to the grouped layout (round 5) and uniform-width ones to the padded
+    layout, exactly like cvae."""
+    from multi_modal_normative_modeling_tpu.models.multimodal import (
+        MultimodalCVAE,
+    )
+    from multi_modal_normative_modeling_tpu.train.grouped import (
+        select_packed_trainer,
+    )
+
+    for name in ("mmJSD", "mvtCAE"):
+        mixed = build_model(name, [24, 24, 72], [10], 4, C, 3)
+        cls, layout, grouped = select_packed_trainer(mixed, False)
+        assert grouped and layout == "width-grouped"
+        assert cls is GroupedFoldTrainer
+        uniform = build_model(name, [24, 24, 24], [10], 4, C, 3)
+        _, layout, grouped = select_packed_trainer(uniform, True)
+        assert not grouped and layout == "packed"
+    nm = MultimodalCVAE([24, 72], [10], 4, C, 2, True, variant="nmmlp")
+    cls, layout, grouped = select_packed_trainer(nm, True)
+    assert grouped and cls is GroupedMultiFoldTrainer
