@@ -176,21 +176,80 @@ def main(args, project_root=None):
     key42 = common.host_prng_key(42)
     keys = [key42 for _ in range(n_folds)]  # reference parity
 
-    print('train model')
     from .common import run_folds
 
     mesh, mesh_shardings = common.parse_run_mesh(args, n_folds,
                                                  config.batch_size)
-    per_fold_params, per_fold_logs = run_folds(
-        model, config, [f['train'] for f in fold_data], params_list, keys,
-        getattr(args, 'fold_parallel', False), loss_fn=loss_fn,
-        state_update=state_update,
-        per_fold_extras=[
-            {'labels': f['train_labels'].astype(np.float32)[:, None]}
-            for f in fold_data
-        ], mesh=mesh, shardings_fn=mesh_shardings, state_dir=model_dir,
-        checkpoint_every=getattr(args, 'checkpoint_every', 0) or 0,
-        resume=getattr(args, 'resume', False))
+    common.require_checkpoint_for_resume(args)
+    checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
+    resume = getattr(args, 'resume', False)
+    packed = getattr(args, 'packed_xla', False)
+    if packed:
+        reasons = [r for r, on in [('--mesh', mesh is not None)] if on]
+        if not reasons:
+            cov_reason = common.uniform_covariates(
+                [f['train'] for f in fold_data])
+            if cov_reason:
+                reasons.append(cov_reason)
+        if reasons:
+            print(f'--packed_xla unavailable ({"; ".join(reasons)}); '
+                  'using the per-modality layout')
+            packed = False
+    if packed:
+        from ..train.packed_endtoend import (
+            GroupedEndToEndMultiTrainer,
+            GroupedEndToEndTrainer,
+            endtoend_state_dirname,
+        )
+
+        labels_f = [f['train_labels'].astype(np.float32) for f in fold_data]
+        if getattr(args, 'fold_parallel', False):
+            max_n = max(f['train'][0][0].shape[0] for f in fold_data)
+            tr = GroupedEndToEndMultiTrainer(model, config, max_n,
+                                             args.margin,
+                                             args.weightcontrastive)
+            print('train model (all folds fold-parallel, packed dual-bank '
+                  'endtoend modalities)')
+            e2e_folds = [(f['train'][0], f['train'][1][0], lab)
+                         for f, lab in zip(fold_data, labels_f)]
+            if checkpoint_every:
+                per_fold_params, per_fold_logs = tr.run_resumable(
+                    params_list, e2e_folds, list(keys),
+                    state_dir=model_dir / endtoend_state_dirname(),
+                    checkpoint_every=checkpoint_every, resume=resume)
+            else:
+                per_fold_params, per_fold_logs = tr.run(
+                    params_list, e2e_folds, list(keys))
+        else:
+            tr = GroupedEndToEndTrainer(
+                model, config, fold_data[0]['train'][0][0].shape[0],
+                args.margin, args.weightcontrastive)
+            print('train model (packed dual-bank endtoend modalities)')
+            per_fold_params, per_fold_logs = [], []
+            for f_i, (f, lab) in enumerate(zip(fold_data, labels_f)):
+                data_list, cov_list = f['train']
+                if checkpoint_every:
+                    p, lg = tr.run_resumable(
+                        params_list[f_i], data_list, cov_list[0], lab,
+                        keys[f_i],
+                        state_dir=model_dir / endtoend_state_dirname(f_i),
+                        checkpoint_every=checkpoint_every, resume=resume)
+                else:
+                    p, lg = tr.run(params_list[f_i], data_list,
+                                   cov_list[0], lab, keys[f_i])
+                per_fold_params.append(p)
+                per_fold_logs.append(lg)
+    else:
+        print('train model')
+        per_fold_params, per_fold_logs = run_folds(
+            model, config, [f['train'] for f in fold_data], params_list,
+            keys, getattr(args, 'fold_parallel', False), loss_fn=loss_fn,
+            state_update=state_update,
+            per_fold_extras=[
+                {'labels': f['train_labels'].astype(np.float32)[:, None]}
+                for f in fold_data
+            ], mesh=mesh, shardings_fn=mesh_shardings, state_dir=model_dir,
+            checkpoint_every=checkpoint_every, resume=resume)
 
     # ---- eval: ONE vmapped predict over the stacked fold axis (rows are
     # independent through the model; pad test rows to a common bucket) -------
@@ -268,6 +327,15 @@ def build_parser() -> argparse.ArgumentParser:
                         action='store_true',
                         help='train every CV fold concurrently as one '
                              'vmapped device program.')
+    parser.add_argument('--packed_xla', dest='packed_xla',
+                        action='store_true',
+                        help='train on the packed dual-bank layout: both '
+                             'decoder banks ride one [2M] batched-einsum '
+                             'modality axis, width-dependent ops run per '
+                             'width group at exact width (the endtoend '
+                             'model has the longest serialized matmul '
+                             'chain in the zoo — packing it cuts the most '
+                             'chain links)')
     common.add_mesh_flag(parser)
     common.add_resume_flags(parser)
     return parser

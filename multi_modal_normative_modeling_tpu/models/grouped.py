@@ -58,6 +58,76 @@ def width_groups(input_dim_list: Sequence[int]) -> List[Tuple[int, List[int]]]:
     return groups
 
 
+def pack_grouped_encoder(groups, perm, enc_list, n_hidden) -> dict:
+    """Per-modality encoder pytrees -> the grouped encoder layout: layer-0
+    tensors stacked per width group at exact width, the width-uniform
+    hidden layers and mu/logvar heads stacked over ALL modalities in
+    grouped order. Shared by GroupedStackedCVAE and the endtoend packed
+    model (models/grouped_endtoend.py)."""
+    stack = lambda xs: jnp.stack(xs)
+    enc0 = [{
+        "w": stack([enc_list[m]["hidden"][0]["w"] for m in idx]),
+        "b": stack([enc_list[m]["hidden"][0]["b"] for m in idx]),
+    } for _, idx in groups]
+    enc_layers = [{
+        "w": stack([enc_list[m]["hidden"][l]["w"] for m in perm]),
+        "b": stack([enc_list[m]["hidden"][l]["b"] for m in perm]),
+    } for l in range(1, n_hidden)]
+    return {
+        "layer0": enc0,
+        "layers": enc_layers,
+        "wmu": stack([enc_list[m]["mu"]["w"] for m in perm]),
+        "bmu": stack([enc_list[m]["mu"]["b"] for m in perm]),
+        "wlv": stack([enc_list[m]["logvar"]["w"] for m in perm]),
+        "blv": stack([enc_list[m]["logvar"]["b"] for m in perm]),
+    }
+
+
+def unpack_grouped_encoder(groups, perm, packed_enc, modalities) -> list:
+    """Inverse of pack_grouped_encoder -> per-modality encoder pytrees."""
+    inv = {pm: i for i, pm in enumerate(perm)}
+    enc = []
+    for m in range(modalities):
+        gi = next(g for g, (_, idx) in enumerate(groups) if m in idx)
+        within = groups[gi][1].index(m)
+        p = inv[m]
+        e = packed_enc
+        hidden = [{"w": e["layer0"][gi]["w"][within],
+                   "b": e["layer0"][gi]["b"][within]}]
+        hidden += [{"w": lay["w"][p], "b": lay["b"][p]}
+                   for lay in e["layers"]]
+        enc.append({
+            "hidden": hidden,
+            "mu": {"w": e["wmu"][p], "b": e["bmu"][p]},
+            "logvar": {"w": e["wlv"][p], "b": e["blv"][p]},
+        })
+    return enc
+
+
+def grouped_encode(e: dict, x_groups, c: jnp.ndarray, act):
+    """The grouped encoder forward: per-width-group layer-0 einsums, then
+    width-uniform batched einsums over all modalities, merged mu/logvar
+    heads (one [M, H, 2Z] einsum — exact math, see models/stacked.py).
+    Returns (mus, logvars) as [M, B, Z] in grouped modality order."""
+    hs = []
+    for gi, lay0 in enumerate(e["layer0"]):
+        xg = x_groups[gi]
+        g_m = xg.shape[0]
+        h = jnp.concatenate(
+            [xg, jnp.broadcast_to(c, (g_m,) + c.shape)], axis=2)
+        hs.append(act(jnp.einsum("gbk,gkh->gbh", h, lay0["w"])
+                      + lay0["b"][:, None, :]))
+    h = jnp.concatenate(hs, axis=0)           # [M, B, H0] grouped order
+    for lay in e["layers"]:
+        h = act(jnp.einsum("mbk,mkh->mbh", h, lay["w"])
+                + lay["b"][:, None, :])
+    wml = jnp.concatenate([e["wmu"], e["wlv"]], axis=2)
+    bml = jnp.concatenate([e["bmu"], e["blv"]], axis=1)
+    stats = jnp.einsum("mbk,mkz->mbz", h, wml) + bml[:, None, :]
+    z_dim = e["wmu"].shape[2]
+    return stats[..., :z_dim], stats[..., z_dim:]
+
+
 class GroupedStackedCVAE:
     """Pad-free width-grouped form of the MultimodalCVAE skeleton.
 
@@ -110,29 +180,15 @@ class GroupedStackedCVAE:
         order."""
         L = self.n_hidden
         stack = lambda xs: jnp.stack(xs)
-        enc0, dec_out = [], []
-        for _, idx in self.groups:
-            enc0.append({
-                "w": stack([per_modality["enc"][m]["hidden"][0]["w"]
-                            for m in idx]),
-                "b": stack([per_modality["enc"][m]["hidden"][0]["b"]
-                            for m in idx]),
-            })
-            dec_out.append({
-                "wm": stack([per_modality["dec"][m]["mean"]["w"]
-                             for m in idx]),
-                "bm": stack([per_modality["dec"][m]["mean"]["b"]
-                             for m in idx]),
-                "lvo": stack([per_modality["dec"][m]["logvar_out"][0]
-                              for m in idx]),
-            })
+        dec_out = [{
+            "wm": stack([per_modality["dec"][m]["mean"]["w"]
+                         for m in idx]),
+            "bm": stack([per_modality["dec"][m]["mean"]["b"]
+                         for m in idx]),
+            "lvo": stack([per_modality["dec"][m]["logvar_out"][0]
+                          for m in idx]),
+        } for _, idx in self.groups]
         pi = self.perm
-        enc_layers = [{
-            "w": stack([per_modality["enc"][m]["hidden"][l]["w"]
-                        for m in pi]),
-            "b": stack([per_modality["enc"][m]["hidden"][l]["b"]
-                        for m in pi]),
-        } for l in range(1, L)]
         dec_layers = [{
             "w": stack([per_modality["dec"][m]["hidden"][l]["w"]
                         for m in pi]),
@@ -140,18 +196,8 @@ class GroupedStackedCVAE:
                         for m in pi]),
         } for l in range(L)]
         return {
-            "enc": {
-                "layer0": enc0,
-                "layers": enc_layers,
-                "wmu": stack([per_modality["enc"][m]["mu"]["w"]
-                              for m in pi]),
-                "bmu": stack([per_modality["enc"][m]["mu"]["b"]
-                              for m in pi]),
-                "wlv": stack([per_modality["enc"][m]["logvar"]["w"]
-                              for m in pi]),
-                "blv": stack([per_modality["enc"][m]["logvar"]["b"]
-                              for m in pi]),
-            },
+            "enc": pack_grouped_encoder(self.groups, pi,
+                                        per_modality["enc"], L),
             "dec": {"layers": dec_layers, "out": dec_out},
             # fusion weights in grouped order (combine_latent indexes
             # alpha positionally against the stacked mus)
@@ -160,24 +206,15 @@ class GroupedStackedCVAE:
 
     def unpack_params(self, packed: dict) -> dict:
         """Grouped layout -> the per-modality pytree (checkpoints)."""
-        L = self.n_hidden
         inv = {pm: i for i, pm in enumerate(self.perm)}
-        enc, dec = [], []
+        enc = unpack_grouped_encoder(self.groups, self.perm, packed["enc"],
+                                     self.modalities)
+        dec = []
         for m in range(self.modalities):
             gi = next(g for g, (_, idx) in enumerate(self.groups)
                       if m in idx)
             within = self.groups[gi][1].index(m)
             p = inv[m]
-            e = packed["enc"]
-            hidden = [{"w": e["layer0"][gi]["w"][within],
-                       "b": e["layer0"][gi]["b"][within]}]
-            hidden += [{"w": lay["w"][p], "b": lay["b"][p]}
-                       for lay in e["layers"]]
-            enc.append({
-                "hidden": hidden,
-                "mu": {"w": e["wmu"][p], "b": e["bmu"][p]},
-                "logvar": {"w": e["wlv"][p], "b": e["blv"][p]},
-            })
             d = packed["dec"]
             dec.append({
                 "hidden": [{"w": lay["w"][p], "b": lay["b"][p]}
@@ -201,26 +238,7 @@ class GroupedStackedCVAE:
                 combine: str) -> dict:
         """x_groups: tuple per group of [G_g, B, d_g]; c: [B, c_dim]."""
         act = leaky_relu if self.non_linear else (lambda a: a)
-        e = params["enc"]
-        hs = []
-        for gi, lay0 in enumerate(e["layer0"]):
-            xg = x_groups[gi]
-            g_m = xg.shape[0]
-            h = jnp.concatenate(
-                [xg, jnp.broadcast_to(c, (g_m,) + c.shape)], axis=2)
-            hs.append(act(jnp.einsum("gbk,gkh->gbh", h, lay0["w"])
-                          + lay0["b"][:, None, :]))
-        h = jnp.concatenate(hs, axis=0)           # [M, B, H0] grouped order
-        for lay in e["layers"]:
-            h = act(jnp.einsum("mbk,mkh->mbh", h, lay["w"])
-                    + lay["b"][:, None, :])
-        # merged mu/logvar heads (one [M, H, 2Z] einsum, exact math — see
-        # models/stacked.py forward)
-        wml = jnp.concatenate([e["wmu"], e["wlv"]], axis=2)
-        bml = jnp.concatenate([e["bmu"], e["blv"]], axis=1)
-        stats = jnp.einsum("mbk,mkz->mbz", h, wml) + bml[:, None, :]
-        z_dim = e["wmu"].shape[2]
-        mus, logvars = stats[..., :z_dim], stats[..., z_dim:]
+        mus, logvars = grouped_encode(params["enc"], x_groups, c, act)
 
         # variant-exact fusion (one owner with the padded layout); the
         # fusion sums are permutation-invariant, so the grouped stat order

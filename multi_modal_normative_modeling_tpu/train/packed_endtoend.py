@@ -1,0 +1,256 @@
+"""Whole-fold trainers for the packed dual-bank endtoend model.
+
+Same contracts as train/grouped.py's trainers (reference hot loop
+multimodal_kfold_cvae_nmpmcont.py:296-315), with the layout swapped for
+models/grouped_endtoend.GroupedEndToEnd: both decoder banks ride one [2M]
+batched-einsum axis, width-dependent ops run per width group at exact
+width. The BatchNorm running statistics update exactly like the
+per-modality path: the loss aux carries ``__bn_state__`` and
+build_train_fn's ``state_update`` writes it back after the optimizer step
+(all-padding batches skip both, keeping padded-grid trajectories
+bit-identical).
+
+PRNG streams match the per-modality run_folds path exactly (same
+per-epoch/per-step splits; the model does the same 3-way split for
+z/dropout), so trajectories agree to float-reorder tolerance
+(tests/test_packed_endtoend.py).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.grouped_endtoend import GroupedEndToEnd
+from .grouped import make_grouped_fold_batches
+from .packed import _pack_params_host, _unpack_params_host
+from .trainer import (
+    TrainConfig,
+    add_batch_meta,
+    build_optimizer,
+    build_train_fn,
+)
+
+
+def endtoend_state_dirname(fold: "int | None" = None) -> str:
+    """Resumable-state dir naming for the packed endtoend layout (its own
+    trajectory family — the state pytree is the grouped dual-bank tree)."""
+    return ("grouped-e2e-state" if fold is None
+            else f"{fold:03d}-grouped-e2e-state")
+
+
+def make_endtoend_fold_batches(grouped: GroupedEndToEnd,
+                               data_list: Sequence[np.ndarray],
+                               cov: np.ndarray, labels: np.ndarray,
+                               batch_size: int) -> dict:
+    """make_grouped_fold_batches + the per-sample labels extras block
+    (batched [NB, B, 1] float like trainer.make_batches extras)."""
+    b = make_grouped_fold_batches(grouped, data_list, cov, batch_size)
+    n = data_list[0].shape[0]
+    nb = b["mask"].shape[0]
+    lab = np.zeros((nb * batch_size, 1), np.float32)
+    lab[:n, 0] = np.asarray(labels, np.float32).reshape(-1)
+    b["extras"] = {"labels": lab.reshape(nb, batch_size, 1)}
+    return b
+
+
+def _endtoend_loss_fn(grouped: GroupedEndToEnd, margin: float,
+                      weight_contrastive: float):
+    """Mirrors cli/nmpmcont.py's per-modality loss_fn on the packed layout
+    (loss_function called with only margin + weightcontrastive — the
+    reference quirk; effective kl/rec weights are the method defaults)."""
+
+    def loss_fn(p, batch, k):
+        labels = batch["extras"]["labels"][:, 0].astype(jnp.int32)
+        fwd = grouped.forward(p, batch["x"], batch["c"], k, train=True,
+                              mask=batch["mask"])
+        losses = grouped.loss(p, batch["x"], fwd, labels, margin=margin,
+                              weight_contrastive=weight_contrastive,
+                              mask=batch["mask"])
+        losses["__bn_state__"] = fwd["bn_state"]
+        return losses["total_loss"], losses
+
+    return loss_fn
+
+
+def _bn_update(params, aux):
+    return {**params, "bn_state": aux["__bn_state__"]}
+
+
+class GroupedEndToEndTrainer:
+    """Sequential whole-fold trainer on the packed dual-bank layout."""
+
+    def __init__(self, model, config: TrainConfig, n_samples: int,
+                 margin: float, weight_contrastive: float):
+        assert not config.shuffle, "packed trainers train in fixed batch order"
+        self.grouped = GroupedEndToEnd(
+            model.input_dim_list, model.hidden_dim, model.latent_dim,
+            model.c_dim, model.modalities, model.non_linear,
+            model.classifier_layers, model.dropout_rate, model.num_classes)
+        self.config = config
+        # the contrastive hyperparameters shape the gradient sequence, so
+        # they join the resume fingerprint
+        self.loss_meta = add_batch_meta(
+            {"loss": "packed_grouped_endtoend",
+             "precision": config.precision, "margin": str(margin),
+             "wcon": str(weight_contrastive)}, config)
+        self.optimizer = build_optimizer(config, n_samples)
+        self._raw_train = build_train_fn(
+            _endtoend_loss_fn(self.grouped, margin, weight_contrastive),
+            self.optimizer, config.epochs, shuffle=False,
+            state_update=_bn_update)
+        self._train = jax.jit(self._raw_train)
+        self._chunk_cache: dict = {}
+
+    def _packed(self, per_modality_params):
+        memo = getattr(self, "_pack_memo", None)
+        if memo is not None and memo[0] is per_modality_params:
+            return memo[1]
+        packed = _pack_params_host(self.grouped, per_modality_params)
+        self._pack_memo = (per_modality_params, packed)
+        return packed
+
+    def _batches(self, data_list, cov, labels):
+        return jax.device_put(make_endtoend_fold_batches(
+            self.grouped, data_list, cov, labels, self.config.batch_size))
+
+    def run(self, per_modality_params, data_list, cov, labels, key):
+        packed = self._packed(per_modality_params)
+        out, logs = self._train(packed, self._batches(data_list, cov,
+                                                      labels), key)
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
+        return (_unpack_params_host(self.grouped, host),
+                jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
+
+    def chunk_fn(self, n_epochs: int):
+        if n_epochs not in self._chunk_cache:
+            import functools
+
+            self._chunk_cache[n_epochs] = jax.jit(functools.partial(
+                self._raw_train.chunk, n_epochs))
+        return self._chunk_cache[n_epochs]
+
+    def run_resumable(self, per_modality_params, data_list, cov, labels,
+                      key, state_dir, checkpoint_every: int,
+                      resume: bool = True):
+        from .checkpoints import run_chunked
+
+        packed = self._packed(per_modality_params)
+        batches = self._batches(data_list, cov, labels)
+
+        def template_fn():
+            shapes = jax.eval_shape(self.optimizer.init, packed)
+            return {"params": packed, "key": key,
+                    "opt_state": jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+
+        def run_chunk(n, p, opt_state, k):
+            if opt_state is None:
+                opt_state = jax.jit(self.optimizer.init)(p)
+            return self.chunk_fn(n)(p, opt_state, k, batches)
+
+        params, logs = run_chunked(state_dir, self.config.epochs,
+                                   checkpoint_every, resume, packed, None,
+                                   key, run_chunk, template_fn,
+                                   meta=self.loss_meta)
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+        return _unpack_params_host(self.grouped, host), logs
+
+
+class GroupedEndToEndMultiTrainer(GroupedEndToEndTrainer):
+    """vmap(packed endtoend whole-fold trainer) over a stacked fold axis:
+    [F, NB, 2M, B, d] decoder operands — every fold's dual-bank step in one
+    device program."""
+
+    def __init__(self, model, config: TrainConfig, n_samples: int,
+                 margin: float, weight_contrastive: float):
+        super().__init__(model, config, n_samples, margin,
+                         weight_contrastive)
+        self.loss_meta = dict(self.loss_meta, path="fold_parallel")
+        self._vtrain = jax.jit(jax.vmap(self._raw_train))
+
+    def _stack_packed(self, params_list):
+        packs: dict = {}
+        packed_list = []
+        for p in params_list:
+            if id(p) not in packs:
+                packs[id(p)] = _pack_params_host(self.grouped, p)
+            packed_list.append(packs[id(p)])
+        from ..parallel.folds import stack_params
+
+        return stack_params(packed_list)
+
+    def pack_folds(self, folds) -> dict:
+        """folds: list of (data_list, cov, labels); every fold padded to
+        the largest fold's batch grid (labels extras ride the same pad)."""
+        per_fold = [make_endtoend_fold_batches(
+            self.grouped, d, c, lab, self.config.batch_size)
+            for d, c, lab in folds]
+        max_nb = max(b["mask"].shape[0] for b in per_fold)
+        padded = []
+        for b in per_fold:
+            cur = b["mask"].shape[0]
+            if cur < max_nb:
+                b = jax.tree_util.tree_map(
+                    lambda a: np.pad(a, [(0, max_nb - cur)]
+                                     + [(0, 0)] * (a.ndim - 1)), b)
+            padded.append(b)
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
+
+    def _per_fold(self, out, logs, n_folds):
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
+        host_logs = jax.tree_util.tree_map(np.asarray,
+                                           jax.device_get(logs))
+        per_fold_params = [
+            _unpack_params_host(
+                self.grouped,
+                jax.tree_util.tree_map(lambda leaf: leaf[f], host))
+            for f in range(n_folds)
+        ]
+        per_fold_logs = [{k: v[f] for k, v in host_logs.items()}
+                         for f in range(n_folds)]
+        return per_fold_params, per_fold_logs
+
+    def run(self, params_list, folds, keys):
+        stacked_params = self._stack_packed(params_list)
+        batches = jax.device_put(self.pack_folds(folds))
+        keys = jnp.stack(list(keys))
+        out, logs = self._vtrain(stacked_params, batches, keys)
+        return self._per_fold(out, logs, len(params_list))
+
+    def _chunk_jit(self, n: int):
+        if n not in self._chunk_cache:
+            import functools
+
+            self._chunk_cache[n] = jax.jit(jax.vmap(functools.partial(
+                self._raw_train.chunk, n)))
+        return self._chunk_cache[n]
+
+    def run_resumable(self, params_list, folds, keys, state_dir,
+                      checkpoint_every: int, resume: bool = True):
+        from .checkpoints import run_chunked
+
+        stacked_params = self._stack_packed(params_list)
+        batches = jax.device_put(self.pack_folds(folds))
+        keys = jnp.stack(list(keys))
+        init_opt = jax.jit(jax.vmap(self.optimizer.init))
+
+        def template_fn():
+            shapes = jax.eval_shape(jax.vmap(self.optimizer.init),
+                                    stacked_params)
+            return {"params": stacked_params, "key": keys,
+                    "opt_state": jax.tree_util.tree_map(
+                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+
+        def run_chunk(n, p, opt_state, k):
+            if opt_state is None:
+                opt_state = init_opt(p)
+            return self._chunk_jit(n)(p, opt_state, k, batches)
+
+        params, logs = run_chunked(state_dir, self.config.epochs,
+                                   checkpoint_every, resume, stacked_params,
+                                   None, keys, run_chunk, template_fn,
+                                   logs_concat_axis=1, meta=self.loss_meta)
+        return self._per_fold(params, logs, len(params_list))
