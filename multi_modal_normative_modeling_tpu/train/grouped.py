@@ -149,16 +149,29 @@ def grouped_routing(model) -> bool:
 def select_packed_trainer(model, fold_parallel: bool):
     """ONE owner for the --packed_xla layout routing used by
     cli/train_supervised, cli/sweep_supervised and common.run_folds:
-    (trainer_cls, layout_name, grouped)."""
+    (trainer_cls, layout_name, layout_tag) with layout_tag in
+    {'padded', 'grouped', 'dmvae'} keying the resumable-state dirname
+    (each layout's state pytree is its own trajectory family)."""
+    if getattr(model, "variant", None) in ("dmvae", "weighted",
+                                           "mmvaeplus"):
+        from .grouped_dmvae import (
+            GroupedDMVAEFoldTrainer,
+            GroupedDMVAEMultiFoldTrainer,
+        )
+
+        cls = (GroupedDMVAEMultiFoldTrainer if fold_parallel
+               else GroupedDMVAEFoldTrainer)
+        return cls, "split-latent grouped", "dmvae"
     g = grouped_routing(model)
     if fold_parallel:
         cls = GroupedMultiFoldTrainer if g else PackedMultiFoldTrainer
     else:
         cls = GroupedFoldTrainer if g else PackedFoldTrainer
-    return cls, ("width-grouped" if g else "packed"), g
+    return cls, ("width-grouped" if g else "packed"), (
+        "grouped" if g else "padded")
 
 
-def notice_stale_padded_state(state_dir, grouped: bool,
+def notice_stale_padded_state(state_dir, layout,
                               fold: "int | None" = None) -> None:
     """Routing-migration notice (round 4): a pre-round-4 --packed_xla run on
     a mixed-width cohort wrote its resumable state to the PADDED layout's
@@ -166,22 +179,27 @@ def notice_stale_padded_state(state_dir, grouped: bool,
     writes) its own dir — the old state is never opened, so a --resume
     starts fresh. That restart is correct (the layout change is a numerics
     change), but say so instead of silently orphaning the old state."""
-    if not grouped:
-        return
+    if layout in (False, "padded", "dmvae"):
+        return  # padded reads its own state; dmvae never had a padded era
     from pathlib import Path
 
-    stale = Path(state_dir) / packed_state_dirname(False, fold)
+    stale = Path(state_dir) / packed_state_dirname("padded", fold)
     if stale.exists():
         print(
             f'note: leftover padded-layout resume state at {stale} — this '
             'mixed-width cohort now routes to the width-grouped layout '
-            f'(state dir {packed_state_dirname(True, fold)!r}), whose '
+            f'(state dir {packed_state_dirname("grouped", fold)!r}), whose '
             'numerics differ, so training (re)starts from the grouped '
             'state; the padded state is ignored and can be deleted')
 
 
-def packed_state_dirname(grouped: bool, fold: "int | None" = None) -> str:
+def packed_state_dirname(layout, fold: "int | None" = None) -> str:
     """Resumable-state dir naming shared by every --packed_xla surface
-    (layout-specific: the state pytrees differ between layouts)."""
-    base = "grouped-state" if grouped else "packed-state"
+    (layout-specific: the state pytrees differ between layouts). ``layout``
+    is a select_packed_trainer tag; booleans mean grouped/padded
+    (pre-round-5 callers)."""
+    if isinstance(layout, bool):
+        layout = "grouped" if layout else "padded"
+    base = {"grouped": "grouped-state", "padded": "packed-state",
+            "dmvae": "grouped-dmvae-state"}[layout]
     return base if fold is None else f"{fold:03d}-{base}"

@@ -35,12 +35,15 @@ from .trainer import TrainConfig, build_optimizer, build_train_fn
 def packed_supported(model, config: TrainConfig) -> Tuple[bool, str]:
     # the whole cvae skeleton packs (round 4): mmjsd/mvtcae share the
     # encoder/decoder MLPs and differ only in fuse/loss, which
-    # StackedMultimodalCVAE(variant=...) reproduces branch-for-branch
+    # StackedMultimodalCVAE(variant=...) reproduces branch-for-branch;
+    # round 5 adds the split-latent DMVAE family on its own grouped layout
+    # (train/grouped_dmvae.py, routed by select_packed_trainer)
     if getattr(model, "variant", None) not in ("cvae", "mmjsd", "mvtcae",
-                                               "nmmlp"):
+                                               "nmmlp", "dmvae", "weighted",
+                                               "mmvaeplus"):
         return False, (f"model variant {getattr(model, 'variant', None)!r} "
-                       "(packed supports the cvae skeleton: "
-                       "cvae/mmjsd/mvtcae/nmmlp)")
+                       "(packed supports the cvae skeleton "
+                       "cvae/mmjsd/mvtcae/nmmlp and the DMVAE family)")
     if config.precision == "bf16" \
             and getattr(model, "variant", None) != "cvae":
         return False, ("bf16 packed path is cvae-only (the mmjsd/mvtcae "

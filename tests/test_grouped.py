@@ -365,12 +365,12 @@ def test_routing_extends_to_skeleton_variants():
 
     for name in ("mmJSD", "mvtCAE"):
         mixed = build_model(name, [24, 24, 72], [10], 4, C, 3)
-        cls, layout, grouped = select_packed_trainer(mixed, False)
-        assert grouped and layout == "width-grouped"
+        cls, layout, tag = select_packed_trainer(mixed, False)
+        assert tag == "grouped" and layout == "width-grouped"
         assert cls is GroupedFoldTrainer
         uniform = build_model(name, [24, 24, 24], [10], 4, C, 3)
-        _, layout, grouped = select_packed_trainer(uniform, True)
-        assert not grouped and layout == "packed"
+        _, layout, tag = select_packed_trainer(uniform, True)
+        assert tag == "padded" and layout == "packed"
     nm = MultimodalCVAE([24, 72], [10], 4, C, 2, True, variant="nmmlp")
-    cls, layout, grouped = select_packed_trainer(nm, True)
-    assert grouped and cls is GroupedMultiFoldTrainer
+    cls, layout, tag = select_packed_trainer(nm, True)
+    assert tag == "grouped" and cls is GroupedMultiFoldTrainer

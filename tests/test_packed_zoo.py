@@ -186,10 +186,32 @@ def test_run_folds_packed_falls_back_loudly(capsys):
     assert len(out_params) == 1
 
 
-def test_dmvae_still_refused():
+def test_dmvae_packs_on_its_own_layout():
+    """Round 5: the DMVAE family passes packed_supported and routes to the
+    split-latent grouped trainers (its own state dirname); bf16 stays
+    cvae-only."""
+    from multi_modal_normative_modeling_tpu.train.grouped import (
+        packed_state_dirname,
+        select_packed_trainer,
+    )
+    from multi_modal_normative_modeling_tpu.train.grouped_dmvae import (
+        GroupedDMVAEFoldTrainer,
+        GroupedDMVAEMultiFoldTrainer,
+    )
+
     dm = build_model("DMVAE", [16, 12], [10, 8], 8, 3, 2)
     ok, reason = packed_supported(dm, TrainConfig(combine="gpoe"))
-    assert not ok and "skeleton" in reason
+    assert ok, reason
+    ok, reason = packed_supported(
+        dm, TrainConfig(combine="gpoe", precision="bf16"))
+    assert not ok and "cvae-only" in reason
+    cls, layout, tag = select_packed_trainer(dm, False)
+    assert cls is GroupedDMVAEFoldTrainer and tag == "dmvae"
+    assert layout == "split-latent grouped"
+    cls, _, tag = select_packed_trainer(dm, True)
+    assert cls is GroupedDMVAEMultiFoldTrainer
+    assert packed_state_dirname(tag) == "grouped-dmvae-state"
+    assert packed_state_dirname(tag, 2) == "002-grouped-dmvae-state"
 
 
 def test_two_axis_ep_trainer_refuses_non_cvae():

@@ -366,14 +366,14 @@ def test_grouped_resume_notices_stale_padded_state(tmp_path, capsys):
     )
 
     (tmp_path / packed_state_dirname(False)).mkdir()
-    notice_stale_padded_state(tmp_path, grouped=True)
+    notice_stale_padded_state(tmp_path, "grouped")
     out = capsys.readouterr().out
     assert "padded-layout resume state" in out
     assert "width-grouped" in out
     # per-fold variant, and silence when nothing is stale / not grouped
     (tmp_path / packed_state_dirname(False, 2)).mkdir()
-    notice_stale_padded_state(tmp_path, grouped=True, fold=2)
+    notice_stale_padded_state(tmp_path, "grouped", fold=2)
     assert "padded-layout" in capsys.readouterr().out
-    notice_stale_padded_state(tmp_path, grouped=True, fold=1)
-    notice_stale_padded_state(tmp_path, grouped=False)
+    notice_stale_padded_state(tmp_path, "grouped", fold=1)
+    notice_stale_padded_state(tmp_path, "padded")
     assert capsys.readouterr().out == ""
