@@ -140,16 +140,87 @@ def train_and_test(args, project_root=None):
     params_list = [init_params for _ in range(n_folds)]
     key42 = host_prng_key(42)
     keys = [key42 for _ in range(n_folds)]  # reference parity
-    from .common import parse_run_mesh, run_folds
+    from .common import (
+        parse_run_mesh,
+        require_checkpoint_for_resume,
+        run_folds,
+    )
 
     mesh, mesh_shardings = parse_run_mesh(args, n_folds, config.batch_size)
-    per_fold_params, per_fold_logs = run_folds(
-        model, config, [f['train'] for f in fold_data], params_list, keys,
-        getattr(args, 'fold_parallel', False), loss_fn=loss_fn,
-        per_fold_extras=[{'fi': f['train_fi'][:, None]} for f in fold_data],
-        mesh=mesh, shardings_fn=mesh_shardings, state_dir=output_dir,
-        checkpoint_every=getattr(args, 'checkpoint_every', 0) or 0,
-        resume=getattr(args, 'resume', False))
+    require_checkpoint_for_resume(args)
+    checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
+    resume = getattr(args, 'resume', False)
+    fold_parallel = getattr(args, 'fold_parallel', False)
+    packed = getattr(args, 'packed_xla', False)
+    if packed:
+        # covariates are uniform by construction here (one train_cov block
+        # repeated per modality); fusion/mesh are the live constraints
+        reasons = [r for r, on in [
+            ('--mesh', mesh is not None),
+            (f'fusion {config.combine!r}',
+             config.combine.lower() not in ('poe', 'gpoe', 'moe', 'mopoe')),
+        ] if on]
+        if reasons:
+            print(f'--packed_xla unavailable ({"; ".join(reasons)}); '
+                  'using the per-modality layout')
+            packed = False
+    if packed and fold_parallel:
+        nbs = {max(1, -(-f['train'][0][0].shape[0] // config.batch_size))
+               for f in fold_data}
+        if len(nbs) > 1:
+            # same contract as run_folds: vmapped folds share one batch
+            # grid, and the per-epoch shuffle permutes over it
+            print('fold-parallel disabled for this packed run: '
+                  'shuffle=True with unequal fold batch grids would '
+                  'diverge from the sequential numerics; training folds '
+                  'sequentially')
+            fold_parallel = False
+    if packed:
+        from ..train.packed_regression import (
+            GroupedRegressionMultiTrainer,
+            GroupedRegressionTrainer,
+            regression_state_dirname,
+        )
+
+        reg_folds = [(f['train'][0], f['train'][1][0], f['train_fi'])
+                     for f in fold_data]
+        if fold_parallel:
+            max_n = max(f['train'][0][0].shape[0] for f in fold_data)
+            tr = GroupedRegressionMultiTrainer(model, config, max_n)
+            print('train model (all folds fold-parallel, width-grouped '
+                  'regression modalities)')
+            if checkpoint_every:
+                per_fold_params, per_fold_logs = tr.run_resumable(
+                    params_list, reg_folds, list(keys),
+                    state_dir=output_dir / regression_state_dirname(),
+                    checkpoint_every=checkpoint_every, resume=resume)
+            else:
+                per_fold_params, per_fold_logs = tr.run(
+                    params_list, reg_folds, list(keys))
+        else:
+            tr = GroupedRegressionTrainer(
+                model, config, fold_data[0]['train'][0][0].shape[0])
+            print('train model (width-grouped regression modalities)')
+            per_fold_params, per_fold_logs = [], []
+            for f_i, (d, c, fi) in enumerate(reg_folds):
+                if checkpoint_every:
+                    p, lg = tr.run_resumable(
+                        params_list[f_i], d, c, fi, keys[f_i],
+                        state_dir=output_dir
+                        / regression_state_dirname(f_i),
+                        checkpoint_every=checkpoint_every, resume=resume)
+                else:
+                    p, lg = tr.run(params_list[f_i], d, c, fi, keys[f_i])
+                per_fold_params.append(p)
+                per_fold_logs.append(lg)
+    else:
+        per_fold_params, per_fold_logs = run_folds(
+            model, config, [f['train'] for f in fold_data], params_list,
+            keys, fold_parallel, loss_fn=loss_fn,
+            per_fold_extras=[{'fi': f['train_fi'][:, None]}
+                             for f in fold_data],
+            mesh=mesh, shardings_fn=mesh_shardings, state_dir=output_dir,
+            checkpoint_every=checkpoint_every, resume=resume)
 
     # ---- phase 3: fold-stacked eval + artifacts -----------------------------
     # The full-cohort blocks are IDENTICAL across folds (the reference re-reads
@@ -279,6 +350,12 @@ def build_parser() -> argparse.ArgumentParser:
                         action='store_true',
                         help='train every CV fold concurrently as one '
                              'vmapped device program.')
+    parser.add_argument('--packed_xla', dest='packed_xla',
+                        action='store_true',
+                        help='train on the packed (width-grouped) layout: '
+                             'the cvae skeleton rides batched [M] einsums '
+                             'with the residual-concat regressor on top; '
+                             'the per-epoch shuffle is preserved')
     from .common import add_mesh_flag
 
     add_mesh_flag(parser)

@@ -269,7 +269,8 @@ def build_optimizer(config: TrainConfig, n_samples: int) -> optax.GradientTransf
 def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
                    epochs: int, shuffle: bool = False,
                    state_update: Optional[Callable] = None,
-                   with_hyper: bool = False):
+                   with_hyper: bool = False,
+                   shuffle_fn: Optional[Callable] = None):
     """Compile-ready whole-fold trainer.
 
     ``loss_fn(params, batch, key) -> (total, aux_dict)`` where ``batch`` is
@@ -281,6 +282,12 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
     ``state_update(params, aux) -> params`` optionally applies
     non-gradient state carried in the aux dict (e.g. BatchNorm running
     statistics) after the optimizer step.
+
+    ``shuffle_fn(batches, key) -> batches`` overrides the per-epoch
+    reshuffle for batch layouts whose sample axis is not axis 1 (the
+    packed layouts — train/packed_regression.grouped_shuffle_fn); it must
+    consume the SAME permutation stream so trajectories match the
+    per-modality shuffled run.
 
     Returns ``train(params, batches, key) -> (params, logs)`` with ``logs``
     the per-epoch first-batch aux dict — scan this under jit or vmap it over
@@ -319,6 +326,8 @@ def build_train_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
     def maybe_shuffled(batches, key):
         if not shuffle:
             return batches
+        if shuffle_fn is not None:
+            return shuffle_fn(batches, key)
         nb, bs = batches["mask"].shape
 
         def reshuffle(a):
