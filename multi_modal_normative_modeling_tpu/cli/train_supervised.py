@@ -208,20 +208,42 @@ def main(args, project_root=None):
             sizes, n_folds, train_config.batch_size, model.modalities)
         if indivisible:
             raise SystemExit(f'--ep_mesh {args.ep_mesh}: {indivisible}')
+        if getattr(model, 'variant', None) not in ('cvae', 'mmjsd',
+                                                   'mvtcae', 'nmmlp'):
+            # packed_supported also admits the DMVAE family (round 5), but
+            # its split-latent layout has no EP sharding story
+            raise SystemExit('--ep_mesh supports the cvae skeleton only '
+                             '(cvae/mmjsd/mvtcae/nmmlp)')
+        ep_grouped = False
         try:
             if len(sizes) == 3:
                 from ..parallel.modality import (
+                    grouped_fold_shardings,
                     make_ep_mesh3,
                     packed_fold_shardings,
+                )
+                from ..train.grouped import (
+                    GroupedMultiFoldTrainer,
+                    grouped_routing,
                 )
                 from ..train.packed import PackedMultiFoldTrainer
 
                 ep_mesh = make_ep_mesh3(n_fold=sizes[0], n_modality=sizes[1],
                                         n_data=sizes[2])
                 max_n = max(f[0][0].shape[0] for f in folds)
-                ep_pmft = PackedMultiFoldTrainer(
-                    model, train_config, max_n, mesh=ep_mesh,
-                    shardings_fn=packed_fold_shardings)
+                ep_grouped = grouped_routing(model)
+                if ep_grouped:
+                    # round 5: EP composed with the pad-free layout —
+                    # divisible width groups shard over 'modality', ragged
+                    # groups replicate (parallel/modality.py
+                    # grouped_fold_shardings)
+                    ep_pmft = GroupedMultiFoldTrainer(
+                        model, train_config, max_n, mesh=ep_mesh,
+                        shardings_fn=grouped_fold_shardings)
+                else:
+                    ep_pmft = PackedMultiFoldTrainer(
+                        model, train_config, max_n, mesh=ep_mesh,
+                        shardings_fn=packed_fold_shardings)
             else:
                 from ..parallel.modality import EPFoldTrainer, make_ep_mesh
 
@@ -342,15 +364,18 @@ def main(args, project_root=None):
                   f'compiled in {secs:.1f}s (persistent cache populated)')
             run_log.event('warmup_done', seconds=secs)
             return
+        layout = 'width-grouped ' if ep_grouped else ''
         print(f'train model (all folds fold-parallel, expert-parallel '
-              f'modalities, mesh {axes})')
+              f'{layout}modalities, mesh {axes})')
         if checkpoint_every:
-            # GSPMD EP state is the stacked PACKED pytree on its own dir
-            # (the mesh reorders partial sums, so its trajectory is not the
-            # unmeshed packed-state's bit-for-bit)
+            # GSPMD EP state is the stacked packed-layout pytree on its own
+            # dir (the mesh reorders partial sums, so its trajectory is not
+            # the unmeshed packed-state's bit-for-bit; the grouped layout's
+            # pytree differs structurally, hence its own name)
             per_fold_params, per_fold_logs = ep_pmft.run_resumable(
                 params_list, folds, keys,
-                state_dir=model_dir / 'ep-packed-state',
+                state_dir=model_dir / ('ep-grouped-state' if ep_grouped
+                                       else 'ep-packed-state'),
                 checkpoint_every=checkpoint_every, resume=resume)
         else:
             per_fold_params, per_fold_logs = ep_pmft.run(params_list, folds,

@@ -140,6 +140,68 @@ def _packed_opt_shardings(mesh, opt_state, params, params_sh):
 packed_fold_shardings.opt = _packed_opt_shardings
 
 
+def grouped_fold_shardings(mesh: Mesh, params_tree, batches_tree, keys):
+    """jit in_shardings for the GROUPED fold-parallel trainer
+    (train/grouped.py GroupedMultiFoldTrainer) over a
+    ('fold', 'modality', 'data') mesh — EP composed with the pad-free
+    layout (round 5).
+
+    The grouped pytree carries two kinds of modality-ish axes: the
+    width-uniform [M] leaves (hidden layers, mu/logvar heads, alpha) and
+    the per-width-group [G_g] leaves (encoder layer 0, decoder heads).
+    The groups are separable by construction, so each leaf shards its
+    axis-1 over 'modality' WHEN DIVISIBLE and replicates otherwise — on
+    the flagship UCA cohort (groups of 3 narrow + 1 wide) the uniform
+    leaves (the bulk of the chain) shard while the ragged group heads
+    replicate; a uniform-width cohort shards everything, matching
+    packed_fold_shardings. GSPMD inserts the fusion all-reduces over
+    'modality' and the grad psums over 'data'."""
+    nm = mesh.shape["modality"]
+
+    def leaf_spec(leaf):
+        nd = np.ndim(leaf)
+        if nd >= 2 and np.shape(leaf)[1] % nm == 0:
+            return NamedSharding(mesh,
+                                 P("fold", "modality", *([None] * (nd - 2))))
+        return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+
+    params_sh = jax.tree_util.tree_map(leaf_spec, params_tree)
+
+    def x_spec(leaf):
+        g = np.shape(leaf)[2]        # [F, NB, G_g, B, d_g]
+        return NamedSharding(mesh, P(
+            "fold", None, "modality" if g % nm == 0 else None, "data",
+            None))
+
+    batches_sh = {
+        "x": tuple(x_spec(x) for x in batches_tree["x"]),
+        "c": NamedSharding(mesh, P("fold", None, "data", None)),
+        "mask": NamedSharding(mesh, P("fold", None, "data")),
+        "valid": NamedSharding(mesh, P("fold", None)),
+    }
+    batches_sh = {k: batches_sh[k] for k in batches_tree}
+    keys_sh = NamedSharding(mesh, P("fold", *([None] * (np.ndim(keys) - 1))))
+    return params_sh, batches_sh, keys_sh
+
+
+def _grouped_opt_shardings(mesh, opt_state, params, params_sh):
+    """optax state shardings mirroring grouped_fold_shardings' param rule
+    (adam moments are param-shaped; counts are scalars)."""
+    nm = mesh.shape["modality"]
+
+    def spec(leaf):
+        nd = np.ndim(leaf)
+        if nd >= 2 and np.shape(leaf)[1] % nm == 0:
+            return NamedSharding(mesh,
+                                 P("fold", "modality", *([None] * (nd - 2))))
+        return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+
+    return jax.tree_util.tree_map(spec, opt_state)
+
+
+grouped_fold_shardings.opt = _grouped_opt_shardings
+
+
 def fused_stats_collective(mus: jnp.ndarray, variances: jnp.ndarray,
                            combine: str, alpha_full: jnp.ndarray,
                            m_total: int, axis: str = "modality"):

@@ -116,9 +116,13 @@ class GroupedFoldTrainer(PackedFoldTrainer):
 class GroupedMultiFoldTrainer(PackedMultiFoldTrainer):
     """vmap(grouped whole-fold trainer) over a stacked fold axis — the
     full PackedMultiFoldTrainer contract (run / compile / run_milestones /
-    run_resumable) on the pad-free layout. No mesh form: the grouped
-    layout has no modality-axis sharding story (EP stays on the padded
-    stacked layout)."""
+    run_resumable) on the pad-free layout. With ``mesh``/``shardings_fn``
+    (a ('fold','modality','data') mesh +
+    parallel/modality.grouped_fold_shardings) the program additionally
+    shards folds, each divisible width-group axis over 'modality'
+    (ragged groups replicate — the groups are separable by construction),
+    and batch rows over 'data' (round 5: EP composed with the grouped
+    layout)."""
 
     _batch_maker = staticmethod(make_grouped_fold_batches)
     _loss_builder = staticmethod(_grouped_loss_fn)
@@ -130,8 +134,10 @@ class GroupedMultiFoldTrainer(PackedMultiFoldTrainer):
         v = self.stacked.variant
         return "packed_grouped" if v == "cvae" else f"packed_grouped_{v}"
 
-    def __init__(self, model, config: TrainConfig, n_samples: int):
-        super().__init__(model, config, n_samples)
+    def __init__(self, model, config: TrainConfig, n_samples: int,
+                 mesh=None, shardings_fn=None):
+        super().__init__(model, config, n_samples, mesh=mesh,
+                         shardings_fn=shardings_fn)
 
 
 def grouped_routing(model) -> bool:

@@ -374,3 +374,77 @@ def test_routing_extends_to_skeleton_variants():
     nm = MultimodalCVAE([24, 72], [10], 4, C, 2, True, variant="nmmlp")
     cls, layout, tag = select_packed_trainer(nm, True)
     assert tag == "grouped" and cls is GroupedMultiFoldTrainer
+
+
+def test_ep_mesh_composes_with_grouped_layout():
+    """F,M,D GSPMD fold-parallel training on the GROUPED layout: divisible
+    width-group axes shard over 'modality', ragged groups replicate, and
+    the trajectory matches the unmeshed grouped run to float tolerance
+    (round 5 — EP no longer forces the padded layout's ~3x width tax)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+    from multi_modal_normative_modeling_tpu.parallel.modality import (
+        grouped_fold_shardings,
+        make_ep_mesh3,
+    )
+
+    dims = [24, 24, 24, 72]  # M=4 divides; groups G=3 and G=1 replicate
+    model = build_model("cVAE_multimodal", dims, [10, 8], 4, C, len(dims))
+    config = TrainConfig(epochs=4, batch_size=8, combine="gpoe")
+    rng = np.random.default_rng(4)
+    folds = []
+    for _ in range(2):
+        data = [rng.normal(size=(16, d)).astype(np.float32) for d in dims]
+        cov = [rng.normal(size=(16, C)).astype(np.float32)] * len(dims)
+        folds.append((data, cov))
+    params = model.init_params(jax.random.PRNGKey(0))
+    keys = [jax.random.PRNGKey(100 + f) for f in range(2)]
+
+    plain = GroupedMultiFoldTrainer(model, config, 16)
+    p_ref, logs_ref = plain.run([params] * 2, folds, keys)
+
+    mesh = make_ep_mesh3(n_fold=2, n_modality=2, n_data=2)
+    meshed = GroupedMultiFoldTrainer(model, config, 16, mesh=mesh,
+                                     shardings_fn=grouped_fold_shardings)
+    assert meshed.loss_meta["path"].startswith("fold_parallel+ep:")
+    p_got, logs_got = meshed.run([params] * 2, folds, keys)
+
+    for f in range(2):
+        np.testing.assert_allclose(logs_got[f]["total"],
+                                   logs_ref[f]["total"], rtol=5e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5),
+            p_got[f], p_ref[f])
+
+
+def test_cli_ep_mesh_rides_grouped_on_mixed_widths(tmp_path, capsys):
+    """train CLI --ep_mesh F,M,D on a mixed-width (UCA) cohort announces
+    and trains the width-grouped EP form with its own resumable state
+    dir."""
+    import argparse
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+    from multi_modal_normative_modeling_tpu.cli import train_supervised
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+
+    make_synthetic_resource(tmp_path, "ADNI", n_hc=40, n_disease={0: 15},
+                            with_early_fusion=True)
+    args = argparse.Namespace(
+        dataset_resourse="ADNI", hz_para_list=[16, 16, 4],
+        procedure="UCA-gPoE", combine="gPoE", epochs=4, n_splits=2,
+        oversample_percentage=1, model="cVAE_multimodal",
+        single_modality=None, base_learning_rate=0.0001,
+        max_learning_rate=0.005, training_class="nm",
+        lr_schedule="constant", precision="fp32", ep_mesh="2,2,2",
+        checkpoint_every=2,
+    )
+    train_supervised.main(args, project_root=tmp_path)
+    out = capsys.readouterr().out
+    assert "expert-parallel width-grouped modalities" in out
+    model_dir = tmp_path / "outputs" / "kfold_analysis" / "supervised_cvae"
+    assert (model_dir / "ep-grouped-state" / "train_state.ckpt").exists()
+    assert (model_dir / "000" / "cVAE_model.ckpt").exists()
