@@ -162,8 +162,8 @@ class ScoringService:
         # params/scalers/covs/seeds carry the fold axis; raw features are
         # shared across folds and broadcast
         self._ep = None
+        self._ep_grouped = None
         if ep_mesh is not None:
-            from ..infer.ensemble import fold_infer_fn_ep, pack_ensemble_ep
             from ..models.stacked import (
                 SKELETON_VARIANTS,
                 StackedMultimodalCVAE,
@@ -175,34 +175,87 @@ class ScoringService:
                     f"--ep_mesh serving supports the cVAE skeleton only "
                     f"({sorted(SKELETON_VARIANTS)}; checkpoint model "
                     f"{name!r})")
-            stacked = StackedMultimodalCVAE(
-                self.config['input_dim_list'], self.config['hidden_dim'],
-                self.config['latent_dim'], self.config['c_dim'],
-                self.config['modalities'],
-                self.config.get('non_linear', True),
-                variant=SKELETON_VARIANTS[name])
-            if stacked.modalities % ep_mesh.shape['modality']:
+            if self.config['modalities'] % ep_mesh.shape['modality']:
                 raise SystemExit(
-                    f"--ep_mesh: {stacked.modalities} modalities not "
+                    f"--ep_mesh: {self.config['modalities']} modalities not "
                     f"divisible over the {ep_mesh.shape['modality']}-way "
                     "'modality' mesh axis")
-            self._ep = pack_ensemble_ep(state, stacked)
-            self._ep_stacked = stacked
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             def sh(spec):
                 return NamedSharding(ep_mesh, spec)
 
-            params_sh = jax.tree_util.tree_map(
-                lambda leaf: sh(P('fold', 'modality',
-                                  *([None] * (np.ndim(leaf) - 2)))),
-                self._ep[0])
-            vinfer = jax.vmap(fold_infer_fn_ep(state, stacked),
-                              in_axes=(0, 0, 0, 0, 0, None))
-            self._infer = jax.jit(vinfer, in_shardings=(
-                params_sh, sh(P('fold', 'modality', None)),
-                sh(P('fold', 'modality', None)), sh(P('fold', 'data', None)),
-                sh(P('fold')), sh(P('modality', 'data', None))))
+            from ..models.grouped import GroupedStackedCVAE, width_groups
+
+            nm = ep_mesh.shape['modality']
+            if len(width_groups(self.config['input_dim_list'])) > 1:
+                # round 5: mixed-width cohorts serve on the pad-free
+                # width-grouped layout — divisible width-group axes shard
+                # over 'modality', ragged groups replicate (same rule as
+                # parallel/modality.grouped_fold_shardings); the wide
+                # cohorts EP targets stop paying the pad-to-widest tax
+                from ..infer.ensemble import (
+                    fold_infer_fn_grouped,
+                    pack_ensemble_grouped,
+                )
+
+                grouped = GroupedStackedCVAE(
+                    self.config['input_dim_list'],
+                    self.config['hidden_dim'], self.config['latent_dim'],
+                    self.config['c_dim'], self.config['modalities'],
+                    self.config.get('non_linear', True),
+                    variant=SKELETON_VARIANTS[name])
+                self._ep_grouped = grouped
+                self._ep = pack_ensemble_grouped(state, grouped)
+                self._ep_stacked = grouped
+
+                def leaf_sh(leaf):
+                    nd = np.ndim(leaf)
+                    if nd >= 2 and np.shape(leaf)[1] % nm == 0:
+                        return sh(P('fold', 'modality',
+                                    *([None] * (nd - 2))))
+                    return sh(P(*(['fold'] if nd else [])))
+
+                params_sh = jax.tree_util.tree_map(leaf_sh, self._ep[0])
+                cg_sh = tuple(
+                    sh(P('fold',
+                         'modality' if np.shape(c)[1] % nm == 0 else None,
+                         None))
+                    for c in self._ep[1])
+                xg_sh = tuple(
+                    sh(P('modality' if np.shape(c)[1] % nm == 0 else None,
+                         'data', None))
+                    for c in self._ep[1])
+                vinfer = jax.vmap(fold_infer_fn_grouped(state, grouped),
+                                  in_axes=(0, 0, 0, 0, 0, None))
+                self._infer = jax.jit(vinfer, in_shardings=(
+                    params_sh, cg_sh, cg_sh,
+                    sh(P('fold', 'data', None)), sh(P('fold')), xg_sh))
+            else:
+                from ..infer.ensemble import (
+                    fold_infer_fn_ep,
+                    pack_ensemble_ep,
+                )
+
+                stacked = StackedMultimodalCVAE(
+                    self.config['input_dim_list'],
+                    self.config['hidden_dim'], self.config['latent_dim'],
+                    self.config['c_dim'], self.config['modalities'],
+                    self.config.get('non_linear', True),
+                    variant=SKELETON_VARIANTS[name])
+                self._ep = pack_ensemble_ep(state, stacked)
+                self._ep_stacked = stacked
+                params_sh = jax.tree_util.tree_map(
+                    lambda leaf: sh(P('fold', 'modality',
+                                      *([None] * (np.ndim(leaf) - 2)))),
+                    self._ep[0])
+                vinfer = jax.vmap(fold_infer_fn_ep(state, stacked),
+                                  in_axes=(0, 0, 0, 0, 0, None))
+                self._infer = jax.jit(vinfer, in_shardings=(
+                    params_sh, sh(P('fold', 'modality', None)),
+                    sh(P('fold', 'modality', None)),
+                    sh(P('fold', 'data', None)),
+                    sh(P('fold')), sh(P('modality', 'data', None))))
         else:
             vinfer = jax.vmap(fold_infer_fn(state),
                               in_axes=(0, 0, 0, 0, 0, None))
@@ -310,7 +363,20 @@ class ScoringService:
                                        self._seeds, x_packed)
                 devs = np.asarray(devs)[:, :, :n]          # [K, M, n]
                 rois = None
-                if roi:
+                if roi and self._ep_grouped is not None:
+                    # sq is a tuple per width group [K, G_g, p, d_g]:
+                    # reassemble the per-ROI plane in original modality
+                    # order (exact widths — no padded columns to strip)
+                    sq = [np.asarray(s) for s in sq]
+                    g = self._ep_grouped
+                    blocks = []
+                    for m in range(len(self.columns)):
+                        gi = next(i for i, (_, idx) in enumerate(g.groups)
+                                  if m in idx)
+                        within = g.groups[gi][1].index(m)
+                        blocks.append(sq[gi][:, within, :n, :])
+                    rois = np.concatenate(blocks, axis=2)  # [K, n, sum F]
+                elif roi:
                     sq = np.asarray(sq)                    # [K, M, p, d_max]
                     dims = [len(c) for c in self.columns]
                     rois = np.concatenate(
@@ -363,6 +429,11 @@ class ScoringService:
             'mesh': (dict(self.ep_mesh.shape) if self.ep_mesh is not None
                      else dict(self.mesh.shape) if self.mesh is not None
                      else None),
+            # EP resident-program layout (round 5): mixed-width cohorts
+            # serve on the pad-free width-grouped layout
+            'ep_layout': (None if self.ep_mesh is None
+                          else 'width-grouped'
+                          if self._ep_grouped is not None else 'packed'),
             'backend': jax.default_backend(),
             'uptime_seconds': round(time.time() - self.started, 1),
             'requests_served': self.requests_served,

@@ -353,3 +353,57 @@ def fold_infer_fn_ep(state: EnsembleState, stacked):
         return devs, sq
 
     return infer_one
+
+
+def pack_ensemble_grouped(state: EnsembleState, grouped):
+    """EnsembleState -> width-grouped operands for the expert-parallel
+    scoring program (round 5): (packed_params with [K, ...] fold-stacked
+    grouped leaves, centers/scales as tuples per width group of
+    [K, G_g, d_g] at EXACT width — no padding, so no sentinel scale/center
+    values are needed)."""
+    import jax
+
+    from ..train.packed import _pack_params_host
+
+    k = int(np.shape(state.seeds)[0])
+    per_fold = [
+        _pack_params_host(grouped, jax.tree_util.tree_map(
+            lambda leaf: np.asarray(leaf)[f], state.stacked_params))
+        for f in range(k)
+    ]
+    packed_params = jax.tree_util.tree_map(
+        lambda *leaves: np.stack([np.asarray(x) for x in leaves]), *per_fold)
+    centers_g = tuple(
+        np.stack([np.asarray(state.centers[m]) for m in idx], axis=1)
+        for _, idx in grouped.groups)                  # [K, G_g, d_g]
+    scales_g = tuple(
+        np.stack([np.asarray(state.scales[m]) for m in idx], axis=1)
+        for _, idx in grouped.groups)
+    return packed_params, centers_g, scales_g
+
+
+def fold_infer_fn_grouped(state: EnsembleState, grouped):
+    """Width-grouped counterpart of fold_infer_fn_ep: scale -> reconstruct
+    -> deviate on the pad-free tuple-per-width-group layout, so EP serving
+    of mixed-width cohorts stops paying the padded layout's width tax.
+    Returns (devs [M, n] in ORIGINAL modality order, sq tuple per group of
+    [G_g, n, d_g]); PRNG stream matches the per-modality body (one
+    [rows, Z] draw per fold)."""
+    import jax
+    import jax.numpy as jnp
+
+    combine = state.combine
+    inv = np.asarray(grouped.inv_perm)
+
+    def infer_one(packed_params, centers_g, scales_g, cov, fold_seed,
+                  x_groups):
+        xs = tuple((xg - cg[:, None, :]) / sg[:, None, :]
+                   for xg, cg, sg in zip(x_groups, centers_g, scales_g))
+        key = jax.random.PRNGKey(fold_seed)
+        recons = grouped.pred_recon(packed_params, xs, cov, key, combine)
+        devs = grouped.reconstruction_deviation(xs, recons)  # grouped order
+        devs = jnp.take(devs, jnp.asarray(inv), axis=0)      # original
+        sq = tuple((xg - rg) ** 2 for xg, rg in zip(xs, recons))
+        return devs, sq
+
+    return infer_one

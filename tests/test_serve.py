@@ -282,7 +282,9 @@ def test_ep_meshed_service_matches_unmeshed(tmp_path):
     """--ep_mesh F,M,D serves the packed-modality program with per-modality
     experts sharded; scores match the unmeshed per-modality ensemble to
     fusion-reorder float tolerance, latent requests are a clean client
-    error, and geometry gates fail loudly up front."""
+    error, and geometry gates fail loudly up front. This cohort is
+    mixed-width (UCA), so the resident program rides the pad-free
+    width-grouped layout (round 5) — /healthz reports it."""
     import jax
 
     if len(jax.devices()) < 8:
@@ -311,6 +313,8 @@ def test_ep_meshed_service_matches_unmeshed(tmp_path):
                               ep_mesh=make_ep_mesh3(2, 2, 2))
     assert ep.health()["mesh"] == {"fold": 2, "modality": 2, "data": 2}
     assert ep.health()["latent_scoring"] is False
+    assert ep.health()["ep_layout"] == "width-grouped"  # mixed-width UCA
+    assert plain.health()["ep_layout"] is None
 
     ids = list(plain._frames[0].index[:7])
     p = plain.score_ids(ids, roi=True)
@@ -327,6 +331,26 @@ def test_ep_meshed_service_matches_unmeshed(tmp_path):
 
     with pytest.raises(serve.ServeError, match="ep_mesh"):
         ep.score_ids(ids, latent=True)
+
+    # uniform-width cohorts keep the padded stacked layout (identical
+    # math there; /healthz says which)
+    se_root = root / "se"
+    make_synthetic_resource(se_root, "ADNI", n_hc=50, n_disease={0: 20},
+                            effect=1.0)
+    se_args = argparse.Namespace(**{**vars(train_args),
+                                    "procedure": "SE-PoE",
+                                    "combine": "PoE"})
+    train_supervised.main(se_args, project_root=se_root)
+    se_plain = serve.ScoringService("ADNI", "SE-PoE", combine="PoE",
+                                    n_splits=2, project_root=se_root)
+    se_ep = serve.ScoringService(
+        "ADNI", "SE-PoE", combine="PoE", n_splits=2, project_root=se_root,
+        ep_mesh=make_ep_mesh3(1, 3, 2, devices=jax.devices()[:6]))
+    assert se_ep.health()["ep_layout"] == "packed"
+    ids2 = list(se_plain._frames[0].index[:5])
+    np.testing.assert_allclose(se_ep.score_ids(ids2)["deviation"],
+                               se_plain.score_ids(ids2)["deviation"],
+                               rtol=2e-4, atol=1e-6)
 
     # modality-axis divisibility fails loudly at construction
     with pytest.raises(SystemExit, match="modalities not divisible"):
