@@ -206,12 +206,17 @@ def load_dataset_cached(demographic_path, ids_path, modality_path):
 def _local_cpu_device():
     """The local CPU backend's device, or None when the plugin config pins
     the platform list (e.g. this image's axon wrapper can hide 'cpu' until
-    the primary backend has initialized — retry after a full init)."""
+    the primary backend has initialized — retry after a full init).
+
+    Must be a PROCESS-LOCAL device: in multi-controller runs
+    jax.devices('cpu')[0] is global device 0, which other processes
+    cannot address — eager host-prep ops committed there would make their
+    outputs unfetchable (the 2-process EP test caught exactly this)."""
     import jax
 
     for attempt in range(2):
         try:
-            return jax.devices("cpu")[0]
+            return jax.local_devices(backend="cpu")[0]
         except Exception:
             if attempt:
                 return None

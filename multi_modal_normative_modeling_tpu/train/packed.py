@@ -182,9 +182,13 @@ class PackedStateTrainerBase:
             key = jax.random.PRNGKey(self.config.seed)
         packed = self._packed(per_modality_params)
         out, logs = self._train(packed, self._batches(data_list, cov), key)
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        return (_unpack_params_host(self.stacked, host),
-                jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
+        # _to_host: device_get that process_allgathers leaves sharded
+        # across processes (the 2-process EP path) — identical to a plain
+        # device_get single-process
+        from .checkpoints import _to_host
+
+        return (_unpack_params_host(self.stacked, _to_host(out)),
+                _to_host(logs))
 
     def compile(self, per_modality_params, data_list, cov, key=None) -> float:
         """Lower + compile the whole-fold program without running it;
@@ -227,8 +231,9 @@ class PackedStateTrainerBase:
                                    checkpoint_every, resume, packed, None,
                                    key, run_chunk, template_fn,
                                    meta=getattr(self, "loss_meta", None))
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
-        return _unpack_params_host(self.stacked, host), logs
+        from .checkpoints import _to_host
+
+        return _unpack_params_host(self.stacked, _to_host(params)), logs
 
 
 class PackedFoldTrainer(PackedStateTrainerBase):
@@ -399,8 +404,10 @@ class PackedMultiFoldTrainer:
         return self._per_fold(out, logs, len(params_list))
 
     def _per_fold(self, out, logs, n_folds):
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        host_logs = jax.tree_util.tree_map(np.asarray, jax.device_get(logs))
+        from .checkpoints import _to_host
+
+        host = _to_host(out)
+        host_logs = _to_host(logs)
         per_fold_params = [
             _unpack_params_host(
                 self.stacked,
