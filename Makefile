@@ -1,4 +1,4 @@
-.PHONY: test bench flagship ppmi-bench lint report warmup pipeline adhd-sweep doctor
+.PHONY: test test-fast bench flagship ppmi-bench lint report warmup pipeline adhd-sweep doctor
 
 # environment diagnostics: platform resolution, device attach latency,
 # compile-cache health, native data plane, project data layout
@@ -22,6 +22,11 @@ warmup:
 
 test:
 	python -m pytest tests/ -x -q
+
+# smoke tier: every unit/parity test, long CLI-integration chains deferred
+# (tier membership: tests/conftest.py _SLOW_FILES/_SLOW_TESTS)
+test-fast:
+	python -m pytest tests/ -x -q -m "not slow"
 
 bench:
 	python bench.py

@@ -306,10 +306,15 @@ class GroupedStackedCVAE:
                 ll = (jnp.sum(ll_rows * w[None, :], axis=1)
                       / jnp.maximum(jnp.sum(w), 1.0))
         kl = kl_standard_normal(mu, logvar, mask)
-        inv = jnp.asarray(self.inv_perm)
+        mus, logvars = fwd.get("mus"), fwd.get("logvars")
+        if mus is not None:
+            # un-permute to ORIGINAL modality order for the order-sensitive
+            # variant regularizers (mmJSD's ordered-pair KLs)
+            inv = jnp.asarray(self.inv_perm)
+            mus = jnp.take(mus, inv, axis=0)
+            logvars = jnp.take(logvars, inv, axis=0)
         return skeleton_total(self.variant, self.modalities, kl, ll, mu,
-                              logvar, jnp.take(fwd["mus"], inv, axis=0),
-                              jnp.take(fwd["logvars"], inv, axis=0), mask,
+                              logvar, mus, logvars, mask,
                               self.base.jsd_on_fused, self.base.mvtcae_beta)
 
     def pred_recon(self, params, x_groups, c, key, combine: str):

@@ -327,8 +327,11 @@ class StackedMultimodalCVAE:
                 ll = (jnp.sum(ll_rows * w[None, :], axis=1)
                       / jnp.maximum(jnp.sum(w), 1.0))
         kl = kl_standard_normal(mu, logvar, mask)
+        # .get: kernel-path reference losses build a minimal fwd without
+        # the per-modality stats; only the mmjsd opt-out / mvtcae branches
+        # of skeleton_total consume them
         return skeleton_total(self.variant, m_count, kl, ll, mu, logvar,
-                              fwd["mus"], fwd["logvars"], mask,
+                              fwd.get("mus"), fwd.get("logvars"), mask,
                               self.base.jsd_on_fused, self.base.mvtcae_beta)
 
     def pred_recon(self, params, x_packed, c, key, combine: str):
