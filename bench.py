@@ -57,6 +57,11 @@ PPMI_EPOCHS = int(_os.environ.get("MMNM_BENCH_PPMI_EPOCHS", PPMI_EPOCHS))
 # rate). The estimate is coarse — it exists so round-over-round regressions
 # are distinguishable from tunnel weather, not as a marketing number.
 PEAK_TFLOPS_FP32 = 49.2
+# the chip's NATIVE bf16 peak (= 4x the assumed-fp32 rate): the honest
+# denominator for "how much of this chip is used" — emitted alongside the
+# assumed-fp32 figure since round 5 (the fp32 step is latency-bound, so
+# against native peak the flagship is ~11%, not ~44%)
+PEAK_TFLOPS_BF16 = 4 * PEAK_TFLOPS_FP32
 
 
 def _matmul_flops_per_step(dims, hidden, latent, c_dim, batch) -> float:
@@ -181,7 +186,60 @@ def bench_jax() -> "tuple[float, float]":
     gout, glogs = gfn(gsp, gbt, gkeys)
     np.asarray(glogs["total"])  # compile + warm-up
     grouped = timed(lambda: gfn(gsp, gbt, gkeys))
-    return grouped, per_modality
+
+    # ---- round-5 headroom arms (all on the grouped layout) -----------------
+    extra = {}
+
+    # (a) full-batch 512 x {fp32, bf16}: the only flagship regime where the
+    # MXU 4x could show (chain-spare-width model — RESULTS.md); 512 is the
+    # whole fold, so this is the largest per-step batch the workload has
+    for precision in ("fp32", "bf16"):
+        try:
+            cfgb = TrainConfig(epochs=EPOCHS, batch_size=512,
+                               combine="gpoe", precision=precision)
+            gb = GroupedMultiFoldTrainer(model, cfgb, N_SUBJECTS)
+            spb = jax.device_put(gb._stack_packed(params_list))
+            btb = jax.device_put(gb.pack_folds(folds))
+            fnb = gb._jit_train(spb, btb, gkeys)
+            _, lb = fnb(spb, btb, gkeys)
+            np.asarray(lb["total"])
+            secb = timed(lambda: fnb(spb, btb, gkeys))
+            tag = ("flagship_b512" if precision == "fp32"
+                   else "flagship_b512_bf16")
+            extra[f"{tag}_us_per_step"] = round(secb / EPOCHS * 1e6, 1)
+            extra[f"{tag}_subject_epochs_per_sec"] = round(
+                FOLDS * EPOCHS * N_SUBJECTS / secb, 1)
+        except Exception as exc:
+            extra[f"flagship_b512_{precision}_error"] = \
+                f"{type(exc).__name__}: {exc}"[:120]
+
+    # (b) K=10 flagship arm — the reference CLI's DEFAULT -K 10
+    # (multimodal_kfold_train_cvae_supervised.py:216-286); fold-vmapping is
+    # nearly free, so per-chip throughput should RISE with K
+    try:
+        while len(per_fold_data) < 10:
+            d, c = _make_data(rng)
+            per_fold_data.append(d)
+            per_fold_cov.append(c)
+            params_list.append(host_init_params(model,
+                                                seed=len(params_list)))
+        folds10 = [(d, c) for d, c in zip(per_fold_data, per_fold_cov)]
+        keys10 = jnp.stack([host_prng_key(100 + f) for f in range(10)])
+        g10 = GroupedMultiFoldTrainer(model, config, N_SUBJECTS)
+        sp10 = jax.device_put(g10._stack_packed(params_list))
+        bt10 = jax.device_put(g10.pack_folds(folds10))
+        fn10 = g10._jit_train(sp10, bt10, keys10)
+        _, l10 = fn10(sp10, bt10, keys10)
+        np.asarray(l10["total"])
+        sec10 = timed(lambda: fn10(sp10, bt10, keys10))
+        steps = EPOCHS * -(-N_SUBJECTS // BATCH)
+        extra["flagship_10fold_us_per_step"] = round(sec10 / steps * 1e6, 1)
+        extra["flagship_10fold_subject_epochs_per_sec"] = round(
+            10 * EPOCHS * N_SUBJECTS / sec10, 1)
+    except Exception as exc:
+        extra["flagship_10fold_error"] = f"{type(exc).__name__}: {exc}"[:120]
+
+    return grouped, per_modality, extra
 
 
 def bench_ppmi_floor() -> dict:
@@ -212,13 +270,13 @@ def bench_ppmi_floor() -> dict:
     params = host_init_params(model)
     key = host_prng_key(42)
 
-    def floor_at(batch):
+    def floor_at(batch, precision="fp32"):
         """(us_per_step, us_per_REAL_subject). Per-subject divides by the
         cohort's actual rows, NOT batch slots: 2560 rows at batch 1024 run
         3 padded batches (512 mask-padded slots), so slot-division would
         overstate throughput by ~20%."""
         config = TrainConfig(epochs=PPMI_EPOCHS, batch_size=batch,
-                             combine="gpoe")
+                             combine="gpoe", precision=precision)
         trainer = FoldTrainer(model, config, PPMI_N)
         batches = jax.device_put(make_batches(data,
                                               [cov] * len(PPMI_DIMS),
@@ -244,14 +302,24 @@ def bench_ppmi_floor() -> dict:
         "ppmi_mfu_pct": round(
             flops / (us_per_step * 1e-6) / (PEAK_TFLOPS_FP32 * 1e12) * 100,
             2),
+        "ppmi_native_bf16_mfu_pct": round(
+            flops / (us_per_step * 1e-6) / (PEAK_TFLOPS_BF16 * 1e12) * 100,
+            2),
     }
-    # batch-1024 row: the measured architectural headroom (--batch_size;
+    # batch-1024 rows: the measured architectural headroom (--batch_size;
     # padding-corrected per-REAL-subject, so the gain over the
-    # reference-parity 256 is honest for this 2560-row cohort)
+    # reference-parity 256 is honest for this 2560-row cohort). The bf16
+    # arm (round 5) is the regime where the MXU 4x could show — wide
+    # features AND a wide batch.
     try:
         out["ppmi_b1024_us_per_subject"] = round(floor_at(1024)[1], 3)
     except Exception as exc:
         out["ppmi_b1024_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    try:
+        out["ppmi_b1024_bf16_us_per_subject"] = round(
+            floor_at(1024, "bf16")[1], 3)
+    except Exception as exc:
+        out["ppmi_b1024_bf16_error"] = f"{type(exc).__name__}: {exc}"[:120]
     return out
 
 
@@ -369,7 +437,7 @@ def _child_main():
     print one tiny JSON line for the parent."""
     import jax
 
-    jax_seconds, permod_seconds = bench_jax()
+    jax_seconds, permod_seconds, extra = bench_jax()
     flag_steps = EPOCHS * -(-N_SUBJECTS // BATCH)
     flag_us = jax_seconds / flag_steps * 1e6
     flag_flops = FOLDS * _matmul_flops_per_step(DIMS, HIDDEN, LATENT,
@@ -384,12 +452,19 @@ def _child_main():
         "flagship_mfu_pct": round(
             flag_flops / (flag_us * 1e-6) / (PEAK_TFLOPS_FP32 * 1e12) * 100,
             2),
+        # against the chip's NATIVE bf16 peak — the honest utilization
+        # number (the fp32 step is chain-latency bound, not FLOP bound)
+        "flagship_native_bf16_mfu_pct": round(
+            flag_flops / (flag_us * 1e-6) / (PEAK_TFLOPS_BF16 * 1e12) * 100,
+            2),
     }
+    floor.update(extra)
     try:
         floor.update(bench_ppmi_floor())
     except Exception as exc:  # the headline metric must survive a floor
         floor["ppmi_error"] = f"{type(exc).__name__}: {exc}"[:200]
     floor["peak_tflops_assumed_fp32"] = PEAK_TFLOPS_FP32
+    floor["peak_tflops_native_bf16"] = PEAK_TFLOPS_BF16
     print(json.dumps({"jax_seconds": jax_seconds,
                       "floor": floor,
                       "attach_seconds": _attach_seconds(),
@@ -441,10 +516,16 @@ def _combine_floors(floors):
             elif isinstance(v, (int, float)) and k.endswith(
                     ("_us_per_step", "_us_per_subject", "_seconds")):
                 best[k] = min(best[k], v)
-            elif isinstance(v, (int, float)) and k.endswith("_mfu_pct"):
+            elif isinstance(v, (int, float)) and k.endswith(
+                    ("_mfu_pct", "_subject_epochs_per_sec")):
                 best[k] = max(best[k], v)
-    for metric, err in (("ppmi_us_per_step", "ppmi_error"),
-                        ("ppmi_b1024_us_per_subject", "ppmi_b1024_error")):
+    for metric, err in (
+            ("ppmi_us_per_step", "ppmi_error"),
+            ("ppmi_b1024_us_per_subject", "ppmi_b1024_error"),
+            ("ppmi_b1024_bf16_us_per_subject", "ppmi_b1024_bf16_error"),
+            ("flagship_10fold_us_per_step", "flagship_10fold_error"),
+            ("flagship_b512_us_per_step", "flagship_b512_fp32_error"),
+            ("flagship_b512_bf16_us_per_step", "flagship_b512_bf16_error")):
         if any(metric in fl for fl in floors):
             best.pop(err, None)
     return best
