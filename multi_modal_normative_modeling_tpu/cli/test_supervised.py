@@ -50,6 +50,57 @@ def _ep_infer_program(config: dict, combine: str, mesh):
             raise SystemExit(
                 f"--ep_mesh inference supports the cVAE skeleton only "
                 f"({sorted(SKELETON_VARIANTS)}; checkpoint model {name!r})")
+
+        def sh(spec):
+            return NamedSharding(mesh, spec)
+
+        from ..models.grouped import GroupedStackedCVAE, width_groups
+
+        nm = mesh.shape['modality']
+        if len(width_groups(config['input_dim_list'])) > 1:
+            # round 5: mixed-width cohorts infer on the pad-free
+            # width-grouped layout — same divisible-or-replicate sharding
+            # rule as training/serving (parallel/modality.py
+            # grouped_fold_shardings); EP targets exactly the wide cohorts
+            # where the pad-to-widest tax hurts most
+            stacked = GroupedStackedCVAE(
+                config['input_dim_list'], config['hidden_dim'],
+                config['latent_dim'], config['c_dim'],
+                config['modalities'], config.get('non_linear', True),
+                variant=SKELETON_VARIANTS[name])
+
+            def infer_one(packed_params, x_groups, c, seed):
+                k = jax.random.PRNGKey(seed)
+                recons = stacked.pred_recon(packed_params, x_groups, c, k,
+                                            combine)
+                return recons, stacked.reconstruction_deviation(x_groups,
+                                                                recons)
+
+            def leaf_sh(s):
+                # s is the UNSTACKED pack_params leaf; the jit operand adds
+                # a leading fold axis, so the modality-ish axis is s axis 0
+                shape = s.shape
+                if len(shape) >= 1 and shape[0] % nm == 0:
+                    return sh(P('fold', 'modality',
+                                *([None] * len(shape[1:]))))
+                return sh(P('fold'))
+
+            shapes = jax.eval_shape(
+                lambda k: stacked.pack_params(
+                    common.build_model_from_config(config).init_params(k)),
+                jax.ShapeDtypeStruct((2,), np.uint32))
+            params_sh = jax.tree_util.tree_map(leaf_sh, shapes)
+            x_sh = tuple(
+                sh(P('fold',
+                     'modality' if len(idx) % nm == 0 else None,
+                     'data', None))
+                for _, idx in stacked.groups)
+            vinfer = jax.jit(jax.vmap(infer_one), in_shardings=(
+                params_sh, x_sh, sh(P('fold', 'data', None)),
+                sh(P('fold'))))
+            _INFER_CACHE[key] = (stacked, vinfer)
+            return _INFER_CACHE[key]
+
         stacked = StackedMultimodalCVAE(
             config['input_dim_list'], config['hidden_dim'],
             config['latent_dim'], config['c_dim'], config['modalities'],
@@ -61,9 +112,6 @@ def _ep_infer_program(config: dict, combine: str, mesh):
             recons = stacked.pred_recon(packed_params, x_packed, c, k,
                                         combine)
             return recons, stacked.reconstruction_deviation(x_packed, recons)
-
-        def sh(spec):
-            return NamedSharding(mesh, spec)
 
         # fold-stacked packed params: every leaf is [F, M, ...]
         shapes = jax.eval_shape(
@@ -295,17 +343,35 @@ def main(args, project_root=None):
             packed_params = stack_params([
                 _pack_params_host(stacked_model, j['params'])
                 for j in pending])
-            x_packed = np.stack([
+            per_fold_inputs = [
                 stacked_model.pack_inputs(
                     [pad(x) for x in j['test_data_list']])
-                for j in pending])                 # [F, M, rows, d_max]
+                for j in pending]
+            grouped_layout = isinstance(per_fold_inputs[0], tuple)
+            if grouped_layout:
+                # width-grouped program: tuple per group [F, G_g, rows, d_g]
+                x_packed = tuple(
+                    np.stack([pi[g] for pi in per_fold_inputs])
+                    for g in range(len(per_fold_inputs[0])))
+            else:
+                x_packed = np.stack(per_fold_inputs)  # [F, M, rows, d_max]
             mark('pack + stack (ep)')
             recons, _ = ep_vinfer(packed_params, x_packed, cs_stack, keys)
             mark('ep inference dispatch')
-            host_rec = np.asarray(recons)          # one bulk fetch
-            host_preds = [
-                host_rec[:, m, :, : stacked_model.input_dim_list[m]]
-                for m in range(n_mod)]
+            if grouped_layout:
+                host_rec = [np.asarray(r) for r in recons]  # bulk fetches
+                host_preds = []
+                for m in range(n_mod):
+                    gi = next(i for i, (_, idx)
+                              in enumerate(stacked_model.groups)
+                              if m in idx)
+                    within = stacked_model.groups[gi][1].index(m)
+                    host_preds.append(host_rec[gi][:, within])
+            else:
+                host_rec = np.asarray(recons)      # one bulk fetch
+                host_preds = [
+                    host_rec[:, m, :, : stacked_model.input_dim_list[m]]
+                    for m in range(n_mod)]
             mark('device->host fetch')
         else:
             # per-modality padded stacks only on the non-ep path (the ep

@@ -50,7 +50,9 @@ def test_cli_ep_mesh_trains_and_resumes(tmp_path, capsys):
 
 def test_cli_ep_mesh3_fold_parallel_gspmd(tmp_path, capsys):
     """--ep_mesh F,M,D: all folds fold-parallel with the modality axis GSPMD-
-    sharded; resumable state in ep-packed-state."""
+    sharded. This cohort is mixed-width (UCA), so round 5 routes it onto
+    the width-grouped EP form with its own resumable state dir; a
+    uniform-width (SE) run keeps the padded form + ep-packed-state."""
     import jax
 
     if len(jax.devices()) != 8:
@@ -64,11 +66,15 @@ def test_cli_ep_mesh3_fold_parallel_gspmd(tmp_path, capsys):
     train_supervised.main(_args(ep_mesh="2,2,2", checkpoint_every=2),
                           project_root=root)
     out = capsys.readouterr().out
-    assert "fold-parallel, expert-parallel modalities" in out
+    assert "fold-parallel, expert-parallel width-grouped modalities" in out
     model_dir = root / "outputs" / "kfold_analysis" / "supervised_cvae"
     for fold in range(2):
         assert (model_dir / f"{fold:03d}" / "cVAE_model.ckpt").exists()
-    assert train_state_exists(model_dir / "ep-packed-state")
+    assert train_state_exists(model_dir / "ep-grouped-state")
+    # (the padded GSPMD EP form stays covered by
+    # test_packed_zoo.py::test_three_axis_gspmd_ep_accepts_mmjsd and the
+    # 2-axis EPFoldTrainer tests — no F,M,D grid with the SE cohort's
+    # 3 modalities fills the 8 virtual devices)
 
 
 def test_cli_ep_mesh_conflicts_and_gates(tmp_path):

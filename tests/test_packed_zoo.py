@@ -289,6 +289,13 @@ def test_ep_inference_accepts_skeleton_refuses_dmvae():
               "modalities": 2, "non_linear": True}
     stacked, vinfer = _ep_infer_program(config, "gpoe", mesh)
     assert stacked.variant == "mmjsd"
+    # mixed widths: round 5 routes EP inference onto the pad-free
+    # width-grouped layout (tuple-per-group operands)
+    from multi_modal_normative_modeling_tpu.models.grouped import (
+        GroupedStackedCVAE,
+    )
+
+    assert isinstance(stacked, GroupedStackedCVAE)
 
     base = build_model("mmJSD", [16, 12], [10, 8], 8, 3, 2)
     params = base.init_params(jax.random.PRNGKey(0))
@@ -301,17 +308,19 @@ def test_ep_inference_accepts_skeleton_refuses_dmvae():
     )
 
     sp = stack_params([stacked.pack_params(params)] * 2)
-    x_p = np.stack([stacked.pack_inputs(xes)] * 2)
+    per_fold = stacked.pack_inputs(xes)
+    x_p = tuple(np.stack([g] * 2) for g in per_fold)
     cs = np.stack([c] * 2)
     seeds = np.array([1000, 1001], dtype=np.uint32)
     recons, devs = vinfer(sp, x_p, cs, seeds)
     # fold 0 must match the per-modality model's recon (same PRNG stream)
     ref = base.pred_recon(params, xes, [jnp.asarray(c)] * 2,
                           jax.random.PRNGKey(1000), "gpoe")
-    for m in range(2):
-        np.testing.assert_allclose(
-            np.asarray(recons)[0, m, :, : (16, 12)[m]],
-            np.asarray(ref[m]), rtol=2e-4, atol=1e-5)
+    for gi, (_, idx) in enumerate(stacked.groups):
+        for within, m in enumerate(idx):
+            np.testing.assert_allclose(
+                np.asarray(recons[gi])[0, within],
+                np.asarray(ref[m]), rtol=2e-4, atol=1e-5)
 
     bad = dict(config, model="DMVAE")
     with pytest.raises(SystemExit, match="skeleton"):
