@@ -35,7 +35,12 @@ def _ep_infer_program(config: dict, combine: str, mesh):
     cs [F, rows, C], seeds [F]) and returns (recons [F, M, rows, d_max],
     devs [F, M, rows]). PRNG streams match the per-modality program (one
     [rows, Z] draw per fold), so recon values agree to fusion-reorder float
-    tolerance."""
+    tolerance.
+
+    Mixed-width cohorts (round 5) get the pad-free width-grouped program
+    instead: operands/recons are tuples per width group [F, G_g, rows,
+    d_g] and devs come back in GROUPED modality order (the caller maps
+    per-group rows to modalities via ``stacked.groups``)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..models.stacked import StackedMultimodalCVAE

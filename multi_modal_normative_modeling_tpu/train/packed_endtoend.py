@@ -221,12 +221,14 @@ class GroupedEndToEndMultiTrainer(GroupedEndToEndTrainer):
         return self._per_fold(out, logs, len(params_list))
 
     def _chunk_jit(self, n: int):
-        if n not in self._chunk_cache:
+        # namespaced key: chunk_fn (inherited, un-vmapped) shares this
+        # cache dict and must never collide with the vmapped programs
+        if ("v", n) not in self._chunk_cache:
             import functools
 
-            self._chunk_cache[n] = jax.jit(jax.vmap(functools.partial(
-                self._raw_train.chunk, n)))
-        return self._chunk_cache[n]
+            self._chunk_cache[("v", n)] = jax.jit(jax.vmap(
+                functools.partial(self._raw_train.chunk, n)))
+        return self._chunk_cache[("v", n)]
 
     def run_resumable(self, params_list, folds, keys, state_dir,
                       checkpoint_every: int, resume: bool = True):

@@ -242,12 +242,14 @@ class GroupedRegressionMultiTrainer(GroupedRegressionTrainer):
                         lambda s: np.zeros(s.shape, s.dtype), shapes)}
 
         def _chunk_jit(n):
-            if n not in self._chunk_cache:
+            # namespaced key: chunk_fn (inherited, un-vmapped) shares this
+            # cache dict and must never collide with the vmapped programs
+            if ("v", n) not in self._chunk_cache:
                 import functools
 
-                self._chunk_cache[n] = jax.jit(jax.vmap(functools.partial(
-                    self._raw_train.chunk, n)))
-            return self._chunk_cache[n]
+                self._chunk_cache[("v", n)] = jax.jit(jax.vmap(
+                    functools.partial(self._raw_train.chunk, n)))
+            return self._chunk_cache[("v", n)]
 
         def run_chunk(n, p, opt_state, k):
             if opt_state is None:
