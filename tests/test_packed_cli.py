@@ -93,8 +93,12 @@ def test_packed_supported_pre_checks():
     ok, reason = packed_supported(model, TrainConfig(combine="gpoe",
                                                      shuffle=True))
     assert not ok and "shuffle" in reason
+    # round 5: the DMVAE family packs too (its own split-latent grouped
+    # layout — contract pinned in test_packed_zoo.py); bf16 stays refused
     dmvae = build_model("DMVAE", DIMS, [10, 8], 6, C, len(DIMS))
-    assert not packed_supported(dmvae, TrainConfig(combine="poe"))[0]
+    assert packed_supported(dmvae, TrainConfig(combine="poe"))[0]
+    assert not packed_supported(dmvae, TrainConfig(combine="poe",
+                                                   precision="bf16"))[0]
     # fused path rejects shuffle too (fixed batch order)
     from multi_modal_normative_modeling_tpu.train.fused import supported
 
