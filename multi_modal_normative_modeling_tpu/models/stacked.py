@@ -21,7 +21,7 @@ that XLA maps straight onto the MXU.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -34,8 +34,9 @@ from .multimodal import MultimodalCVAE
 
 
 # registry-name -> packed-variant mapping for the cvae-skeleton zoo (the
-# models whose encoder/decoder MLPs are identical and thus pack; the DMVAE
-# family splits private/shared latents and does not)
+# models whose encoder/decoder MLPs are identical and thus share THESE
+# layouts; the DMVAE family splits private/shared latents and packs on its
+# own split-latent grouped layout instead — models/grouped_dmvae.py)
 SKELETON_VARIANTS = {
     "cVAE_multimodal": "cvae",
     "mmJSD": "mmjsd",

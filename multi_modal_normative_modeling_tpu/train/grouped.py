@@ -24,7 +24,7 @@ import numpy as np
 
 from ..models.grouped import GroupedStackedCVAE
 from .packed import PackedFoldTrainer, PackedMultiFoldTrainer
-from .trainer import TrainConfig, build_optimizer, build_train_fn
+from .trainer import TrainConfig
 
 
 def make_grouped_fold_batches(grouped: GroupedStackedCVAE,

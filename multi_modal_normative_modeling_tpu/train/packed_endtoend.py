@@ -17,7 +17,7 @@ z/dropout), so trajectories agree to float-reorder tolerance
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
