@@ -184,6 +184,44 @@ def main(args, project_root=None):
     checkpoint_every = getattr(args, 'checkpoint_every', 0) or 0
     resume = getattr(args, 'resume', False)
     packed = getattr(args, 'packed_xla', False)
+    ep_mesh = ep_shardings = None
+    if getattr(args, 'ep_mesh', None):
+        # expert-parallel F,M,D on the packed dual-bank layout (implies
+        # --packed_xla + fold-parallel); explicit mesh requests fail loud
+        sizes = common.parse_axis_sizes(
+            args.ep_mesh, '--ep_mesh', (3,), '2,2,2 (fold,modality,data)')
+        if mesh is not None:
+            raise SystemExit('--ep_mesh is mutually exclusive with --mesh')
+        cov_reason = common.uniform_covariates(
+            [f['train'] for f in fold_data])
+        if cov_reason:
+            raise SystemExit(f'--ep_mesh unavailable ({cov_reason})')
+        problems = [
+            f'{n_folds} folds not divisible over the {sizes[0]}-way '
+            f"'fold' axis" if n_folds % sizes[0] else None,
+            f'dual-bank axis 2M={2 * modalities} not divisible over the '
+            f"{sizes[1]}-way 'modality' axis"
+            if (2 * modalities) % sizes[1] else None,
+            f'batch_size {config.batch_size} not divisible over the '
+            f"{sizes[2]}-way 'data' axis"
+            if config.batch_size % sizes[2] else None,
+        ]
+        problems = [p for p in problems if p]
+        if problems:
+            raise SystemExit(f'--ep_mesh {args.ep_mesh}: '
+                             + '; '.join(problems))
+        from ..parallel.modality import (
+            grouped_e2e_fold_shardings,
+            make_ep_mesh3,
+        )
+
+        try:
+            ep_mesh = make_ep_mesh3(n_fold=sizes[0], n_modality=sizes[1],
+                                    n_data=sizes[2])
+        except ValueError as exc:
+            raise SystemExit(f'--ep_mesh {args.ep_mesh}: {exc}')
+        ep_shardings = grouped_e2e_fold_shardings
+        packed = True
     if packed:
         reasons = [r for r, on in [('--mesh', mesh is not None)] if on]
         if not reasons:
@@ -203,19 +241,27 @@ def main(args, project_root=None):
         )
 
         labels_f = [f['train_labels'].astype(np.float32) for f in fold_data]
-        if getattr(args, 'fold_parallel', False):
+        if ep_mesh is not None or getattr(args, 'fold_parallel', False):
             max_n = max(f['train'][0][0].shape[0] for f in fold_data)
-            tr = GroupedEndToEndMultiTrainer(model, config, max_n,
-                                             args.margin,
-                                             args.weightcontrastive)
-            print('train model (all folds fold-parallel, packed dual-bank '
-                  'endtoend modalities)')
+            tr = GroupedEndToEndMultiTrainer(
+                model, config, max_n, args.margin, args.weightcontrastive,
+                mesh=ep_mesh, shardings_fn=ep_shardings)
+            if ep_mesh is not None:
+                axes = dict(zip(ep_mesh.axis_names, ep_mesh.devices.shape))
+                print('train model (all folds fold-parallel, '
+                      'expert-parallel packed dual-bank endtoend '
+                      f'modalities, mesh {axes})')
+                state_dirname = 'ep-grouped-e2e-state'
+            else:
+                print('train model (all folds fold-parallel, packed '
+                      'dual-bank endtoend modalities)')
+                state_dirname = endtoend_state_dirname()
             e2e_folds = [(f['train'][0], f['train'][1][0], lab)
                          for f, lab in zip(fold_data, labels_f)]
             if checkpoint_every:
                 per_fold_params, per_fold_logs = tr.run_resumable(
                     params_list, e2e_folds, list(keys),
-                    state_dir=model_dir / endtoend_state_dirname(),
+                    state_dir=model_dir / state_dirname,
                     checkpoint_every=checkpoint_every, resume=resume)
             else:
                 per_fold_params, per_fold_logs = tr.run(
@@ -336,6 +382,13 @@ def build_parser() -> argparse.ArgumentParser:
                              'model has the longest serialized matmul '
                              'chain in the zoo — packing it cuts the most '
                              'chain links)')
+    parser.add_argument('--ep_mesh', dest='ep_mesh', default=None,
+                        metavar='F,M,D',
+                        help='expert-parallel fold x modality x data GSPMD '
+                             'mesh for the packed dual-bank trainer '
+                             '(implies --packed_xla and fold-parallelism; '
+                             'the [2M] dual-bank decoder axis shards over '
+                             "'modality', batch rows over 'data')")
     common.add_mesh_flag(parser)
     common.add_resume_flags(parser)
     return parser

@@ -202,6 +202,101 @@ def _grouped_opt_shardings(mesh, opt_state, params, params_sh):
 grouped_fold_shardings.opt = _grouped_opt_shardings
 
 
+def grouped_e2e_fold_shardings(mesh: Mesh, params_tree, batches_tree, keys):
+    """jit in_shardings for the packed dual-bank endtoend trainer
+    (train/packed_endtoend.GroupedEndToEndMultiTrainer) over a
+    ('fold', 'modality', 'data') mesh.
+
+    The enc/dec subtrees follow grouped_fold_shardings' divisible-or-
+    replicate rule — the endtoend decoder axis is [2M] (both banks), so it
+    shards over 'modality' whenever 2M divides, putting each device
+    group's slice of BOTH banks' experts local. The classifier/BatchNorm
+    leaves are latent-width tensors with NO modality axis: they replicate
+    over 'modality' explicitly (a dimension-divisibility heuristic would
+    happily shard a classifier's contraction dim that happens to divide).
+    The labels extras block rides the batch-row sharding."""
+    nm = mesh.shape["modality"]
+
+    def leaf_spec(leaf):
+        nd = np.ndim(leaf)
+        if nd >= 2 and np.shape(leaf)[1] % nm == 0:
+            return NamedSharding(mesh,
+                                 P("fold", "modality", *([None] * (nd - 2))))
+        return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+
+    def fold_only(leaf):
+        return NamedSharding(mesh, P(*(["fold"] if np.ndim(leaf) else [])))
+
+    params_sh = {
+        "enc": jax.tree_util.tree_map(leaf_spec, params_tree["enc"]),
+        "dec": jax.tree_util.tree_map(leaf_spec, params_tree["dec"]),
+        "classifier": jax.tree_util.tree_map(fold_only,
+                                             params_tree["classifier"]),
+        "bn_state": jax.tree_util.tree_map(fold_only,
+                                           params_tree["bn_state"]),
+    }
+
+    def x_spec(leaf):
+        g = np.shape(leaf)[2]        # [F, NB, 2G_g, B, d_g]
+        return NamedSharding(mesh, P(
+            "fold", None, "modality" if g % nm == 0 else None, "data",
+            None))
+
+    batches_sh = {
+        "x": tuple(x_spec(x) for x in batches_tree["x"]),
+        "c": NamedSharding(mesh, P("fold", None, "data", None)),
+        "mask": NamedSharding(mesh, P("fold", None, "data")),
+        "valid": NamedSharding(mesh, P("fold", None)),
+        "extras": {"labels": NamedSharding(mesh,
+                                           P("fold", None, "data", None))},
+    }
+    batches_sh = {k: batches_sh[k] for k in batches_tree}
+    keys_sh = NamedSharding(mesh, P("fold", *([None] * (np.ndim(keys) - 1))))
+    return params_sh, batches_sh, keys_sh
+
+
+def _grouped_e2e_opt_shardings(mesh, opt_state, params, params_sh):
+    """optax state shardings for the dual-bank endtoend trainer: adam
+    moments are param-shaped — reuse the param rule per moment tree."""
+    def spec_like(moment_tree):
+        return {
+            "enc": jax.tree_util.tree_map(
+                lambda l: _e2e_leaf(mesh, l), moment_tree["enc"]),
+            "dec": jax.tree_util.tree_map(
+                lambda l: _e2e_leaf(mesh, l), moment_tree["dec"]),
+            "classifier": jax.tree_util.tree_map(
+                lambda l: _e2e_fold(mesh, l), moment_tree["classifier"]),
+            "bn_state": jax.tree_util.tree_map(
+                lambda l: _e2e_fold(mesh, l), moment_tree["bn_state"]),
+        }
+
+    def spec(leaf_or_tree):
+        if isinstance(leaf_or_tree, dict) and "enc" in leaf_or_tree:
+            return spec_like(leaf_or_tree)
+        return jax.tree_util.tree_map(lambda l: _e2e_fold(mesh, l),
+                                      leaf_or_tree)
+
+    return jax.tree_util.tree_map(
+        spec, opt_state,
+        is_leaf=lambda n: isinstance(n, dict) and "enc" in n)
+
+
+def _e2e_leaf(mesh, leaf):
+    nm = mesh.shape["modality"]
+    nd = np.ndim(leaf)
+    if nd >= 2 and np.shape(leaf)[1] % nm == 0:
+        return NamedSharding(mesh,
+                             P("fold", "modality", *([None] * (nd - 2))))
+    return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+
+
+def _e2e_fold(mesh, leaf):
+    return NamedSharding(mesh, P(*(["fold"] if np.ndim(leaf) else [])))
+
+
+grouped_e2e_fold_shardings.opt = _grouped_e2e_opt_shardings
+
+
 def fused_stats_collective(mus: jnp.ndarray, variances: jnp.ndarray,
                            combine: str, alpha_full: jnp.ndarray,
                            m_total: int, axis: str = "modality"):

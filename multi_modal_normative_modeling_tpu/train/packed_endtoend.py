@@ -162,14 +162,51 @@ class GroupedEndToEndTrainer:
 class GroupedEndToEndMultiTrainer(GroupedEndToEndTrainer):
     """vmap(packed endtoend whole-fold trainer) over a stacked fold axis:
     [F, NB, 2M, B, d] decoder operands — every fold's dual-bank step in one
-    device program."""
+    device program.
+
+    With ``mesh``/``shardings_fn`` (a ('fold','modality','data') mesh +
+    parallel/modality.grouped_e2e_fold_shardings) the program additionally
+    shards folds, the [2M] dual-bank decoder axis (and every divisible
+    width-group axis) over 'modality', and batch rows over 'data' — the
+    round-5 EP composition reaching the zoo's longest-chain model."""
 
     def __init__(self, model, config: TrainConfig, n_samples: int,
-                 margin: float, weight_contrastive: float):
+                 margin: float, weight_contrastive: float, mesh=None,
+                 shardings_fn=None):
         super().__init__(model, config, n_samples, margin,
                          weight_contrastive)
-        self.loss_meta = dict(self.loss_meta, path="fold_parallel")
-        self._vtrain = jax.jit(jax.vmap(self._raw_train))
+        if (mesh is None) != (shardings_fn is None):
+            raise ValueError("mesh and shardings_fn go together")
+        if mesh is not None and "modality" in mesh.axis_names and \
+                (2 * self.grouped.modalities) % mesh.shape["modality"]:
+            raise ValueError(
+                f"dual-bank axis 2M={2 * self.grouped.modalities} not "
+                f"divisible over the {mesh.shape['modality']}-way "
+                "'modality' mesh axis")
+        self.mesh = mesh
+        self._shardings_fn = shardings_fn
+        path = "fold_parallel" if mesh is None else (
+            "fold_parallel+ep:" + ",".join(
+                f"{n}={mesh.shape[n]}" for n in mesh.axis_names))
+        self.loss_meta = dict(self.loss_meta, path=path)
+        self._vmapped = jax.vmap(self._raw_train)
+        self._jitted = None
+
+    def _vtrain(self, stacked_params, batches, keys):
+        if self._jitted is None:
+            if self.mesh is not None:
+                shardings = self._shardings_fn(self.mesh, stacked_params,
+                                               batches, keys)
+                self._jitted = jax.jit(self._vmapped,
+                                       in_shardings=shardings)
+            else:
+                self._jitted = jax.jit(self._vmapped)
+        return self._jitted(stacked_params, batches, keys)
+
+    def _place(self, batches):
+        # with a mesh, jit's in_shardings place the shards; a device_put
+        # would commit the whole batch pytree to one device first
+        return batches if self.mesh is not None else jax.device_put(batches)
 
     def _stack_packed(self, params_list):
         packs: dict = {}
@@ -215,19 +252,28 @@ class GroupedEndToEndMultiTrainer(GroupedEndToEndTrainer):
 
     def run(self, params_list, folds, keys):
         stacked_params = self._stack_packed(params_list)
-        batches = jax.device_put(self.pack_folds(folds))
+        batches = self._place(self.pack_folds(folds))
         keys = jnp.stack(list(keys))
         out, logs = self._vtrain(stacked_params, batches, keys)
         return self._per_fold(out, logs, len(params_list))
 
-    def _chunk_jit(self, n: int):
+    def _chunk_jit(self, n: int, p, opt_state, k, batches):
         # namespaced key: chunk_fn (inherited, un-vmapped) shares this
-        # cache dict and must never collide with the vmapped programs
+        # cache dict and must never collide with the vmapped programs;
+        # meshed in_shardings mirror run()'s
         if ("v", n) not in self._chunk_cache:
             import functools
 
-            self._chunk_cache[("v", n)] = jax.jit(jax.vmap(
-                functools.partial(self._raw_train.chunk, n)))
+            chunk = jax.vmap(functools.partial(self._raw_train.chunk, n))
+            if self.mesh is not None:
+                p_sh, b_sh, k_sh = self._shardings_fn(self.mesh, p,
+                                                      batches, k)
+                o_sh = self._shardings_fn.opt(self.mesh, opt_state, p,
+                                              p_sh)
+                self._chunk_cache[("v", n)] = jax.jit(
+                    chunk, in_shardings=(p_sh, o_sh, k_sh, b_sh))
+            else:
+                self._chunk_cache[("v", n)] = jax.jit(chunk)
         return self._chunk_cache[("v", n)]
 
     def run_resumable(self, params_list, folds, keys, state_dir,
@@ -235,7 +281,7 @@ class GroupedEndToEndMultiTrainer(GroupedEndToEndTrainer):
         from .checkpoints import run_chunked
 
         stacked_params = self._stack_packed(params_list)
-        batches = jax.device_put(self.pack_folds(folds))
+        batches = self._place(self.pack_folds(folds))
         keys = jnp.stack(list(keys))
         init_opt = jax.jit(jax.vmap(self.optimizer.init))
 
@@ -249,7 +295,8 @@ class GroupedEndToEndMultiTrainer(GroupedEndToEndTrainer):
         def run_chunk(n, p, opt_state, k):
             if opt_state is None:
                 opt_state = init_opt(p)
-            return self._chunk_jit(n)(p, opt_state, k, batches)
+            return self._chunk_jit(n, p, opt_state, k, batches)(
+                p, opt_state, k, batches)
 
         params, logs = run_chunked(state_dir, self.config.epochs,
                                    checkpoint_every, resume, stacked_params,

@@ -65,6 +65,9 @@ _SLOW_TESTS = {
      "test_trainer_matches_per_modality_trajectory"),
     ("test_packed_endtoend.py", "test_fold_parallel_matches_sequential"),
     ("test_packed_endtoend.py", "test_cli_packed_routes_and_matches"),
+    ("test_packed_endtoend.py",
+     "test_ep_mesh_composes_with_dual_bank_layout"),
+    ("test_packed_endtoend.py", "test_cli_ep_mesh_trains_dual_bank"),
     ("test_packed_regression.py",
      "test_shuffled_trainer_matches_per_modality_trajectory"),
     ("test_packed_regression.py", "test_fold_parallel_matches_sequential"),

@@ -260,3 +260,117 @@ def test_batches_carry_labels_extras():
     np.testing.assert_array_equal(
         b["extras"]["labels"].reshape(-1)[:10], labels)
     assert b["extras"]["labels"].reshape(-1)[10:].sum() == 0
+
+
+def test_ep_mesh_composes_with_dual_bank_layout():
+    """F,M,D GSPMD fold-parallel training on the packed dual-bank endtoend
+    layout: the [2M] decoder axis shards over 'modality' (2M=6 divides 2;
+    the [M=3] encoder leaves replicate), classifier/BatchNorm leaves
+    replicate explicitly, and the trajectory matches the unmeshed packed
+    run to float tolerance."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+    from multi_modal_normative_modeling_tpu.parallel.modality import (
+        grouped_e2e_fold_shardings,
+        make_ep_mesh3,
+    )
+
+    model = EndToEndCVAE(DIMS, [10, 8], 4, C, len(DIMS),
+                         classifier_layers=[8, 6], dropout_rate=0.5)
+    config = TrainConfig(epochs=4, batch_size=8, combine="poe")
+    rng = np.random.default_rng(4)
+    folds = []
+    for _ in range(2):
+        data = [rng.normal(size=(16, d)).astype(np.float32) for d in DIMS]
+        cov = rng.normal(size=(16, C)).astype(np.float32)
+        labels = (rng.random(16) > 0.5).astype(np.float32)
+        folds.append((data, cov, labels))
+    params = model.init_params(jax.random.PRNGKey(0))
+    keys = [jax.random.PRNGKey(100 + f) for f in range(2)]
+
+    plain = GroupedEndToEndMultiTrainer(model, config, 16, 1.0, 1.0)
+    p_ref, logs_ref = plain.run([params] * 2, folds, keys)
+
+    mesh = make_ep_mesh3(n_fold=2, n_modality=2, n_data=2)
+    meshed = GroupedEndToEndMultiTrainer(
+        model, config, 16, 1.0, 1.0, mesh=mesh,
+        shardings_fn=grouped_e2e_fold_shardings)
+    assert meshed.loss_meta["path"].startswith("fold_parallel+ep:")
+    p_got, logs_got = meshed.run([params] * 2, folds, keys)
+
+    for f in range(2):
+        np.testing.assert_allclose(logs_got[f]["total_loss"],
+                                   logs_ref[f]["total_loss"], rtol=5e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5),
+            p_got[f], p_ref[f])
+
+    # resumable meshed run matches too (mesh geometry in the fingerprint)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p_res, _ = meshed.run_resumable([params] * 2, folds, keys,
+                                        state_dir=td, checkpoint_every=2)
+    for f in range(2):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+            p_res[f], p_got[f])
+
+    # the dual-bank divisibility gate fails loudly
+    with pytest.raises(ValueError, match="dual-bank axis"):
+        GroupedEndToEndMultiTrainer(
+            EndToEndCVAE([24, 24, 72], [10, 8], 4, C, 3,
+                         classifier_layers=[8, 6]),
+            config, 16, 1.0, 1.0,
+            mesh=make_ep_mesh3(n_fold=2, n_modality=4, n_data=1),
+            shardings_fn=grouped_e2e_fold_shardings)
+
+
+def test_cli_ep_mesh_trains_dual_bank(tmp_path, capsys):
+    """nmpmcont --ep_mesh F,M,D: the packed dual-bank program GSPMD-shards
+    folds x [2M] dual-bank experts x batch rows (announced, own resumable
+    state dir), and its metrics match the unmeshed packed run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+    from multi_modal_normative_modeling_tpu.cli import nmpmcont
+    from multi_modal_normative_modeling_tpu.data.synthetic import (
+        make_synthetic_resource,
+    )
+    from multi_modal_normative_modeling_tpu.train.checkpoints import (
+        train_state_exists,
+    )
+
+    def _args(**over):
+        ns = dict(dataset_resourse="ADHD", hz_para_list=[16, 16, 6],
+                  combine="MoE", procedure="SE-MoE", epochs=6, n_splits=2,
+                  oversample_percentage=1, model="cVAE_multimodal",
+                  single_modality=None, base_learning_rate=0.0001,
+                  max_learning_rate=0.005, training_class="nm",
+                  learning_rate_classifier=0.001, margin=1.0,
+                  weightcontrastive=1.0, weight_kl=1, weight_rec=1,
+                  dropout=0.5, layers=[16, 8], fold_parallel=False,
+                  packed_xla=False, ep_mesh=None)
+        ns.update(over)
+        return argparse.Namespace(**ns)
+
+    plain_root = tmp_path / "plain"
+    ep_root = tmp_path / "ep"
+    for root in (plain_root, ep_root):
+        make_synthetic_resource(root, "ADHD", n_hc=40, n_disease={0: 20},
+                                seed=3)
+    m_plain = nmpmcont.main(_args(packed_xla=True, fold_parallel=True),
+                            project_root=plain_root)
+    m_ep = nmpmcont.main(_args(ep_mesh="2,2,2", checkpoint_every=3),
+                         project_root=ep_root)
+    out = capsys.readouterr().out
+    assert "expert-parallel packed dual-bank endtoend" in out
+    assert train_state_exists(ep_root / "outputs" / "kfold_analysis"
+                              / "supervised_cvae" / "ep-grouped-e2e-state")
+    np.testing.assert_allclose(m_ep["accuracy"], m_plain["accuracy"],
+                               atol=0.15)
+
+    # gates fail loud
+    with pytest.raises(SystemExit, match="dual-bank axis"):
+        nmpmcont.main(_args(ep_mesh="1,8,1"), project_root=ep_root)
