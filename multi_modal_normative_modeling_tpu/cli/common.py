@@ -577,13 +577,17 @@ def parse_mesh(spec, n_folds: int, batch_size: int):
 
 
 def ep_mesh_divisibility(sizes, n_folds: int, batch_size: int,
-                         modalities: int):
+                         modalities: int, modality_axis_len=None,
+                         modality_axis_desc=None):
     """Why an --ep_mesh geometry (M,D or F,M,D axis sizes) cannot launch,
     or None. Mirrors the runtime gates (parallel/modality.py
     _check_ep_geometry + EPFoldTrainer, train/packed.py
     PackedMultiFoldTrainer, cli/train_supervised.py fold check) so the
-    train CLI and doctor --ep-check fail fast — and identically — without
-    building a trainer."""
+    train CLIs and doctor --ep-check fail fast — and identically — without
+    building a trainer. ``modality_axis_len``/``modality_axis_desc``
+    override the EP-axis geometry for layouts whose sharded axis is not
+    [M]: the packed dual-bank endtoend trainer shards [2M], so
+    cli/nmpmcont.py passes 2*modalities with desc 'dual-bank axis 2M'."""
     if len(sizes) == 3:
         if n_folds % sizes[0]:
             return (f"{n_folds} folds not divisible by the fold axis "
@@ -591,8 +595,11 @@ def ep_mesh_divisibility(sizes, n_folds: int, batch_size: int,
         m_axis, d_axis = sizes[1], sizes[2]
     else:
         m_axis, d_axis = sizes
-    if modalities % m_axis:
-        return (f"{modalities} modalities not divisible over the "
+    mal = modalities if modality_axis_len is None else modality_axis_len
+    desc = (f"{modalities} modalities" if modality_axis_desc is None
+            else f"{modality_axis_desc}={mal}")
+    if mal % m_axis:
+        return (f"{desc} not divisible over the "
                 f"{m_axis}-way 'modality' mesh axis")
     # the 2-axis EP trainer shards batch rows by hand (shard_map); the
     # 3-axis path lets GSPMD place them, which tolerates uneven shards

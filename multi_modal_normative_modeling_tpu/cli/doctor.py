@@ -413,29 +413,45 @@ def _run_preflight(results, section: str, what: str, child_src: str,
 
 
 def check_ep_mesh(results, spec: str, timeout_s: float, n_folds: int,
-                  batch_size: int, modalities: int):
+                  batch_size: int, modalities: int,
+                  dual_bank: bool = False):
     sizes = _parse_preflight_axes(results, "ep-check", "--ep-check", spec,
                                   "4,2 or 2,2,2")
     if sizes is None:
         return
+    if dual_bank and len(sizes) != 3:
+        _finding(results, "ep-check", FAIL,
+                 f"ep mesh {spec}: the packed dual-bank endtoend trainer "
+                 "takes the 3-axis F,M,D form (nmpmcont --ep_mesh)")
+        return
     if len(sizes) in (2, 3):
-        # pure-arithmetic launch gates (shared with `train --ep_mesh`):
-        # fail them here without paying the child's framework import
+        # pure-arithmetic launch gates (shared with `train --ep_mesh` /
+        # `nmpmcont --ep_mesh`): fail them here without paying the
+        # child's framework import
         from .common import ep_mesh_divisibility
 
-        reason = ep_mesh_divisibility(sizes, n_folds, batch_size,
-                                      modalities)
+        reason = ep_mesh_divisibility(
+            sizes, n_folds, batch_size, modalities,
+            modality_axis_len=(2 * modalities if dual_bank else None),
+            modality_axis_desc=("dual-bank axis 2M" if dual_bank
+                                else None))
         if reason:
             _finding(results, "ep-check", FAIL, f"ep mesh {spec}: {reason}")
             return
+    # dual-bank execution leg: a [2M]-expert program over the same mesh is
+    # the geometry the nmpmcont trainer shards (each device group holds
+    # slices of BOTH banks), so the cvae child with 2M experts validates
+    # launchability without a second child
+    child_m = 2 * modalities if dual_bank else modalities
+    axis_word = "dual-bank experts (2M)" if dual_bank else "modalities"
     _run_preflight(
         results, "ep-check", "ep mesh", _EP_CHILD, spec,
-        [n_folds, batch_size, modalities],
+        [n_folds, batch_size, child_m],
         n_devices=math.prod(sizes), timeout_s=timeout_s,
         ok_detail=lambda probe: (
             f"ep mesh {spec} compiled + ran one expert-parallel train "
             f"epoch on {probe['n_devices']} virtual devices "
-            f"({probe['modalities']} modalities, batch {batch_size}, "
+            f"({probe['modalities']} {axis_word}, batch {batch_size}, "
             f"{probe['seconds']}s) — geometry is launchable"))
 
 
@@ -473,7 +489,8 @@ def main(args):
     if args.ep_check:
         check_ep_mesh(results, args.ep_check, timeout_s=args.mesh_timeout,
                       n_folds=args.mesh_folds, batch_size=args.mesh_batch,
-                      modalities=args.ep_modalities)
+                      modalities=args.ep_modalities,
+                      dual_bank=args.ep_dual_bank)
     if args.root:
         check_project(results, Path(args.root))
 
@@ -516,6 +533,11 @@ def build_parser():
                         help="modality count the --ep-check geometry must "
                              "divide (default 4 — UCA on a 3-modality "
                              "resource)")
+    parser.add_argument("--ep-dual-bank", action="store_true",
+                        help="preflight for the packed dual-bank endtoend "
+                             "trainer (nmpmcont --ep_mesh): its EP axis is "
+                             "[2M], so the 'modality' axis must divide "
+                             "2*modalities instead of modalities")
     parser.add_argument("--mesh-timeout", type=float, default=300.0,
                         help="seconds for the mesh preflight subprocess "
                              "(default 300; first compile dominates)")

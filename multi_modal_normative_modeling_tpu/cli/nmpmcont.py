@@ -196,20 +196,15 @@ def main(args, project_root=None):
             [f['train'] for f in fold_data])
         if cov_reason:
             raise SystemExit(f'--ep_mesh unavailable ({cov_reason})')
-        problems = [
-            f'{n_folds} folds not divisible over the {sizes[0]}-way '
-            f"'fold' axis" if n_folds % sizes[0] else None,
-            f'dual-bank axis 2M={2 * modalities} not divisible over the '
-            f"{sizes[1]}-way 'modality' axis"
-            if (2 * modalities) % sizes[1] else None,
-            f'batch_size {config.batch_size} not divisible over the '
-            f"{sizes[2]}-way 'data' axis"
-            if config.batch_size % sizes[2] else None,
-        ]
-        problems = [p for p in problems if p]
-        if problems:
-            raise SystemExit(f'--ep_mesh {args.ep_mesh}: '
-                             + '; '.join(problems))
+        # shared fast gates (common.ep_mesh_divisibility — the same owner
+        # the doctor preflight and train_supervised use) with the
+        # dual-bank override: this trainer's EP axis is [2M], not [M]
+        indivisible = common.ep_mesh_divisibility(
+            sizes, n_folds, config.batch_size, modalities,
+            modality_axis_len=2 * modalities,
+            modality_axis_desc='dual-bank axis 2M')
+        if indivisible:
+            raise SystemExit(f'--ep_mesh {args.ep_mesh}: {indivisible}')
         from ..parallel.modality import (
             grouped_e2e_fold_shardings,
             make_ep_mesh3,

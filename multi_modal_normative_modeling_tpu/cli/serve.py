@@ -209,12 +209,12 @@ class ScoringService:
                 self._ep = pack_ensemble_grouped(state, grouped)
                 self._ep_stacked = grouped
 
+                from ..parallel.modality import ep_divisible_spec
+
                 def leaf_sh(leaf):
-                    nd = np.ndim(leaf)
-                    if nd >= 2 and np.shape(leaf)[1] % nm == 0:
-                        return sh(P('fold', 'modality',
-                                    *([None] * (nd - 2))))
-                    return sh(P(*(['fold'] if nd else [])))
+                    # shared divisible-or-replicate EP rule (one owner:
+                    # parallel/modality.ep_divisible_spec)
+                    return sh(ep_divisible_spec(nm, np.shape(leaf)))
 
                 params_sh = jax.tree_util.tree_map(leaf_sh, self._ep[0])
                 cg_sh = tuple(

@@ -81,14 +81,15 @@ def _ep_infer_program(config: dict, combine: str, mesh):
                 return recons, stacked.reconstruction_deviation(x_groups,
                                                                 recons)
 
+            from ..parallel.modality import ep_divisible_spec
+
             def leaf_sh(s):
                 # s is the UNSTACKED pack_params leaf; the jit operand adds
-                # a leading fold axis, so the modality-ish axis is s axis 0
-                shape = s.shape
-                if len(shape) >= 1 and shape[0] % nm == 0:
-                    return sh(P('fold', 'modality',
-                                *([None] * len(shape[1:]))))
-                return sh(P('fold'))
+                # a leading fold axis — prepend a dummy fold dim so the
+                # shared divisible-or-replicate rule (one owner:
+                # parallel/modality.ep_divisible_spec) sees the operand
+                # geometry it shards
+                return sh(ep_divisible_spec(nm, (1,) + tuple(s.shape)))
 
             shapes = jax.eval_shape(
                 lambda k: stacked.pack_params(

@@ -372,6 +372,16 @@ def main(args, project_root=None):
             # dir (the mesh reorders partial sums, so its trajectory is not
             # the unmeshed packed-state's bit-for-bit; the grouped layout's
             # pytree differs structurally, hence its own name)
+            if ep_grouped and resume and \
+                    (model_dir / 'ep-packed-state').exists():
+                # round-5 routing migration: this mixed-width cohort's EP
+                # run previously wrote the padded layout's state
+                print("note: leftover padded-layout EP resume state at "
+                      f"{model_dir / 'ep-packed-state'} — this mixed-width "
+                      "cohort now rides the width-grouped layout (state dir "
+                      "'ep-grouped-state'), whose numerics differ, so "
+                      "training (re)starts from the grouped state; the "
+                      "padded state is ignored and can be deleted")
             per_fold_params, per_fold_logs = ep_pmft.run_resumable(
                 params_list, folds, keys,
                 state_dir=model_dir / ('ep-grouped-state' if ep_grouped
@@ -410,7 +420,11 @@ def main(args, project_root=None):
         # padded layout's +23% — RESULTS.md round-4); uniform widths /
         # non-cvae skeleton variants keep the padded stacked layout
         # (identical math there). Routing owner: train/grouped.py.
-        from ..train.grouped import packed_state_dirname, select_packed_trainer
+        from ..train.grouped import (
+            notice_stale_padded_state,
+            packed_state_dirname,
+            select_packed_trainer,
+        )
 
         cls, layout, grouped = select_packed_trainer(model,
                                                      fold_parallel=True)
@@ -426,6 +440,8 @@ def main(args, project_root=None):
         if checkpoint_every:
             # packed/grouped states are stacked layout-specific pytrees —
             # each layout gets its own state dir
+            if resume:
+                notice_stale_padded_state(model_dir, grouped)
             per_fold_params, per_fold_logs = pmft.run_resumable(
                 params_list, folds, keys,
                 state_dir=model_dir / packed_state_dirname(grouped),
@@ -434,7 +450,11 @@ def main(args, project_root=None):
             per_fold_params, per_fold_logs = pmft.run(params_list, folds,
                                                       keys)
     elif fused_trainer is None and packed_xla:
-        from ..train.grouped import packed_state_dirname, select_packed_trainer
+        from ..train.grouped import (
+            notice_stale_padded_state,
+            packed_state_dirname,
+            select_packed_trainer,
+        )
 
         cls, layout, grouped = select_packed_trainer(model,
                                                      fold_parallel=False)
@@ -451,6 +471,8 @@ def main(args, project_root=None):
         per_fold_params, per_fold_logs = [], []
         for fold, (data_list, cov_list) in enumerate(folds):
             if checkpoint_every:
+                if resume:
+                    notice_stale_padded_state(model_dir, grouped, fold)
                 params, logs = ptr.run_resumable(
                     params_list[fold], data_list, cov_list[0], keys[fold],
                     state_dir=model_dir / packed_state_dirname(grouped,

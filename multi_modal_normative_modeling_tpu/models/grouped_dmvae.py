@@ -70,6 +70,13 @@ class GroupedDMVAE:
         modalities in grouped order."""
         stack = lambda xs: jnp.stack(xs)
         pi = self.perm
+        # depths come from the ACTUAL per-modality lists, not
+        # len(hidden_dim): DMVAEFamily always builds a 2-layer trunk and a
+        # 3-layer decoder from h[0]/h[1] (dmvae.py init_params), silently
+        # ignoring extra hidden dims — the packed form must mirror that,
+        # not crash indexing trunk[2] on a 3-hidden-dim config
+        n_trunk = len(per["enc"][pi[0]]["trunk"])
+        n_dec = len(per["dec"][pi[0]]["layers"])
         enc0 = [{
             "w": stack([per["enc"][m]["trunk"][0]["w"] for m in idx]),
             "b": stack([per["enc"][m]["trunk"][0]["b"] for m in idx]),
@@ -86,7 +93,7 @@ class GroupedDMVAE:
                                 for m in pi]),
                     "b": stack([per["enc"][m]["trunk"][l]["b"]
                                 for m in pi]),
-                } for l in range(1, len(self.hidden_dim))],
+                } for l in range(1, n_trunk)],
                 "wmu": stack([per["enc"][m]["mu"]["w"] for m in pi]),
                 "bmu": stack([per["enc"][m]["mu"]["b"] for m in pi]),
                 "wlv": stack([per["enc"][m]["logvar"]["w"] for m in pi]),
@@ -98,7 +105,7 @@ class GroupedDMVAE:
                                 for m in pi]),
                     "b": stack([per["dec"][m]["layers"][l]["b"]
                                 for m in pi]),
-                } for l in range(len(self.hidden_dim))],
+                } for l in range(n_dec - 1)],
                 "out": dec_out,
             },
         }

@@ -140,6 +140,27 @@ def _packed_opt_shardings(mesh, opt_state, params, params_sh):
 packed_fold_shardings.opt = _packed_opt_shardings
 
 
+def ep_divisible_spec(nm: int, shape, maxis: int = 1,
+                      lead=("fold",)) -> P:
+    """ONE owner for the EP divisible-or-replicate rule used by every
+    grouped-layout surface (the train shardings below, serve's resident
+    ensemble, the test stage's fold-vmapped inference): shard dim
+    ``maxis`` of a leaf with dims ``shape`` over 'modality' when its
+    length divides the modality extent ``nm``, replicate it otherwise.
+    ``lead`` names the leading dims (usually the fold axis — truncated to
+    the leaf's rank); dims past ``maxis`` replicate. Width-uniform [M]
+    axes always divide; ragged width-group axes replicate (the groups are
+    separable by construction). A NON-modality dim whose length happens
+    to divide must NOT reach this rule — callers with such leaves (e.g.
+    the endtoend classifier) route them to a fold-only spec explicitly."""
+    nd = len(shape)
+    names = list(lead[:nd])
+    if nd > maxis and shape[maxis] % nm == 0:
+        return P(*names, *([None] * (maxis - len(names))), "modality",
+                 *([None] * (nd - maxis - 1)))
+    return P(*names)
+
+
 def grouped_fold_shardings(mesh: Mesh, params_tree, batches_tree, keys):
     """jit in_shardings for the GROUPED fold-parallel trainer
     (train/grouped.py GroupedMultiFoldTrainer) over a
@@ -159,11 +180,7 @@ def grouped_fold_shardings(mesh: Mesh, params_tree, batches_tree, keys):
     nm = mesh.shape["modality"]
 
     def leaf_spec(leaf):
-        nd = np.ndim(leaf)
-        if nd >= 2 and np.shape(leaf)[1] % nm == 0:
-            return NamedSharding(mesh,
-                                 P("fold", "modality", *([None] * (nd - 2))))
-        return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+        return NamedSharding(mesh, ep_divisible_spec(nm, np.shape(leaf)))
 
     params_sh = jax.tree_util.tree_map(leaf_spec, params_tree)
 
@@ -190,11 +207,7 @@ def _grouped_opt_shardings(mesh, opt_state, params, params_sh):
     nm = mesh.shape["modality"]
 
     def spec(leaf):
-        nd = np.ndim(leaf)
-        if nd >= 2 and np.shape(leaf)[1] % nm == 0:
-            return NamedSharding(mesh,
-                                 P("fold", "modality", *([None] * (nd - 2))))
-        return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+        return NamedSharding(mesh, ep_divisible_spec(nm, np.shape(leaf)))
 
     return jax.tree_util.tree_map(spec, opt_state)
 
@@ -218,11 +231,7 @@ def grouped_e2e_fold_shardings(mesh: Mesh, params_tree, batches_tree, keys):
     nm = mesh.shape["modality"]
 
     def leaf_spec(leaf):
-        nd = np.ndim(leaf)
-        if nd >= 2 and np.shape(leaf)[1] % nm == 0:
-            return NamedSharding(mesh,
-                                 P("fold", "modality", *([None] * (nd - 2))))
-        return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+        return NamedSharding(mesh, ep_divisible_spec(nm, np.shape(leaf)))
 
     def fold_only(leaf):
         return NamedSharding(mesh, P(*(["fold"] if np.ndim(leaf) else [])))
@@ -282,12 +291,8 @@ def _grouped_e2e_opt_shardings(mesh, opt_state, params, params_sh):
 
 
 def _e2e_leaf(mesh, leaf):
-    nm = mesh.shape["modality"]
-    nd = np.ndim(leaf)
-    if nd >= 2 and np.shape(leaf)[1] % nm == 0:
-        return NamedSharding(mesh,
-                             P("fold", "modality", *([None] * (nd - 2))))
-    return NamedSharding(mesh, P(*(["fold"] if nd else [])))
+    return NamedSharding(
+        mesh, ep_divisible_spec(mesh.shape["modality"], np.shape(leaf)))
 
 
 def _e2e_fold(mesh, leaf):

@@ -119,6 +119,82 @@ def _unpack_params_host(stacked: StackedMultimodalCVAE, packed) -> dict:
     return _host_tree_op(stacked.unpack_params, packed)
 
 
+def fetch_host(tree):
+    """Multi-process-safe device->host fetch: checkpoints._to_host
+    (process_allgathers leaves sharded across processes, where plain
+    device_get raises) with every leaf materialized as np.ndarray.
+    Identical to a device_get single-process. ONE owner for every packed
+    trainer's result fetch — the 2-process EP path exercises it."""
+    from .checkpoints import _to_host
+
+    return jax.tree_util.tree_map(np.asarray, _to_host(tree))
+
+
+def unpack_per_fold(layout, out, logs, n_folds):
+    """Fetch a fold-stacked (params, logs) result and unpack to
+    (per-fold per-modality params, per-fold logs). Shared by every
+    fold-parallel packed trainer (grouped / endtoend / regression / dmvae);
+    ``layout`` is any object with ``unpack_params`` (via
+    _unpack_params_host)."""
+    host = fetch_host(out)
+    host_logs = fetch_host(logs)
+    per_fold_params = [
+        _unpack_params_host(
+            layout, jax.tree_util.tree_map(lambda leaf: leaf[f], host))
+        for f in range(n_folds)
+    ]
+    per_fold_logs = [{k: v[f] for k, v in host_logs.items()}
+                     for f in range(n_folds)]
+    return per_fold_params, per_fold_logs
+
+
+def stack_packed_params(layout, params_list):
+    """Per-fold per-modality pytrees -> ONE fold-stacked packed tree.
+    Identical init pytrees (the CLIs share one across folds) pack once —
+    memoized by identity, since the pack itself is O(modalities x layers)
+    of host work. Shared by every fold-parallel packed trainer."""
+    packs: dict = {}
+    packed_list = []
+    for p in params_list:
+        if id(p) not in packs:
+            packs[id(p)] = _pack_params_host(layout, p)
+        packed_list.append(packs[id(p)])
+    from ..parallel.folds import stack_params
+
+    return stack_params(packed_list)  # numpy-stacks host trees
+
+
+def packed_template_fn(optimizer, packed, keys, vmapped: bool = False):
+    """checkpoints.run_chunked template builder shared by every resumable
+    trainer ({params, key, opt_state} train states — the packed zoo,
+    FoldTrainer, StreamingFoldTrainer): opt_state is shaped by eval_shape,
+    so building the template does no device work."""
+    def template_fn():
+        init = jax.vmap(optimizer.init) if vmapped else optimizer.init
+        shapes = jax.eval_shape(init, packed)
+        return {"params": packed, "key": keys,
+                "opt_state": jax.tree_util.tree_map(
+                    lambda s: np.zeros(s.shape, s.dtype), shapes)}
+
+    return template_fn
+
+
+def pad_stack_fold_batches(per_fold):
+    """Per-fold batch pytrees -> one fold-stacked tree, every fold padded
+    (with all-padding trailing batches) to the largest fold's batch grid.
+    Shared by every fold-parallel packed trainer's pack_folds."""
+    max_nb = max(b["mask"].shape[0] for b in per_fold)
+    padded = []
+    for b in per_fold:
+        cur = b["mask"].shape[0]
+        if cur < max_nb:
+            b = jax.tree_util.tree_map(
+                lambda a: np.pad(a, [(0, max_nb - cur)]
+                                 + [(0, 0)] * (a.ndim - 1)), b)
+        padded.append(b)
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
+
+
 def _packed_loss_fn(stacked: StackedMultimodalCVAE, combine: str,
                     precision: str = "fp32"):
     if precision == "bf16":
@@ -215,12 +291,7 @@ class PackedStateTrainerBase:
             key = jax.random.PRNGKey(self.config.seed)
         packed = self._packed(per_modality_params)
         batches = self._batches(data_list, cov)
-
-        def template_fn():
-            shapes = jax.eval_shape(self.optimizer.init, packed)
-            return {"params": packed, "key": key,
-                    "opt_state": jax.tree_util.tree_map(
-                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+        template_fn = packed_template_fn(self.optimizer, packed, key)
 
         def run_chunk(n, p, opt_state, k):
             if opt_state is None:
@@ -350,38 +421,16 @@ class PackedMultiFoldTrainer:
         return batches if self.mesh is not None else jax.device_put(batches)
 
     def _stack_packed(self, params_list):
-        # identical init pytrees (the CLI shares one across folds) pack
-        # once (setdefault would evaluate the pack eagerly per fold)
-        packs = {}
-        packed_list = []
-        for p in params_list:
-            if id(p) not in packs:
-                packs[id(p)] = _pack_params_host(self.stacked, p)
-            packed_list.append(packs[id(p)])
-        from ..parallel.folds import stack_params
-
-        return stack_params(packed_list)  # numpy-stacks host trees
+        return stack_packed_params(self.stacked, params_list)
 
     def pack_folds(self, folds, cov_index: int = 0) -> dict:
         """folds: list of (data_list, cov_list); returns the stacked batch
         pytree with every fold padded to the largest fold's batch grid."""
-        per_fold = []
-        max_nb = 0
-        for data_list, cov_list in folds:
-            b = type(self)._batch_maker(self.stacked, data_list,
-                                        cov_list[cov_index],
-                                        self.config.batch_size)
-            max_nb = max(max_nb, b["mask"].shape[0])
-            per_fold.append(b)
-        padded = []
-        for b in per_fold:
-            cur = b["mask"].shape[0]
-            if cur < max_nb:
-                b = jax.tree_util.tree_map(
-                    lambda a: np.pad(a, [(0, max_nb - cur)]
-                                     + [(0, 0)] * (a.ndim - 1)), b)
-            padded.append(b)
-        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
+        per_fold = [type(self)._batch_maker(self.stacked, data_list,
+                                            cov_list[cov_index],
+                                            self.config.batch_size)
+                    for data_list, cov_list in folds]
+        return pad_stack_fold_batches(per_fold)
 
     def compile(self, params_list, folds, keys) -> float:
         """Lower + compile the fold-parallel packed program; seconds."""
@@ -404,19 +453,7 @@ class PackedMultiFoldTrainer:
         return self._per_fold(out, logs, len(params_list))
 
     def _per_fold(self, out, logs, n_folds):
-        from .checkpoints import _to_host
-
-        host = _to_host(out)
-        host_logs = _to_host(logs)
-        per_fold_params = [
-            _unpack_params_host(
-                self.stacked,
-                jax.tree_util.tree_map(lambda leaf: leaf[f], host))
-            for f in range(n_folds)
-        ]
-        per_fold_logs = [{k: v[f] for k, v in host_logs.items()}
-                         for f in range(n_folds)]
-        return per_fold_params, per_fold_logs
+        return unpack_per_fold(self.stacked, out, logs, n_folds)
 
     def _chunk_jit(self, n: int, p, opt_state, k, batches):
         """Jitted vmapped chunk of ``n`` epochs, cached per size; meshed
@@ -483,13 +520,8 @@ class PackedMultiFoldTrainer:
         batches = self._place(self.pack_folds(folds))
         keys = jnp.stack(list(keys))
         init_opt = jax.jit(jax.vmap(self.optimizer.init))
-
-        def template_fn():
-            shapes = jax.eval_shape(jax.vmap(self.optimizer.init),
-                                    stacked_params)
-            return {"params": stacked_params, "key": keys,
-                    "opt_state": jax.tree_util.tree_map(
-                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+        template_fn = packed_template_fn(self.optimizer, stacked_params,
+                                         keys, vmapped=True)
 
         def run_chunk(n, p, opt_state, k):
             if opt_state is None:

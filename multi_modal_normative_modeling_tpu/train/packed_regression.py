@@ -20,7 +20,15 @@ import numpy as np
 
 from ..models.grouped_regression import GroupedRegressionCVAE
 from .grouped import make_grouped_fold_batches
-from .packed import _pack_params_host, _unpack_params_host
+from .packed import (
+    _pack_params_host,
+    _unpack_params_host,
+    fetch_host,
+    packed_template_fn,
+    pad_stack_fold_batches,
+    stack_packed_params,
+    unpack_per_fold,
+)
 from .trainer import (
     TrainConfig,
     add_batch_meta,
@@ -126,9 +134,8 @@ class GroupedRegressionTrainer:
         packed = self._packed(per_modality_params)
         out, logs = self._train(packed, self._batches(data_list, cov, fi),
                                 key)
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        return (_unpack_params_host(self.grouped, host),
-                jax.tree_util.tree_map(np.asarray, jax.device_get(logs)))
+        return (_unpack_params_host(self.grouped, fetch_host(out)),
+                fetch_host(logs))
 
     def chunk_fn(self, n_epochs: int):
         if n_epochs not in self._chunk_cache:
@@ -145,12 +152,7 @@ class GroupedRegressionTrainer:
 
         packed = self._packed(per_modality_params)
         batches = self._batches(data_list, cov, fi)
-
-        def template_fn():
-            shapes = jax.eval_shape(self.optimizer.init, packed)
-            return {"params": packed, "key": key,
-                    "opt_state": jax.tree_util.tree_map(
-                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+        template_fn = packed_template_fn(self.optimizer, packed, key)
 
         def run_chunk(n, p, opt_state, k):
             if opt_state is None:
@@ -161,8 +163,7 @@ class GroupedRegressionTrainer:
                                    checkpoint_every, resume, packed, None,
                                    key, run_chunk, template_fn,
                                    meta=self.loss_meta)
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
-        return _unpack_params_host(self.grouped, host), logs
+        return _unpack_params_host(self.grouped, fetch_host(params)), logs
 
 
 class GroupedRegressionMultiTrainer(GroupedRegressionTrainer):
@@ -177,15 +178,7 @@ class GroupedRegressionMultiTrainer(GroupedRegressionTrainer):
         self._vtrain = jax.jit(jax.vmap(self._raw_train))
 
     def _stack_packed(self, params_list):
-        packs: dict = {}
-        packed_list = []
-        for p in params_list:
-            if id(p) not in packs:
-                packs[id(p)] = _pack_params_host(self.grouped, p)
-            packed_list.append(packs[id(p)])
-        from ..parallel.folds import stack_params
-
-        return stack_params(packed_list)
+        return stack_packed_params(self.grouped, params_list)
 
     def pack_folds(self, folds) -> dict:
         """folds: list of (data_list, cov, fi); padded to the largest
@@ -193,30 +186,10 @@ class GroupedRegressionMultiTrainer(GroupedRegressionTrainer):
         per_fold = [make_regression_fold_batches(
             self.grouped, d, c, fi, self.config.batch_size)
             for d, c, fi in folds]
-        max_nb = max(b["mask"].shape[0] for b in per_fold)
-        padded = []
-        for b in per_fold:
-            cur = b["mask"].shape[0]
-            if cur < max_nb:
-                b = jax.tree_util.tree_map(
-                    lambda a: np.pad(a, [(0, max_nb - cur)]
-                                     + [(0, 0)] * (a.ndim - 1)), b)
-            padded.append(b)
-        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
+        return pad_stack_fold_batches(per_fold)
 
     def _per_fold(self, out, logs, n_folds):
-        host = jax.tree_util.tree_map(np.asarray, jax.device_get(out))
-        host_logs = jax.tree_util.tree_map(np.asarray,
-                                           jax.device_get(logs))
-        per_fold_params = [
-            _unpack_params_host(
-                self.grouped,
-                jax.tree_util.tree_map(lambda leaf: leaf[f], host))
-            for f in range(n_folds)
-        ]
-        per_fold_logs = [{k: v[f] for k, v in host_logs.items()}
-                         for f in range(n_folds)]
-        return per_fold_params, per_fold_logs
+        return unpack_per_fold(self.grouped, out, logs, n_folds)
 
     def run(self, params_list, folds, keys):
         stacked_params = self._stack_packed(params_list)
@@ -233,13 +206,8 @@ class GroupedRegressionMultiTrainer(GroupedRegressionTrainer):
         batches = jax.device_put(self.pack_folds(folds))
         keys = jnp.stack(list(keys))
         init_opt = jax.jit(jax.vmap(self.optimizer.init))
-
-        def template_fn():
-            shapes = jax.eval_shape(jax.vmap(self.optimizer.init),
-                                    stacked_params)
-            return {"params": stacked_params, "key": keys,
-                    "opt_state": jax.tree_util.tree_map(
-                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+        template_fn = packed_template_fn(self.optimizer, stacked_params,
+                                         keys, vmapped=True)
 
         def _chunk_jit(n):
             # namespaced key: chunk_fn (inherited, un-vmapped) shares this

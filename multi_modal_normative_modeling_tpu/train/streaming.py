@@ -285,12 +285,9 @@ class StreamingFoldTrainer:
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
         host_shards = self._shards_for(data_list, cov_list, extras)
+        from .packed import packed_template_fn
 
-        def template_fn():
-            shapes = jax.eval_shape(self.optimizer.init, params)
-            return {"params": params, "key": key,
-                    "opt_state": jax.tree_util.tree_map(
-                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+        template_fn = packed_template_fn(self.optimizer, params, key)
 
         def run_chunk(n, p, opt_state, k):
             return self._run_epochs(n, p, opt_state, k, host_shards)

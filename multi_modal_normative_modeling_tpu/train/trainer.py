@@ -481,12 +481,9 @@ class FoldTrainer:
             key = jax.random.PRNGKey(self.config.seed)
         batches = jax.device_put(
             make_batches(data_list, cov_list, self.config.batch_size, extras))
+        from .packed import packed_template_fn
 
-        def template_fn():
-            shapes = jax.eval_shape(self.optimizer.init, params)
-            return {"params": params, "key": key,
-                    "opt_state": jax.tree_util.tree_map(
-                        lambda s: np.zeros(s.shape, s.dtype), shapes)}
+        template_fn = packed_template_fn(self.optimizer, params, key)
 
         def run_chunk(n, p, opt_state, k):
             if opt_state is None:

@@ -114,6 +114,12 @@ def test_ep_mesh_divisibility_gates():
     assert "batch_size 7 not divisible" in ok([2, 2], 10, 7, 4)
     # 3-axis batch sharding is GSPMD's job: no batch gate
     assert ok([2, 2, 2], n_folds=10, batch_size=7, modalities=4) is None
+    # dual-bank override (nmpmcont: the EP axis is [2M], not [M])
+    assert ok([2, 2, 2], 10, 8, 3, modality_axis_len=6,
+              modality_axis_desc="dual-bank axis 2M") is None
+    msg = ok([2, 4, 2], 10, 8, 3, modality_axis_len=6,
+             modality_axis_desc="dual-bank axis 2M")
+    assert "dual-bank axis 2M=6 not divisible" in msg
 
 
 def test_ep_mesh_test_stage_matches_plain(tmp_path):

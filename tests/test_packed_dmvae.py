@@ -59,6 +59,33 @@ def test_forward_and_loss_equivalence(name):
                                    err_msg=f"loss key {k}")
 
 
+def test_three_hidden_dims_pack():
+    """DMVAEFamily builds a FIXED 2-layer trunk / 3-layer decoder from
+    h[0]/h[1] whatever len(hidden_dim) says (dmvae.py init_params);
+    pack_params must derive depths from the actual lists, not
+    len(hidden_dim) (round-5 review: trunk[2] IndexError on -H with three
+    hidden dims)."""
+    dims = [24, 24, 72]
+    base = build_model("DMVAE", dims, [12, 10, 8], LATENT, C, len(dims))
+    grouped = GroupedDMVAE(dims, [12, 10, 8], LATENT, C, len(dims),
+                           variant="dmvae")
+    params = base.init_params(jax.random.PRNGKey(0))
+    gpacked = grouped.pack_params(params)
+    restored = grouped.unpack_params(gpacked)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored, params)
+    rng = np.random.default_rng(1)
+    xes = [rng.normal(size=(6, d)).astype(np.float32) for d in dims]
+    key = jax.random.PRNGKey(5)
+    fwd_ref = base.forward(params, xes, None, key)
+    fwd = grouped.forward(gpacked, grouped.pack_inputs(xes), key)
+    np.testing.assert_allclose(np.asarray(fwd["mu_c"]),
+                               np.asarray(fwd_ref["mu_c"]), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_pack_roundtrip_weighted():
     _, grouped, params, gpacked, _ = _pair("WeightedDMVAE")
     restored = grouped.unpack_params(gpacked)
