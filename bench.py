@@ -625,6 +625,11 @@ def main():
         "baseline_source": baseline_source,
         "workload": f"{FOLDS} folds x {EPOCHS} epochs x {N_SUBJECTS} "
                     f"subjects x {len(DIMS)} modalities {DIMS}",
+        # the b512/bf16 arms are quality-validated at reference parity
+        # (AUC 0.7303 vs reference 0.7304 on the identical cohort —
+        # scripts/quality_fast_recipe.py, BASELINE.json
+        # quality_parity_runs "fast_recipe_quality")
+        "flagship_b512_quality": "parity (fast_recipe_quality)",
     }
     ppmi_vals = [fl["ppmi_us_per_step"] for fl in floors
                  if isinstance(fl.get("ppmi_us_per_step"), (int, float))]
