@@ -372,16 +372,15 @@ def main(args, project_root=None):
             # dir (the mesh reorders partial sums, so its trajectory is not
             # the unmeshed packed-state's bit-for-bit; the grouped layout's
             # pytree differs structurally, hence its own name)
-            if ep_grouped and resume and \
-                    (model_dir / 'ep-packed-state').exists():
+            if ep_grouped and resume:
                 # round-5 routing migration: this mixed-width cohort's EP
                 # run previously wrote the padded layout's state
-                print("note: leftover padded-layout EP resume state at "
-                      f"{model_dir / 'ep-packed-state'} — this mixed-width "
-                      "cohort now rides the width-grouped layout (state dir "
-                      "'ep-grouped-state'), whose numerics differ, so "
-                      "training (re)starts from the grouped state; the "
-                      "padded state is ignored and can be deleted")
+                from ..train.grouped import notice_stale_padded_state
+
+                notice_stale_padded_state(
+                    model_dir, 'grouped',
+                    stale_dirname='ep-packed-state',
+                    new_dirname='ep-grouped-state')
             per_fold_params, per_fold_logs = ep_pmft.run_resumable(
                 params_list, folds, keys,
                 state_dir=model_dir / ('ep-grouped-state' if ep_grouped

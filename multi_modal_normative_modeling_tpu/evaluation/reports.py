@@ -42,6 +42,25 @@ def append_result_multimodal(result_dir, compare_name: str, args,
         f.write('\n\n\n')
 
 
+def parse_result_auc(project_root, compare_fragment: str = "2 vs 0"):
+    """Pooled (AUC, std) from a result_multimodal.txt block — the inverse
+    of append_result_multimodal's ROC-AUC line, percent downscaled. ONE
+    owner for the parse used by scripts/baseline_probe.py and
+    scripts/quality_fast_recipe.py (``compare_fragment`` picks the
+    comparison block, e.g. '2 vs 0' = HC vs AD on ADNI)."""
+    import re
+
+    text = (Path(project_root) / "result_baseline" /
+            "result_multimodal.txt").read_text()
+    for block in text.split("Experiment settings"):
+        if compare_fragment in block:
+            m = re.search(r"ROC-AUC: \$ ([0-9.]+) \\pm ([0-9.]+) \$", block)
+            if m:
+                return (round(float(m.group(1)) / 100, 4),
+                        round(float(m.group(2)) / 100, 4))
+    raise RuntimeError(f"no {compare_fragment!r} block found")
+
+
 def append_result_4(result_dir, args, mean_auc_roc_list, std_auc_roc_list,
                     mean_accuracy_list, std_accuracy_list, mean_recall_list,
                     std_recall_list, mean_specificity_list,

@@ -145,8 +145,9 @@ def ep_divisible_spec(nm: int, shape, maxis: int = 1,
     """ONE owner for the EP divisible-or-replicate rule used by every
     grouped-layout surface (the train shardings below, serve's resident
     ensemble, the test stage's fold-vmapped inference): shard dim
-    ``maxis`` of a leaf with dims ``shape`` over 'modality' when its
-    length divides the modality extent ``nm``, replicate it otherwise.
+    ``maxis`` of a leaf with dims ``shape`` over 'modality' when ``nm``
+    (the mesh's 'modality' AXIS SIZE) divides that dim's length,
+    replicate it otherwise.
     ``lead`` names the leading dims (usually the fold axis — truncated to
     the leaf's rank); dims past ``maxis`` replicate. Width-uniform [M]
     axes always divide; ragged width-group axes replicate (the groups are

@@ -177,26 +177,32 @@ def select_packed_trainer(model, fold_parallel: bool):
         "grouped" if g else "padded")
 
 
-def notice_stale_padded_state(state_dir, layout,
-                              fold: "int | None" = None) -> None:
+def notice_stale_padded_state(state_dir, layout, fold: "int | None" = None,
+                              stale_dirname: "str | None" = None,
+                              new_dirname: "str | None" = None) -> None:
     """Routing-migration notice (round 4): a pre-round-4 --packed_xla run on
     a mixed-width cohort wrote its resumable state to the PADDED layout's
     dir; the same cohort now routes to the grouped layout, which reads (and
     writes) its own dir — the old state is never opened, so a --resume
     starts fresh. That restart is correct (the layout change is a numerics
-    change), but say so instead of silently orphaning the old state."""
+    change), but say so instead of silently orphaning the old state.
+    ``stale_dirname``/``new_dirname`` override the dir names for surfaces
+    with their own naming (the EP branch's ep-packed-state ->
+    ep-grouped-state rename)."""
     if layout in (False, "padded", "dmvae"):
         return  # padded reads its own state; dmvae never had a padded era
     from pathlib import Path
 
-    stale = Path(state_dir) / packed_state_dirname("padded", fold)
+    stale = Path(state_dir) / (stale_dirname
+                               or packed_state_dirname("padded", fold))
     if stale.exists():
+        new = new_dirname or packed_state_dirname("grouped", fold)
         print(
             f'note: leftover padded-layout resume state at {stale} — this '
             'mixed-width cohort now routes to the width-grouped layout '
-            f'(state dir {packed_state_dirname("grouped", fold)!r}), whose '
-            'numerics differ, so training (re)starts from the grouped '
-            'state; the padded state is ignored and can be deleted')
+            f'(state dir {new!r}), whose numerics differ, so training '
+            '(re)starts from the grouped state; the padded state is '
+            'ignored and can be deleted')
 
 
 def packed_state_dirname(layout, fold: "int | None" = None) -> str:

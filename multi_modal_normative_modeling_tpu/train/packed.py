@@ -258,13 +258,8 @@ class PackedStateTrainerBase:
             key = jax.random.PRNGKey(self.config.seed)
         packed = self._packed(per_modality_params)
         out, logs = self._train(packed, self._batches(data_list, cov), key)
-        # _to_host: device_get that process_allgathers leaves sharded
-        # across processes (the 2-process EP path) — identical to a plain
-        # device_get single-process
-        from .checkpoints import _to_host
-
-        return (_unpack_params_host(self.stacked, _to_host(out)),
-                _to_host(logs))
+        return (_unpack_params_host(self.stacked, fetch_host(out)),
+                fetch_host(logs))
 
     def compile(self, per_modality_params, data_list, cov, key=None) -> float:
         """Lower + compile the whole-fold program without running it;
@@ -302,9 +297,7 @@ class PackedStateTrainerBase:
                                    checkpoint_every, resume, packed, None,
                                    key, run_chunk, template_fn,
                                    meta=getattr(self, "loss_meta", None))
-        from .checkpoints import _to_host
-
-        return _unpack_params_host(self.stacked, _to_host(params)), logs
+        return _unpack_params_host(self.stacked, fetch_host(params)), logs
 
 
 class PackedFoldTrainer(PackedStateTrainerBase):

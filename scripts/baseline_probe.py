@@ -540,26 +540,18 @@ def main():
                 per_fold_epoch * 10 * 200, 1),
             "approx_train_rows_per_fold": n_train_rows,
         }
-        import re
 
         def hc_vs_ad_auc(root):
-            """Parse the HC(2)-vs-AD(0) block of result_multimodal.txt (the
-            canonical detectable comparison; the synthetic cohort injects the
-            SAME effect for AD and MCI, so the MCI-vs-AD pair — which is what
-            cvae_auc_and_std.csv ends up holding — is 0.5 by construction)."""
-            text = (Path(root) / "result_baseline" /
-                    "result_multimodal.txt").read_text()
-            # block format (reference ga:249-251 / evaluation/reports.py):
-            # 'Experiment settings: CVAE. ADNI: 2 vs 0. ...'
-            # 'ROC-AUC: $ 82.04 \pm 5.90 $' (percent)
-            for block in text.split("Experiment settings"):
-                if "2 vs 0" in block:
-                    m = re.search(
-                        r"ROC-AUC: \$ ([0-9.]+) \\pm ([0-9.]+) \$", block)
-                    if m:
-                        return (round(float(m.group(1)) / 100, 4),
-                                round(float(m.group(2)) / 100, 4))
-            raise RuntimeError("no HC-vs-AD block found")
+            """HC(2)-vs-AD(0) pooled AUC (the canonical detectable
+            comparison; the synthetic cohort injects the SAME effect for AD
+            and MCI, so the MCI-vs-AD pair — which is what
+            cvae_auc_and_std.csv ends up holding — is 0.5 by construction).
+            Shared parser: evaluation/reports.parse_result_auc."""
+            from multi_modal_normative_modeling_tpu.evaluation.reports import (
+                parse_result_auc,
+            )
+
+            return parse_result_auc(root, "2 vs 0")
 
         quality = {}
         ref_auc, ref_std = hc_vs_ad_auc(work)

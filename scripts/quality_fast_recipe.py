@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import shutil
 import subprocess
 import sys
@@ -33,16 +32,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def hc_vs_ad_auc(root: Path):
-    """Pooled HC(2)-vs-AD(0) AUC from result_multimodal.txt (same parse as
-    scripts/baseline_probe.py — the detectable pair on this cohort)."""
-    text = (root / "result_baseline" / "result_multimodal.txt").read_text()
-    for block in text.split("Experiment settings"):
-        if "2 vs 0" in block:
-            m = re.search(r"ROC-AUC: \$ ([0-9.]+) \\pm ([0-9.]+) \$", block)
-            if m:
-                return (round(float(m.group(1)) / 100, 4),
-                        round(float(m.group(2)) / 100, 4))
-    raise RuntimeError("no HC-vs-AD block found")
+    """Pooled HC(2)-vs-AD(0) AUC — the detectable pair on this cohort
+    (shared parser: evaluation/reports.parse_result_auc)."""
+    from multi_modal_normative_modeling_tpu.evaluation.reports import (
+        parse_result_auc,
+    )
+
+    return parse_result_auc(root, "2 vs 0")
 
 
 CONFIGS = {
