@@ -11,6 +11,7 @@ from multi_modal_normative_modeling_tpu.evaluation.reports import (
     append_performance_metrics,
     append_result_4,
     append_result_multimodal,
+    parse_result_auc,
     write_auc_csvs,
 )
 
@@ -41,6 +42,27 @@ def test_result_multimodal_format(tmp_path):
               (tmp_path / "result_multimodal.txt").read_text().split("\n\n\n")
               if b.strip()]
     assert len(blocks) == 2
+
+
+def test_parse_result_auc_roundtrip(tmp_path):
+    """parse_result_auc inverts append_result_multimodal's ROC-AUC line
+    (the one owner of the parse used by baseline_probe/quality scripts),
+    selecting the block by comparison fragment."""
+    import pytest
+
+    result_dir = tmp_path / "result_baseline"
+    append_result_multimodal(result_dir, "ADNI: 2 vs 0", _args(),
+                             [0.9, 0.8], [0.85, 0.75], [0.7, 0.6],
+                             [0.95, 0.9], [9.0, 4.0])
+    append_result_multimodal(result_dir, "ADNI: 2 vs 1", _args(),
+                             [0.6, 0.6], [0.6, 0.6], [0.6, 0.6],
+                             [0.6, 0.6], [1.0, 1.0])
+    auc, std = parse_result_auc(tmp_path, "2 vs 0")
+    assert (auc, std) == (0.85, 0.05)
+    auc1, _ = parse_result_auc(tmp_path, "2 vs 1")
+    assert auc1 == 0.6
+    with pytest.raises(RuntimeError, match="0 vs 1"):
+        parse_result_auc(tmp_path, "0 vs 1")
 
 
 def test_result_4_format(tmp_path):
