@@ -195,6 +195,22 @@ def pad_stack_fold_batches(per_fold):
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
 
 
+def globalize_tree(tree, sh_tree):
+    """Host numpy pytree -> global sharded arrays for MULTI-CONTROLLER
+    jits (mirrors parallel/folds.MultiFoldTrainer._globalize): jit
+    rejects numpy operands with non-trivial in_shardings across
+    processes, so every process (holding the same host values) donates
+    its local shards via make_array_from_callback. Device-array leaves
+    pass through untouched."""
+    def conv(a, s):
+        if isinstance(a, jax.Array):
+            return a
+        return jax.make_array_from_callback(
+            np.shape(a), s, lambda idx, _a=a: np.asarray(_a)[idx])
+
+    return jax.tree_util.tree_map(conv, tree, sh_tree)
+
+
 def _packed_loss_fn(stacked: StackedMultimodalCVAE, combine: str,
                     precision: str = "fp32"):
     if precision == "bf16":
@@ -413,6 +429,19 @@ class PackedMultiFoldTrainer:
         # would commit the whole batch pytree to one device first
         return batches if self.mesh is not None else jax.device_put(batches)
 
+    def _globalize_operands(self, stacked_params, batches, keys):
+        """Multi-controller placement: numpy operands cannot carry
+        non-trivial in_shardings across processes — convert them to
+        global arrays (globalize_tree). Single-process meshed runs keep
+        the numpy fast path (in_shardings place them directly)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return stacked_params, batches, keys
+        p_sh, b_sh, k_sh = self._shardings_fn(self.mesh, stacked_params,
+                                              batches, keys)
+        return (globalize_tree(stacked_params, p_sh),
+                globalize_tree(batches, b_sh),
+                globalize_tree(keys, k_sh))
+
     def _stack_packed(self, params_list):
         return stack_packed_params(self.stacked, params_list)
 
@@ -442,6 +471,8 @@ class PackedMultiFoldTrainer:
         batches = self._place(self.pack_folds(folds))
         keys = jnp.stack(list(keys))
         fn = self._jit_train(stacked_params, batches, keys)
+        stacked_params, batches, keys = self._globalize_operands(
+            stacked_params, batches, keys)
         out, logs = fn(stacked_params, batches, keys)
         return self._per_fold(out, logs, len(params_list))
 
@@ -491,6 +522,8 @@ class PackedMultiFoldTrainer:
         batches = (packed_batches if packed_batches is not None
                    else self.prepare_batches(folds))
         keys = jnp.stack(list(keys))
+        stacked_params, batches, keys = self._globalize_operands(
+            stacked_params, batches, keys)
         opt_state = jax.jit(jax.vmap(self.optimizer.init))(stacked_params)
         if not hasattr(self, "_chunk_cache"):
             self._chunk_cache = {}
@@ -517,6 +550,17 @@ class PackedMultiFoldTrainer:
                                          keys, vmapped=True)
 
         def run_chunk(n, p, opt_state, k):
+            # multi-controller: first-chunk AND resume-restored states are
+            # host numpy — globalize per chunk (device-array leaves pass
+            # through untouched, so warm chunks cost nothing)
+            if self.mesh is not None and jax.process_count() > 1:
+                p_sh, _, k_sh = self._shardings_fn(self.mesh, p, batches, k)
+                p = globalize_tree(p, p_sh)
+                k = globalize_tree(k, k_sh)
+                if opt_state is not None:
+                    o_sh = self._shardings_fn.opt(self.mesh, opt_state, p,
+                                                  p_sh)
+                    opt_state = globalize_tree(opt_state, o_sh)
             if opt_state is None:
                 opt_state = init_opt(p)
             # shared jitted-chunk cache with run_milestones (_chunk_jit):
@@ -524,6 +568,10 @@ class PackedMultiFoldTrainer:
             return self._chunk_jit(n, p, opt_state, k, batches)(
                 p, opt_state, k, batches)
 
+        if self.mesh is not None and jax.process_count() > 1:
+            _, b_sh, _ = self._shardings_fn(self.mesh, stacked_params,
+                                            batches, keys)
+            batches = globalize_tree(batches, b_sh)
         # vmapped chunk logs come back [F, n]; accumulate on the epoch axis
         params, logs = run_chunked(state_dir, self.config.epochs,
                                    checkpoint_every, resume, stacked_params,

@@ -29,6 +29,7 @@ from .packed import (
     _pack_params_host,
     _unpack_params_host,
     fetch_host,
+    globalize_tree,
     packed_template_fn,
     pad_stack_fold_batches,
     stack_packed_params,
@@ -223,10 +224,23 @@ class GroupedEndToEndMultiTrainer(GroupedEndToEndTrainer):
     def _per_fold(self, out, logs, n_folds):
         return unpack_per_fold(self.grouped, out, logs, n_folds)
 
+    def _globalize_operands(self, stacked_params, batches, keys):
+        """Multi-controller placement (packed.globalize_tree): numpy
+        operands cannot carry non-trivial in_shardings across processes."""
+        if self.mesh is None or jax.process_count() == 1:
+            return stacked_params, batches, keys
+        p_sh, b_sh, k_sh = self._shardings_fn(self.mesh, stacked_params,
+                                              batches, keys)
+        return (globalize_tree(stacked_params, p_sh),
+                globalize_tree(batches, b_sh),
+                globalize_tree(keys, k_sh))
+
     def run(self, params_list, folds, keys):
         stacked_params = self._stack_packed(params_list)
         batches = self._place(self.pack_folds(folds))
         keys = jnp.stack(list(keys))
+        stacked_params, batches, keys = self._globalize_operands(
+            stacked_params, batches, keys)
         out, logs = self._vtrain(stacked_params, batches, keys)
         return self._per_fold(out, logs, len(params_list))
 
@@ -261,11 +275,26 @@ class GroupedEndToEndMultiTrainer(GroupedEndToEndTrainer):
                                          keys, vmapped=True)
 
         def run_chunk(n, p, opt_state, k):
+            # multi-controller: first-chunk AND resume-restored states are
+            # host numpy — globalize per chunk (mirrors
+            # PackedMultiFoldTrainer.run_resumable)
+            if self.mesh is not None and jax.process_count() > 1:
+                p_sh, _, k_sh = self._shardings_fn(self.mesh, p, batches, k)
+                p = globalize_tree(p, p_sh)
+                k = globalize_tree(k, k_sh)
+                if opt_state is not None:
+                    o_sh = self._shardings_fn.opt(self.mesh, opt_state, p,
+                                                  p_sh)
+                    opt_state = globalize_tree(opt_state, o_sh)
             if opt_state is None:
                 opt_state = init_opt(p)
             return self._chunk_jit(n, p, opt_state, k, batches)(
                 p, opt_state, k, batches)
 
+        if self.mesh is not None and jax.process_count() > 1:
+            _, b_sh, _ = self._shardings_fn(self.mesh, stacked_params,
+                                            batches, keys)
+            batches = globalize_tree(batches, b_sh)
         params, logs = run_chunked(state_dir, self.config.epochs,
                                    checkpoint_every, resume, stacked_params,
                                    None, keys, run_chunk, template_fn,

@@ -10,6 +10,10 @@ Legs (each printed as '<leg> ok' for the parent to assert):
   * tensor-parallel: ('fold'=1, 'data'=1, 'model'=2) mesh — weight
     matrices Megatron-sharded across the two processes
     (parallel/tensor.fold_model_shardings).
+  * grouped F,M,D GSPMD: the pad-free width-grouped trainer
+    (train/grouped.GroupedMultiFoldTrainer) with its divisible
+    width-group axes sharded ACROSS processes — exercises the
+    packed.fetch_host/process_allgather result fetch for real.
 
 The worker does NOT compute a single-process reference itself: in
 multi-controller mode a "process-local" jit still commits outputs
@@ -114,6 +118,38 @@ def main():
         np.save(out_dir / "tp_total.npy", tp_total)
     print(f"proc {pid}: cross-process tensor-parallel ok "
           f"(losses={tp_total.ravel()})", flush=True)
+
+    # ---- grouped (width-grouped packed) F,M,D GSPMD ACROSS processes -----
+    from multi_modal_normative_modeling_tpu.parallel.modality import (
+        grouped_fold_shardings,
+        make_ep_mesh3,
+    )
+    from multi_modal_normative_modeling_tpu.train.grouped import (
+        GroupedMultiFoldTrainer,
+    )
+
+    gdims = [12, 12, 8, 8]  # mixed widths: 2 groups, both divisible by 2
+    gmodel = build_model("cVAE_multimodal", gdims, [8, 8], 4, 3, len(gdims))
+    grng = np.random.default_rng(1)
+    gdata = [grng.normal(size=(n, d)).astype(np.float32) for d in gdims]
+    gcov = grng.normal(size=(n, 3)).astype(np.float32)
+    gparams = jax.device_get(gmodel.init_params(jax.random.PRNGKey(1)))
+    g_mesh = make_ep_mesh3(n_fold=1, n_modality=2, n_data=1)
+    assert len({d.process_index for d in g_mesh.devices.ravel()}) == 2, \
+        "modality axis must span both processes"
+    gt = GroupedMultiFoldTrainer(gmodel, config, n, mesh=g_mesh,
+                                 shardings_fn=grouped_fold_shardings)
+    # run() fetches via packed.fetch_host -> process_allgather (a
+    # COLLECTIVE): every process calls it symmetrically
+    gp, glogs = gt.run([gparams], [(gdata, [gcov] * len(gdims))],
+                       [jax.random.PRNGKey(7)])
+    g_total = np.asarray(glogs[0]["total"])
+    assert np.isfinite(g_total).all(), g_total
+    if pid == 0:
+        _save(out_dir / "grouped_params.npz", gp[0])
+        np.save(out_dir / "grouped_total.npy", g_total)
+    print(f"proc {pid}: cross-process grouped F,M,D ok "
+          f"(losses={g_total})", flush=True)
     print(f"proc {pid}: OK", flush=True)
 
 

@@ -84,6 +84,7 @@ def test_two_process_expert_and_tensor_parallel(tmp_path):
         assert f"proc {pid}: OK" in out, out[-2000:]
         assert "cross-process expert-parallel ok" in out
         assert "cross-process tensor-parallel ok" in out
+        assert "cross-process grouped F,M,D ok" in out
 
     # ---- single-process reference trajectories (same seeds/data) ---------
     import jax
@@ -134,3 +135,23 @@ def test_two_process_expert_and_tensor_parallel(tmp_path):
                                np.asarray(tp_ref_logs["total"]), rtol=1e-4)
     assert_tree_matches(tmp_path / "tp_params.npz",
                         jax.device_get(tp_ref_params))
+
+    # grouped F,M,D leg: unmeshed GroupedMultiFoldTrainer reference (same
+    # seeds/data as the worker's meshed run; GSPMD psum reorder -> float
+    # tolerance)
+    from multi_modal_normative_modeling_tpu.train.grouped import (
+        GroupedMultiFoldTrainer,
+    )
+
+    gdims = [12, 12, 8, 8]
+    gmodel = build_model("cVAE_multimodal", gdims, [8, 8], 4, 3, len(gdims))
+    grng = np.random.default_rng(1)
+    gdata = [grng.normal(size=(n, d)).astype(np.float32) for d in gdims]
+    gcov = grng.normal(size=(n, 3)).astype(np.float32)
+    gparams = jax.device_get(gmodel.init_params(jax.random.PRNGKey(1)))
+    g_ref_p, g_ref_logs = GroupedMultiFoldTrainer(gmodel, config, n).run(
+        [gparams], [(gdata, [gcov] * len(gdims))], [jax.random.PRNGKey(7)])
+    np.testing.assert_allclose(np.load(tmp_path / "grouped_total.npy"),
+                               np.asarray(g_ref_logs[0]["total"]),
+                               rtol=1e-4)
+    assert_tree_matches(tmp_path / "grouped_params.npz", g_ref_p[0])
