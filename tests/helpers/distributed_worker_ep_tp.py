@@ -150,6 +150,19 @@ def main():
         np.save(out_dir / "grouped_total.npy", g_total)
     print(f"proc {pid}: cross-process grouped F,M,D ok "
           f"(losses={g_total})", flush=True)
+
+    # resumable grouped run under the same mesh: exercises the per-chunk
+    # operand globalization (numpy first-chunk state) + run_chunked's
+    # cross-process host fetch; chunked must be bit-identical to the
+    # single-scan run on the same trainer
+    gp_res, glogs_res = gt.run_resumable(
+        [gparams], [(gdata, [gcov] * len(gdims))],
+        [jax.random.PRNGKey(7)], state_dir=out_dir / "grouped-state",
+        checkpoint_every=1, resume=False)
+    res_total = np.asarray(glogs_res[0]["total"])
+    assert np.array_equal(res_total, g_total), (res_total, g_total)
+    print(f"proc {pid}: cross-process grouped resumable ok "
+          "(bit-identical logs)", flush=True)
     print(f"proc {pid}: OK", flush=True)
 
 

@@ -85,6 +85,7 @@ def test_two_process_expert_and_tensor_parallel(tmp_path):
         assert "cross-process expert-parallel ok" in out
         assert "cross-process tensor-parallel ok" in out
         assert "cross-process grouped F,M,D ok" in out
+        assert "cross-process grouped resumable ok" in out
 
     # ---- single-process reference trajectories (same seeds/data) ---------
     import jax
